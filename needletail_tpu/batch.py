@@ -1,0 +1,174 @@
+"""Batched ingestion: records -> fixed-shape padded tensors for devices.
+
+This is the TPU-native unit of work.  The reference's device-less design is a
+pull iterator over single records (needletail src/parser/utils.rs:119-130);
+on TPU the natural unit is a padded ``[reads, max_len] uint8`` tensor plus a
+length vector, so normalization / reverse complement / k-mer extraction can
+run as vectorized kernels over the lane dimension (SURVEY.md §7).
+
+``ReadBatch`` carries sequence bytes (and qualities for FASTQ) in numpy; ids
+and per-record positions stay host-side.  ``BatchReader`` adapts any
+``FastxReader`` into an iterator of fixed-shape batches; shapes are bucketed
+(lengths rounded up to a multiple) so XLA re-compiles only per bucket, not
+per batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Sequence, Union
+
+import numpy as np
+
+from .parser import FastxReader, SequenceRecord, parse_fastx_file
+
+__all__ = ["ReadBatch", "BatchReader", "read_batches"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class ReadBatch:
+    """A fixed-shape batch of reads.
+
+    ``seqs``: uint8 [B, L], zero-padded (0 is never a valid base so padding is
+    inert in every kernel). ``lengths``: int32 [B]. ``quals``: uint8 [B, L]
+    or None (FASTA). ``ids``: raw header bytes, host-side only.
+    """
+
+    seqs: np.ndarray
+    lengths: np.ndarray
+    quals: Optional[np.ndarray] = None
+    ids: List[bytes] = field(default_factory=list)
+
+    @property
+    def num_reads(self) -> int:
+        return int(self.seqs.shape[0])
+
+    @property
+    def max_len(self) -> int:
+        return int(self.seqs.shape[1])
+
+    @property
+    def num_bases(self) -> int:
+        return int(self.lengths.sum())
+
+    @classmethod
+    def from_records(
+        cls,
+        records: Sequence[SequenceRecord],
+        max_len: Optional[int] = None,
+        pad_reads_to: int = 1,
+        pad_len_to: int = 128,
+    ) -> "ReadBatch":
+        """Build a batch from framed records (uses the newline-stripped
+        ``seq()``; quality lines are carried when every record has one)."""
+        seq_bytes = [r.seq() for r in records]
+        quals = [r.qual() for r in records]
+        has_qual = all(q is not None for q in quals) and len(records) > 0
+        lengths = np.array([len(s) for s in seq_bytes], dtype=np.int32)
+        longest = int(lengths.max()) if len(seq_bytes) else 0
+        if max_len is None:
+            max_len = _round_up(max(longest, 1), pad_len_to)
+        n = _round_up(max(len(seq_bytes), 1), pad_reads_to)
+
+        seqs = np.zeros((n, max_len), dtype=np.uint8)
+        for i, s in enumerate(seq_bytes):
+            if len(s) > max_len:
+                raise ValueError(
+                    f"record {i} length {len(s)} exceeds batch max_len {max_len}"
+                )
+            seqs[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+
+        qarr = None
+        if has_qual:
+            qarr = np.zeros((n, max_len), dtype=np.uint8)
+            for i, q in enumerate(quals):
+                qarr[i, : len(q)] = np.frombuffer(q, dtype=np.uint8)
+
+        full_lengths = np.zeros(n, dtype=np.int32)
+        full_lengths[: len(lengths)] = lengths
+        return cls(
+            seqs=seqs,
+            lengths=full_lengths,
+            quals=qarr,
+            ids=[r.id() for r in records],
+        )
+
+    def pad_reads_to(self, n: int) -> "ReadBatch":
+        """Zero-pad the read dimension up to ``n`` (e.g. for even sharding)."""
+        if n < self.num_reads:
+            raise ValueError(f"cannot shrink batch {self.num_reads} -> {n}")
+        if n == self.num_reads:
+            return self
+        seqs = np.zeros((n, self.max_len), dtype=np.uint8)
+        seqs[: self.num_reads] = self.seqs
+        lengths = np.zeros(n, dtype=np.int32)
+        lengths[: self.num_reads] = self.lengths
+        quals = None
+        if self.quals is not None:
+            quals = np.zeros((n, self.max_len), dtype=np.uint8)
+            quals[: self.num_reads] = self.quals
+        return ReadBatch(seqs=seqs, lengths=lengths, quals=quals, ids=list(self.ids))
+
+
+class BatchReader:
+    """Adapt a ``FastxReader`` into an iterator of ``ReadBatch``es.
+
+    Reads are grouped ``batch_size`` at a time; sequence length is padded to
+    the next multiple of ``pad_len_to`` within each batch (bucketed shapes),
+    or to a fixed ``max_len`` when given (single compiled shape).
+    """
+
+    def __init__(
+        self,
+        reader: FastxReader,
+        batch_size: int = 1024,
+        max_len: Optional[int] = None,
+        pad_len_to: int = 128,
+        keep_ids: bool = True,
+    ) -> None:
+        self._reader = reader
+        self._batch_size = batch_size
+        self._max_len = max_len
+        self._pad_len_to = pad_len_to
+        self._keep_ids = keep_ids
+
+    def __iter__(self) -> Iterator[ReadBatch]:
+        while True:
+            records = []
+            while len(records) < self._batch_size:
+                rec = self._reader.next()
+                if rec is None:
+                    break
+                records.append(rec)
+            if not records:
+                return
+            batch = ReadBatch.from_records(
+                records,
+                max_len=self._max_len,
+                pad_reads_to=self._batch_size if len(records) == self._batch_size else 1,
+                pad_len_to=self._pad_len_to,
+            )
+            if not self._keep_ids:
+                batch.ids = []
+            yield batch
+
+
+def read_batches(
+    path: Union[str, "Path"],  # noqa: F821 - Path only for typing
+    batch_size: int = 1024,
+    max_len: Optional[int] = None,
+    pad_len_to: int = 128,
+) -> Iterator[ReadBatch]:
+    """Stream a FASTA/FASTQ file (any supported compression) as batches."""
+    return iter(
+        BatchReader(
+            parse_fastx_file(path),
+            batch_size=batch_size,
+            max_len=max_len,
+            pad_len_to=pad_len_to,
+        )
+    )

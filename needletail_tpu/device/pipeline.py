@@ -1,0 +1,138 @@
+"""Fused end-to-end device pipelines and file-level drivers.
+
+The device computation (encode -> pack -> canonicalize -> count) compiles to
+a single XLA program per batch shape; the host streams framed batches in and
+merges per-batch results.  This is the TPU-native equivalent of the
+reference's README loop (ref src/lib.rs:6-40): parse, normalize, reverse
+complement, canonical k-mers, tally.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Iterable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..batch import ReadBatch, read_batches
+from ..bitkmer import bytes_to_bitmer
+from . import count as _count
+from . import kmers as _kmers
+
+__all__ = [
+    "canonical_dense_count",
+    "canonical_match_count",
+    "base_count",
+    "count_file",
+    "readme_pipeline",
+    "pack_target",
+]
+
+
+def pack_target(kmer_bytes: bytes) -> Tuple[np.uint32, np.uint32]:
+    """Pack an ASCII k-mer into the (hi, lo) uint32 pair used on device."""
+    value, k = bytes_to_bitmer(kmer_bytes)
+    return np.uint32(value >> 32), np.uint32(value & 0xFFFFFFFF)
+
+
+@partial(jax.jit, static_argnames=("k", "canonical", "normalized"))
+def canonical_dense_count(
+    seqs: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    canonical: bool = True,
+    normalized: bool = True,
+) -> jax.Array:
+    """[4^k] int32 exact spectrum of (canonical) k-mers for one batch."""
+    fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
+    windows = fn(seqs, lengths, k, normalized=normalized)
+    return _count.dense_spectrum(windows, k)
+
+
+@partial(jax.jit, static_argnames=("k", "canonical", "normalized"))
+def canonical_match_count(
+    seqs: jax.Array,
+    lengths: jax.Array,
+    target_hi: jax.Array,
+    target_lo: jax.Array,
+    k: int,
+    canonical: bool = True,
+    normalized: bool = True,
+) -> jax.Array:
+    """Scalar count of windows whose (canonical) value equals the target."""
+    fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
+    windows = fn(seqs, lengths, k, normalized=normalized)
+    return _count.match_count(windows, target_hi, target_lo)
+
+
+@jax.jit
+def base_count(lengths: jax.Array) -> jax.Array:
+    return jnp.sum(lengths.astype(jnp.int64 if jax.config.jax_enable_x64 else jnp.int32))
+
+
+def count_file(
+    path,
+    k: int,
+    canonical: bool = True,
+    normalized: bool = True,
+    batch_size: int = 512,
+    max_len: Optional[int] = None,
+    dense: Optional[bool] = None,
+) -> Tuple[int, Union[np.ndarray, Dict[int, int]]]:
+    """Stream a FASTX file through the device k-mer counter.
+
+    Returns ``(n_bases, spectrum)`` where spectrum is a dense ``[4^k]`` numpy
+    array for small k or a ``{packed_kmer: count}`` dict otherwise.
+    """
+    if dense is None:
+        dense = k <= _count.MAX_DENSE_K
+    n_bases = 0
+    dense_total: Optional[np.ndarray] = None
+    dicts = []
+    for batch in read_batches(path, batch_size=batch_size, max_len=max_len):
+        if batch.max_len < k:
+            # no window fits; bases still count
+            n_bases += batch.num_bases
+            continue
+        seqs = jnp.asarray(batch.seqs)
+        lengths = jnp.asarray(batch.lengths)
+        n_bases += batch.num_bases
+        if dense:
+            spec = canonical_dense_count(seqs, lengths, k, canonical, normalized)
+            spec = np.asarray(spec)
+            dense_total = spec if dense_total is None else dense_total + spec
+        else:
+            fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
+            windows = fn(seqs, lengths, k, normalized=normalized)
+            hi, lo, counts = _count.sorted_spectrum(windows)
+            dicts.append(_count.spectrum_to_dict(hi, lo, counts, k))
+    if dense:
+        return n_bases, (
+            dense_total if dense_total is not None else np.zeros(4**k, np.int64)
+        )
+    return n_bases, _count.merge_spectra(dicts)
+
+
+def readme_pipeline(path, k: int = 4, target: bytes = b"AAAA") -> Tuple[int, int]:
+    """The reference README example (ref src/lib.rs:6-40) on device:
+    total bases + number of canonical ``target`` k-mers."""
+    assert len(target) == k
+    hi, lo = pack_target(target)
+    n_bases = 0
+    n_matches = 0
+    for batch in read_batches(path, batch_size=512):
+        n_bases += batch.num_bases
+        if batch.max_len < k:
+            continue
+        n_matches += int(
+            canonical_match_count(
+                jnp.asarray(batch.seqs),
+                jnp.asarray(batch.lengths),
+                jnp.uint32(hi),
+                jnp.uint32(lo),
+                k,
+            )
+        )
+    return n_bases, n_matches

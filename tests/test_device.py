@@ -1,0 +1,194 @@
+"""Device (JAX) path tests, run on CPU backend.
+
+Parity oracle: the host implementations (needletail_tpu.sequence/kmer/
+bitkmer), themselves locked to the reference by tests/test_sequence_ops.py,
+plus the 28S.fasta golden invariants (ref benches/benchmark.rs:43-67)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from needletail_tpu import bitkmer as hb
+from needletail_tpu import kmer as hk
+from needletail_tpu import sequence as hs
+from needletail_tpu.batch import ReadBatch, read_batches
+from needletail_tpu.device import count as dcount
+from needletail_tpu.device import kmers as dkmers
+from needletail_tpu.device import ops as dops
+from needletail_tpu.device import pipeline as dpipe
+from needletail_tpu.parser import parse_fastx_file
+
+
+def batch_of(seqs, quals=None, max_len=None):
+    L = max_len or max(len(s) for s in seqs)
+    arr = np.zeros((len(seqs), L), dtype=np.uint8)
+    lengths = np.zeros(len(seqs), dtype=np.int32)
+    for i, s in enumerate(seqs):
+        arr[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+        lengths[i] = len(s)
+    q = None
+    if quals is not None:
+        q = np.zeros((len(seqs), L), dtype=np.uint8)
+        for i, s in enumerate(quals):
+            q[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    return jnp.asarray(arr), jnp.asarray(lengths), (jnp.asarray(q) if q is not None else None)
+
+
+class TestElementwiseOps:
+    def test_normalize_matches_host(self):
+        cases = [b"ACGTU", b"acgtu", b"BDHVRYSWKM", b"bdhvryswkm", b"N.N-N~N", b"xyz123"]
+        seqs, lengths, _ = batch_of(cases, max_len=16)
+        for iupac in (False, True):
+            out, keep = dops.normalize(seqs, iupac=iupac)
+            out = np.asarray(out)
+            keep = np.asarray(keep)
+            for i, case in enumerate(cases):
+                host = hs.normalize(case, iupac)
+                host = host if host is not None else case
+                dev = bytes(out[i, : lengths[i]][keep[i, : lengths[i]]])
+                assert dev == host, (case, iupac)
+
+    def test_complement_matches_host(self):
+        data = bytes(range(1, 256))
+        seqs, lengths, _ = batch_of([data])
+        out = np.asarray(dops.complement(seqs))
+        assert bytes(out[0]) == bytes(hs.COMPLEMENT_LUT[np.frombuffer(data, np.uint8)])
+
+    def test_reverse_complement(self):
+        cases = [b"AACC", b"acgt", b"NRYK", b"A"]
+        seqs, lengths, _ = batch_of(cases, max_len=8)
+        out = np.asarray(dops.reverse_complement(seqs, lengths))
+        for i, case in enumerate(cases):
+            assert bytes(out[i, : len(case)]) == hs.reverse_complement(case)
+            assert not out[i, len(case) :].any()  # padding stays zero
+
+    def test_quality_mask(self):
+        seqs, lengths, quals = batch_of([b"AGCT"], quals=[b"AAA0"])
+        out = np.asarray(dops.quality_mask(seqs, quals, jnp.uint8(ord("5"))))
+        assert bytes(out[0, :4]) == b"AGCN"
+
+    def test_decode_phred(self):
+        seqs, lengths, quals = batch_of([b"XXXX"], quals=[b"IIII"])
+        scores, ok = dops.decode_phred(quals, offset=33)
+        assert np.asarray(scores)[0, :4].tolist() == [40, 40, 40, 40]
+        assert bool(np.asarray(ok).all())
+
+    def test_encode_2bit_semantics(self):
+        seqs, _, _ = batch_of([b"ACGTacgtUuNx-"], max_len=16)
+        norm = np.asarray(dops.encode_2bit(seqs, normalized=True))[0]
+        raw = np.asarray(dops.encode_2bit(seqs, normalized=False))[0]
+        # normalized: U/u -> T code 3
+        assert norm[:13].tolist() == [0, 1, 2, 3, 0, 1, 2, 3, 3, 3, 255, 255, 255]
+        # raw: U invalid
+        assert raw[:13].tolist() == [0, 1, 2, 3, 0, 1, 2, 3, 255, 255, 255, 255, 255]
+
+
+def host_canonical_values(seq: bytes, k: int):
+    """Oracle: canonical bitkmer values + positions + flags via host path."""
+    return list(hb.bit_kmers(seq, k, True))
+
+
+class TestKmerWindows:
+    @pytest.mark.parametrize("k", [1, 2, 3, 8, 15, 16, 17, 21, 31])
+    def test_canonical_parity_vs_host(self, k):
+        rng = np.random.default_rng(42 + k)
+        seqs = []
+        for _ in range(6):
+            n = int(rng.integers(k, 80))
+            s = bytes(rng.choice(list(b"ACGTacgtNu-"), size=n).astype(np.uint8))
+            seqs.append(s)
+        arr, lengths, _ = batch_of(seqs, max_len=96)
+        win = dkmers.canonical_kmers(arr, lengths, k, normalized=False)
+        hi = np.asarray(win.hi)
+        lo = np.asarray(win.lo)
+        valid = np.asarray(win.valid)
+        was_rc = np.asarray(win.was_rc)
+        for i, s in enumerate(seqs):
+            expected = host_canonical_values(s, k)
+            got_pos = np.nonzero(valid[i])[0].tolist()
+            assert got_pos == [p for (p, _, _) in expected], (s, k)
+            for (p, (val, _), rc_flag) in expected:
+                dev_val = (int(hi[i, p]) << 32) | int(lo[i, p])
+                assert dev_val == val, (s, k, p)
+                assert bool(was_rc[i, p]) == rc_flag, (s, k, p)
+
+    @pytest.mark.parametrize("k", [4, 16, 17, 31])
+    def test_forward_parity_vs_host(self, k):
+        rng = np.random.default_rng(7 + k)
+        s = bytes(rng.choice(list(b"ACGTN"), size=70).astype(np.uint8))
+        arr, lengths, _ = batch_of([s], max_len=70)
+        win = dkmers.pack_kmers(arr, lengths, k, normalized=False)
+        hi = np.asarray(win.hi)[0]
+        lo = np.asarray(win.lo)[0]
+        valid = np.asarray(win.valid)[0]
+        expected = list(hb.bit_kmers(s, k, False))
+        assert np.nonzero(valid)[0].tolist() == [p for (p, _, _) in expected]
+        for (p, (val, _), _) in expected:
+            assert ((int(hi[p]) << 32) | int(lo[p])) == val
+
+
+class TestCounting:
+    def test_dense_spectrum_small(self):
+        arr, lengths, _ = batch_of([b"ACGTA", b"AAAA"], max_len=8)
+        win = dkmers.canonical_kmers(arr, lengths, 2, normalized=False)
+        spec = np.asarray(dcount.dense_spectrum(win, 2))
+        # host oracle
+        expected = np.zeros(16, dtype=np.int64)
+        for s in [b"ACGTA", b"AAAA"]:
+            for (_, (v, _), _) in hb.bit_kmers(s, 2, True):
+                expected[v] += 1
+        assert (spec == expected).all()
+
+    def test_sorted_spectrum_matches_dense(self):
+        rng = np.random.default_rng(3)
+        seqs = [bytes(rng.choice(list(b"ACGTN"), size=50).astype(np.uint8)) for _ in range(4)]
+        arr, lengths, _ = batch_of(seqs, max_len=64)
+        win = dkmers.canonical_kmers(arr, lengths, 5, normalized=False)
+        spec = np.asarray(dcount.dense_spectrum(win, 5))
+        hi, lo, counts = dcount.sorted_spectrum(win)
+        d = dcount.spectrum_to_dict(hi, lo, counts, 5)
+        dense_d = {i: int(c) for i, c in enumerate(spec) if c}
+        assert d == dense_d
+
+    def test_sorted_spectrum_large_k(self):
+        rng = np.random.default_rng(5)
+        seqs = [bytes(rng.choice(list(b"ACGT"), size=60).astype(np.uint8)) for _ in range(3)]
+        arr, lengths, _ = batch_of(seqs, max_len=64)
+        win = dkmers.canonical_kmers(arr, lengths, 21, normalized=False)
+        hi, lo, counts = dcount.sorted_spectrum(win)
+        d = dcount.spectrum_to_dict(hi, lo, counts, 21)
+        # host oracle
+        expected = {}
+        for s in seqs:
+            for (_, (v, _), _) in hb.bit_kmers(s, 21, True):
+                expected[v] = expected.get(v, 0) + 1
+        assert d == expected
+
+
+class TestGoldenFile:
+    def test_readme_pipeline_device(self):
+        n_bases, n_aaaa = dpipe.readme_pipeline("tests/data/28S.fasta")
+        assert n_bases == 738580
+        assert n_aaaa == 8108  # host-verified canonical AAAA tally
+
+    def test_k31_totals_match_reference_bench(self):
+        # ref benches/benchmark.rs:43-44,66-67: 718,007 canonical 31-mers,
+        # 350,983 in forward orientation
+        total = 0
+        fwd = 0
+        for batch in read_batches("tests/data/28S.fasta", batch_size=128):
+            win = dkmers.canonical_kmers(
+                jnp.asarray(batch.seqs), jnp.asarray(batch.lengths), 31
+            )
+            total += int(dcount.valid_count(win))
+            fwd += int(dcount.forward_count(win))
+        assert total == 718007
+        assert fwd == 350983
+
+    def test_fastq_batches(self):
+        got = 0
+        for batch in read_batches("tests/data/PRJNA271013_head.fq", batch_size=256):
+            got += batch.num_bases
+            assert batch.quals is not None
+        assert got == 250000  # ref benches/benchmark.rs:97
