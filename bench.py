@@ -1,0 +1,115 @@
+"""Headline benchmark: FASTQ -> canonical k=21 k-mer counting, bases/sec/chip.
+
+Workload (BASELINE.json config #3 shape): the reference FASTQ parse corpus
+(PRJNA271013_head.fq — 2,000 reads, 250,000 bases, ref benches/benchmark.rs:74-128),
+tiled to a device-resident batch, streamed through the fused device pipeline:
+2-bit encode -> rolling canonical k=21 windows -> hash-table scatter-add +
+total/forward tallies.  Embedded correctness asserts (criterion-style, ref
+benchmark.rs:43-44): per-copy canonical-21-mer totals must equal the
+host-verified 209,965 / 106,181.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": bases/sec/chip, "unit": "bases/s",
+   "vs_baseline": value / 625e6}
+vs_baseline is against the BASELINE.json north star (>= 10 GB/s on a v5e-16
+=> 625 MB/s == 625M bases/s per chip).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+# golden per-copy counts for PRJNA271013_head.fq @ k=21 (host-verified
+# against the reference semantics by tests/test_device.py)
+GOLD_BASES = 250_000
+GOLD_TOTAL_K21 = 209_965
+GOLD_FWD_K21 = 106_181
+
+K = 21
+TABLE_BITS = 20  # 1M-bucket hash table (the sharded-count workload shape)
+TILE = 64  # 2,000 reads -> 128,000 reads, 16M bases per step
+STEPS = 5
+NORTH_STAR_PER_CHIP = 625e6  # bases/s/chip (10 GB/s over 16 chips)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from needletail_tpu.batch import read_batches
+    from needletail_tpu.device import kmers as dkmers
+
+    # ---- host framing: load + tile the corpus -------------------------
+    t_parse = time.perf_counter()
+    batches = list(
+        read_batches("tests/data/PRJNA271013_head.fq", batch_size=2000, max_len=128)
+    )
+    parse_s = time.perf_counter() - t_parse
+    assert len(batches) == 1
+    batch = batches[0]
+    assert batch.num_bases == GOLD_BASES, batch.num_bases
+
+    seqs = np.tile(batch.seqs, (TILE, 1))
+    lengths = np.tile(batch.lengths, TILE)
+    n_bases_step = int(lengths.sum())
+
+    dev_seqs = jax.device_put(jnp.asarray(seqs))
+    dev_lengths = jax.device_put(jnp.asarray(lengths))
+
+    mask = jnp.uint32((1 << TABLE_BITS) - 1)
+    c1 = jnp.uint32(0x9E3779B1)
+    c2 = jnp.uint32(0x85EBCA77)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(table, seqs, lengths):
+        win = dkmers.canonical_kmers(seqs, lengths, K, normalized=True)
+        h = ((win.lo * c1) ^ (win.hi * c2)) & mask
+        idx = jnp.where(win.valid, h, 0).reshape(-1).astype(jnp.int32)
+        w = win.valid.astype(jnp.int32).reshape(-1)
+        table = table.at[idx].add(w)
+        total = jnp.sum(w)
+        fwd = jnp.sum((win.valid & ~win.was_rc).astype(jnp.int32))
+        return table, total, fwd
+
+    table = jnp.zeros((1 << TABLE_BITS,), dtype=jnp.int32)
+
+    # ---- warmup + correctness ------------------------------------------
+    table, total, fwd = step(table, dev_seqs, dev_lengths)
+    total, fwd = int(total), int(fwd)
+    assert total == GOLD_TOTAL_K21 * TILE, (total, GOLD_TOTAL_K21 * TILE)
+    assert fwd == GOLD_FWD_K21 * TILE, (fwd, GOLD_FWD_K21 * TILE)
+
+    # ---- timed steps ----------------------------------------------------
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        table, total, fwd = step(table, dev_seqs, dev_lengths)
+    jax.block_until_ready(table)
+    elapsed = time.perf_counter() - t0
+
+    bases_per_sec = n_bases_step * STEPS / elapsed
+    backend = jax.devices()[0].platform
+    print(
+        f"# backend={backend} device={jax.devices()[0]} steps={STEPS} "
+        f"bases/step={n_bases_step} elapsed={elapsed:.3f}s "
+        f"host_parse={GOLD_BASES/parse_s/1e6:.1f}Mbases/s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "fastq_canonical_k21_hash_count_bases_per_sec_per_chip",
+                "value": round(bases_per_sec, 1),
+                "unit": "bases/s",
+                "vs_baseline": round(bases_per_sec / NORTH_STAR_PER_CHIP, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

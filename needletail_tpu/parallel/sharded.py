@@ -1,0 +1,155 @@
+"""Sharded k-mer counting: data-parallel reads, table-parallel spectra.
+
+Design (BASELINE.json north star; no reference equivalent — needletail is
+single-threaded):
+
+  * Reads are sharded over the ``data`` mesh axis: in_spec ``P('data', None)``.
+  * The dense ``4^k`` count table is sharded by contiguous key range over the
+    ``table`` axis: device column ``t`` owns keys ``[t*S, (t+1)*S)`` where
+    ``S = 4^k / n_table``.
+  * Each device extracts canonical k-mers from its read shard, scatter-adds
+    only the keys it owns into its local slice (hash/range partitioning — the
+    all-to-all is implicit because every table column sees the same data
+    shard), then a ``psum`` over ``data`` merges the partial tables.
+
+Exactness: integer scatter-adds are order-independent, so the sharded result
+equals the single-device spectrum bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..device import kmers as _kmers
+
+__all__ = [
+    "sharded_spectrum",
+    "CountState",
+    "init_count_state",
+    "update_count_state",
+]
+
+
+def _local_partial_spectrum(seqs, lengths, k: int, canonical: bool, normalized: bool):
+    """Per-device body: count the keys this table column owns."""
+    n_table = jax.lax.axis_size("table")
+    my_t = jax.lax.axis_index("table")
+    slice_size = (4**k) // n_table
+    fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
+    win = fn(seqs, lengths, k, normalized=normalized)
+    keys = win.lo.reshape(-1).astype(jnp.int32)
+    local_idx = keys - my_t * slice_size
+    owned = (local_idx >= 0) & (local_idx < slice_size) & win.valid.reshape(-1)
+    local_idx = jnp.where(owned, local_idx, 0)
+    weights = owned.astype(jnp.int32)
+    local = jnp.zeros((slice_size,), dtype=jnp.int32).at[local_idx].add(weights)
+    # merge partial tables across the data axis (ICI all-reduce)
+    return jax.lax.psum(local, axis_name="data")
+
+
+def sharded_spectrum(
+    mesh: Mesh,
+    seqs: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    canonical: bool = True,
+    normalized: bool = True,
+) -> jax.Array:
+    """Global dense spectrum [4^k], sharded over the ``table`` axis.
+
+    ``seqs``/``lengths`` lead dims must divide the data axis size.
+    """
+    fn = jax.jit(
+        jax.shard_map(
+            partial(
+                _local_partial_spectrum,
+                k=k,
+                canonical=canonical,
+                normalized=normalized,
+            ),
+            mesh=mesh,
+            in_specs=(P("data", None), P("data")),
+            out_specs=P("table"),
+        )
+    )
+    return fn(seqs, lengths)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class CountState:
+    """Streaming count-table state: the global spectrum (sharded over
+    ``table``) plus running base/read tallies (replicated)."""
+
+    table: jax.Array  # int32 [4^k], sharded P('table')
+    n_bases: jax.Array  # int64-ish scalar (int32 here)
+    n_reads: jax.Array
+
+
+def init_count_state(mesh: Mesh, k: int) -> CountState:
+    """Zero state with the table laid out across the ``table`` axis."""
+    table = jax.device_put(
+        jnp.zeros((4**k,), dtype=jnp.int32), NamedSharding(mesh, P("table"))
+    )
+    # distinct buffers: the update step donates the whole state pytree and
+    # aliased buffers cannot be donated twice
+    return CountState(
+        table=table,
+        n_bases=jnp.zeros((), dtype=jnp.int32),
+        n_reads=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def make_update_step(mesh: Mesh, k: int, canonical: bool = True, normalized: bool = True):
+    """Build the jitted streaming step: (state, batch) -> state.
+
+    This is the framework's "training step": shard the incoming batch over
+    ``data``, accumulate into the table shards over ``table``.
+    """
+
+    data_sharding = NamedSharding(mesh, P("data", None))
+    len_sharding = NamedSharding(mesh, P("data"))
+    table_sharding = NamedSharding(mesh, P("table"))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: CountState, seqs: jax.Array, lengths: jax.Array) -> CountState:
+        spec = jax.shard_map(
+            partial(
+                _local_partial_spectrum,
+                k=k,
+                canonical=canonical,
+                normalized=normalized,
+            ),
+            mesh=mesh,
+            in_specs=(P("data", None), P("data")),
+            out_specs=P("table"),
+        )(seqs, lengths)
+        return CountState(
+            table=state.table + spec,
+            n_bases=state.n_bases + jnp.sum(lengths.astype(jnp.int32)),
+            n_reads=state.n_reads + jnp.asarray(seqs.shape[0], dtype=jnp.int32),
+        )
+
+    def place_batch(seqs, lengths):
+        return (
+            jax.device_put(seqs, data_sharding),
+            jax.device_put(lengths, len_sharding),
+        )
+
+    return step, place_batch, table_sharding
+
+
+def update_count_state(
+    mesh: Mesh, state: CountState, seqs, lengths, k: int
+) -> CountState:
+    """One-off convenience wrapper over ``make_update_step``."""
+    step, place, _ = make_update_step(mesh, k)
+    s, l = place(jnp.asarray(seqs), jnp.asarray(lengths))
+    return step(state, s, l)

@@ -1,16 +1,22 @@
 """Test configuration: force JAX onto a virtual 8-device CPU mesh.
 
-Must run before any ``import jax`` so the XLA flags take effect.
+The environment pins ``JAX_PLATFORMS=axon`` (one real TPU chip via a tunnel)
+through a sitecustomize hook that also overrides the jax config, so setting
+the env var is not enough — we update the jax config directly before any
+backend is initialized.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys

@@ -1,0 +1,88 @@
+"""Multi-device tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from needletail_tpu.device import count as dcount
+from needletail_tpu.device import kmers as dkmers
+from needletail_tpu.parallel import (
+    init_count_state,
+    make_mesh,
+    mesh_shape_for,
+    sharded_spectrum,
+)
+from needletail_tpu.parallel.sharded import make_update_step
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "tests expect the 8-device CPU sim"
+    return make_mesh()
+
+
+def random_batch(b=16, l=64, seed=0, alphabet=b"ACGTN"):
+    rng = np.random.default_rng(seed)
+    seqs = rng.choice(list(alphabet), size=(b, l)).astype(np.uint8)
+    lengths = np.full(b, l, np.int32)
+    return jnp.asarray(seqs), jnp.asarray(lengths)
+
+
+def test_mesh_shape_heuristic():
+    assert mesh_shape_for(8) == (2, 4)
+    assert mesh_shape_for(16) == (4, 4)
+    assert mesh_shape_for(1) == (1, 1)
+    assert mesh_shape_for(6) == (3, 2)
+
+
+def test_sharded_equals_single_device(mesh):
+    seqs, lengths = random_batch()
+    spec = sharded_spectrum(mesh, seqs, lengths, k=5)
+    ref = dcount.dense_spectrum(dkmers.canonical_kmers(seqs, lengths, 5), 5)
+    assert (np.asarray(spec) == np.asarray(ref)).all()
+
+
+def test_sharded_noncanonical(mesh):
+    seqs, lengths = random_batch(seed=3)
+    spec = sharded_spectrum(mesh, seqs, lengths, k=4, canonical=False)
+    ref = dcount.dense_spectrum(dkmers.pack_kmers(seqs, lengths, 4), 4)
+    assert (np.asarray(spec) == np.asarray(ref)).all()
+
+
+def test_streaming_state_accumulates(mesh):
+    k = 5
+    state = init_count_state(mesh, k)
+    step, place, _ = make_update_step(mesh, k)
+    ref_total = np.zeros(4**k, dtype=np.int64)
+    for seed in range(3):
+        seqs, lengths = random_batch(seed=seed)
+        ref = dcount.dense_spectrum(dkmers.canonical_kmers(seqs, lengths, k), k)
+        ref_total += np.asarray(ref)
+        s, l = place(seqs, lengths)
+        state = step(state, s, l)
+    assert (np.asarray(state.table) == ref_total).all()
+    assert int(state.n_reads) == 48
+    assert int(state.n_bases) == 48 * 64
+
+
+def test_data_axis_only_mesh():
+    mesh = make_mesh(data=8, table=1)
+    seqs, lengths = random_batch(seed=9)
+    spec = sharded_spectrum(mesh, seqs, lengths, k=4)
+    ref = dcount.dense_spectrum(dkmers.canonical_kmers(seqs, lengths, 4), 4)
+    assert (np.asarray(spec) == np.asarray(ref)).all()
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.asarray(out).sum() > 0
+
+
+def test_graft_entry_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
