@@ -41,7 +41,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from needletail_tpu.batch import read_batches
+    from needletail_tpu.io.fast_batch import fast_read_batches as read_batches
     from needletail_tpu.device import kmers as dkmers
 
     # ---- host framing: load + tile the corpus -------------------------

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..batch import ReadBatch, read_batches
+from ..batch import ReadBatch
+from ..io.fast_batch import fast_read_batches as read_batches
 from ..bitkmer import bytes_to_bitmer
 from . import count as _count
 from . import kmers as _kmers

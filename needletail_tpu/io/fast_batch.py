@@ -1,0 +1,273 @@
+"""High-throughput batched FASTQ/FASTA ingestion via the native framer.
+
+This is the host engine that keeps TPU chips fed (SURVEY.md §7 step 2/7):
+bytes stream through the decompressor into a reusable buffer, the C scanner
+frames records at memchr speed, and sequences/qualities are memcpy'd straight
+into padded ``[batch, max_len]`` numpy arrays — no per-record Python objects.
+
+Error taxonomy and line accounting match the streaming readers exactly
+(validated against them in tests): FASTQ errors carry the record id and the
+reference's line offsets; truncated tails raise UnexpectedEnd; trailing blank
+lines are accepted.
+
+Falls back to the pure-Python ``BatchReader`` when the native library is not
+available or the input is FASTA (the batched FASTA path uses the native
+scanner for framing but Python for newline-stripping of wrapped sequences).
+"""
+
+from __future__ import annotations
+
+import io
+from pathlib import Path
+from typing import Iterator, Optional, Union
+
+import numpy as np
+
+from ..batch import BatchReader, ReadBatch
+from ..errors import ErrorPosition, Format, ParseError
+from ..parser import FastaReader, FastqReader
+from ..parser.utils import trim_cr
+from .compression import open_uncompressed
+from . import native
+
+__all__ = ["fast_read_batches"]
+
+_CHUNK = 4 << 20
+
+
+def _tail_error_pos(
+    tail: bytes, base_line: int, line_offset: int, parse_id: bool
+) -> ErrorPosition:
+    """get_error_pos semantics for a truncated tail (ref fastq.rs:287-303)."""
+    rec_id = None
+    if parse_id:
+        nl = tail.find(b"\n")
+        if nl > 1:
+            raw = trim_cr(tail[1:nl])
+            rec_id = raw.split(b" ")[0].decode("utf-8", errors="replace")
+    return ErrorPosition(line=base_line + line_offset, id=rec_id)
+
+
+def _record_error(buf: np.ndarray, start: int, err: int, base_line: int) -> ParseError:
+    """Reconstruct the exact ParseError for a record failing C-side validation."""
+    data = buf[start:].tobytes()
+    nl1 = data.find(b"\n")
+    rec_id = None
+    if nl1 > 1:
+        rec_id = (
+            trim_cr(data[1:nl1]).split(b" ")[0].decode("utf-8", errors="replace")
+        )
+    if err == native.ERR_INVALID_START:
+        return ParseError.new_invalid_start(
+            data[0], ErrorPosition(line=base_line, id=None), Format.FASTQ
+        )
+    if err == native.ERR_INVALID_SEPARATOR:
+        sep_byte = data[data.find(b"\n", nl1 + 1) + 1]
+        return ParseError.new_invalid_separator(
+            sep_byte, ErrorPosition(line=base_line + 2, id=rec_id)
+        )
+    # unequal lengths: recompute the two lengths for the message
+    nl2 = data.find(b"\n", nl1 + 1)
+    nl3 = data.find(b"\n", nl2 + 1)
+    nl4 = data.find(b"\n", nl3 + 1)
+    seq_len = len(trim_cr(data[nl1 + 1 : nl2]))
+    qual_len = len(trim_cr(data[nl3 + 1 : nl4 if nl4 >= 0 else len(data)]))
+    return ParseError.new_unequal_length(
+        seq_len, qual_len, ErrorPosition(line=base_line, id=rec_id)
+    )
+
+
+class _FastqBatcher:
+    """Stream -> padded batches using the native scanner."""
+
+    def __init__(self, stream, batch_size: int, max_len: Optional[int], with_quals: bool):
+        self._stream = stream
+        self._bs = batch_size
+        self._max_len = max_len
+        self._with_quals = with_quals
+        self._count_base = 0  # records scanned in prior chunks (line accounting)
+
+    def _alloc(self):
+        ml = self._max_len
+        seqs = np.zeros((self._bs, ml), dtype=np.uint8)
+        quals = np.zeros((self._bs, ml), dtype=np.uint8) if self._with_quals else None
+        lengths = np.zeros(self._bs, dtype=np.int32)
+        return seqs, quals, lengths
+
+    def __iter__(self) -> Iterator[ReadBatch]:
+        # window buffer: leftover bytes are memmoved to the front and new data
+        # is read directly into the tail (no per-chunk np.concatenate)
+        window = np.empty(2 * _CHUNK, dtype=np.uint8)
+        w_len = 0  # valid bytes in window
+        eof = False
+        seqs = quals = lengths = None
+        fill = 0
+        need = _CHUNK  # grows when a single record exceeds the window
+        recs_buf = np.empty(((2 * _CHUNK) // 6 + 16, 5), dtype=np.int64)
+
+        while True:
+            while not eof and w_len < need:
+                if window.size - w_len < _CHUNK:
+                    grown = np.empty(window.size * 2, dtype=np.uint8)
+                    grown[:w_len] = window[:w_len]
+                    window = grown
+                try:
+                    got = self._stream.readinto(
+                        memoryview(window)[w_len : w_len + _CHUNK]
+                    )
+                except (OSError, EOFError) as exc:
+                    raise ParseError.from_io(
+                        exc if isinstance(exc, OSError) else OSError(str(exc))
+                    ) from exc
+                if not got:
+                    eof = True
+                    break
+                w_len += got
+
+            pending = window[:w_len]
+            if w_len == 0 and eof:
+                break
+
+            cap = pending.size // 6 + 16  # min record is 6 bytes
+            if recs_buf.shape[0] < cap:
+                recs_buf = np.empty((cap, 5), dtype=np.int64)
+            recs, n, consumed, err, err_rec = native.scan_fastq(pending, cap, out=recs_buf)
+
+            if self._max_len is None:
+                # infer from the first scan: longest seq line, rounded to 128
+                longest = int((recs[:, 2] - 1 - recs[:, 1]).max()) if n else 128
+                self._max_len = ((max(longest, 1) + 127) // 128) * 128
+
+            # fill rows, possibly spanning multiple output batches
+            idx = 0
+            while idx < n:
+                if seqs is None:
+                    seqs, quals, lengths = self._alloc()
+                    fill = 0
+                take = min(n - idx, self._bs - fill)
+                chunk_recs = np.ascontiguousarray(recs[idx : idx + take])
+                overflow = native.fill_fastq_batch(
+                    pending,
+                    chunk_recs,
+                    seqs[fill : fill + take],
+                    quals[fill : fill + take] if quals is not None else None,
+                    lengths[fill : fill + take],
+                )
+                if overflow:
+                    raise ValueError(
+                        f"{overflow} read(s) exceed max_len={self._max_len}; "
+                        "pass a larger max_len"
+                    )
+                fill += take
+                idx += take
+                if fill == self._bs:
+                    yield ReadBatch(seqs=seqs, lengths=lengths, quals=quals, ids=[])
+                    seqs = quals = lengths = None
+                    fill = 0
+
+            if err != native.ERR_OK:
+                # prior records in this scan + earlier chunks, 4 lines each
+                base_line = 1 + 4 * (self._count_base + n)
+                raise _record_error(pending, err_rec, err, base_line)
+
+            self._count_base += n
+            # memmove the unconsumed tail to the window front
+            if consumed:
+                remaining = w_len - consumed
+                window[:remaining] = window[consumed:w_len]
+                w_len = remaining
+
+            if not eof:
+                # ensure forward progress even when one record > window
+                need = _CHUNK if n > 0 else w_len + _CHUNK
+                continue
+
+            if w_len > 0:
+                row = self._handle_tail(window[:w_len])
+                if row is not None:
+                    if seqs is None:
+                        seqs, quals, lengths = self._alloc()
+                        fill = 0
+                    sb, qb = row
+                    if len(sb) > self._max_len:
+                        raise ValueError(
+                            f"final read exceeds max_len={self._max_len}"
+                        )
+                    seqs[fill, : len(sb)] = np.frombuffer(sb, dtype=np.uint8)
+                    if quals is not None:
+                        quals[fill, : len(qb)] = np.frombuffer(qb, dtype=np.uint8)
+                    lengths[fill] = len(sb)
+                    fill += 1
+                w_len = 0
+            break
+
+        if seqs is not None and fill > 0:
+            yield ReadBatch(
+                seqs=seqs[:fill], lengths=lengths[:fill],
+                quals=quals[:fill] if quals is not None else None, ids=[],
+            )
+
+    def _handle_tail(self, tail_arr: np.ndarray):
+        """check_end semantics (ref fastq.rs:337-356) for the final bytes."""
+        tail = tail_arr.tobytes()
+        nls = []
+        i = tail.find(b"\n")
+        while i >= 0 and len(nls) < 4:
+            nls.append(i)
+            i = tail.find(b"\n", i + 1)
+        stage = min(len(nls), 3)
+        base_line = 1 + 4 * (self._count_base)
+        if len(nls) >= 3:
+            # only the quality newline is missing: validate + emit
+            if tail[0:1] != b"@":
+                raise ParseError.new_invalid_start(
+                    tail[0], ErrorPosition(line=base_line, id=None), Format.FASTQ
+                )
+            if tail[nls[1] + 1 : nls[1] + 2] != b"+":  # separator line start
+                raise ParseError.new_invalid_separator(
+                    tail[nls[1] + 1],
+                    _tail_error_pos(tail, base_line, 2, True),
+                )
+            seq = trim_cr(tail[nls[0] + 1 : nls[1]])
+            qual = trim_cr(tail[nls[2] + 1 :])
+            if len(seq) != len(qual):
+                raise ParseError.new_unequal_length(
+                    len(seq), len(qual), _tail_error_pos(tail, base_line, 0, True)
+                )
+            return seq, qual
+        if all(len(trim_cr(line)) == 0 for line in tail.split(b"\n")):
+            return None
+        raise ParseError.new_unexpected_end(
+            _tail_error_pos(tail, base_line, stage, stage > 0), Format.FASTQ
+        )
+
+
+def fast_read_batches(
+    path: Union[str, Path],
+    batch_size: int = 8192,
+    max_len: Optional[int] = None,
+    with_quals: bool = True,
+) -> Iterator[ReadBatch]:
+    """Stream a FASTX file as padded batches at native-framer speed.
+
+    FASTQ uses the full native fast path; FASTA and environments without the
+    native library fall back to the Python ``BatchReader`` (same output).
+    Batches carry no ids (use the streaming readers when ids are needed).
+    """
+    try:
+        handle = open(path, "rb")
+    except OSError as exc:
+        raise ParseError.from_io(exc) from exc
+    stream, first_byte = open_uncompressed(handle)
+    if first_byte == 0x40 and native.available():  # '@' FASTQ
+        yield from _FastqBatcher(stream, batch_size, max_len, with_quals)
+        return
+    if first_byte == 0x3E:  # '>' FASTA
+        reader = FastaReader(stream)
+    elif first_byte == 0x40:
+        reader = FastqReader(stream)
+    else:
+        raise ParseError.new_unknown_format(first_byte)
+    yield from BatchReader(
+        reader, batch_size=batch_size, max_len=max_len, keep_ids=False
+    )

@@ -1,0 +1,160 @@
+"""ctypes binding to the native framer (csrc/framer.cpp).
+
+The shared library is built lazily with ``make`` on first use and cached next
+to the sources.  Everything degrades gracefully: when the toolchain or
+library is unavailable, callers fall back to the pure-Python framers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["get_lib", "scan_fastq", "scan_fasta", "fill_fastq_batch", "available"]
+
+_CSRC = Path(__file__).resolve().parent.parent.parent / "csrc"
+_SO = _CSRC / "libntframer.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+# NtError codes (must match csrc/framer.cpp)
+ERR_OK = 0
+ERR_INVALID_START = 1
+ERR_INVALID_SEPARATOR = 2
+ERR_UNEQUAL_LENGTHS = 3
+
+
+def _build() -> bool:
+    if _SO.exists() and _SO.stat().st_mtime >= (_CSRC / "framer.cpp").stat().st_mtime:
+        return True
+    try:
+        subprocess.run(
+            ["make", "-s"],
+            cwd=_CSRC,
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return _SO.exists()
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native framer; None when unavailable."""
+    global _lib, _tried
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("NEEDLETAIL_TPU_NO_NATIVE"):
+            return None
+        if not _build():
+            return None
+        lib = ctypes.CDLL(str(_SO))
+        i64 = ctypes.c_int64
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.nt_scan_fastq.restype = i64
+        lib.nt_scan_fastq.argtypes = [u8p, i64, i64p, i64, i64p, i32p, i64p]
+        lib.nt_scan_fasta.restype = i64
+        lib.nt_scan_fasta.argtypes = [u8p, i64, i64p, i64, i64p]
+        lib.nt_fill_fastq_batch.restype = i64
+        lib.nt_fill_fastq_batch.argtypes = [u8p, i64p, i64, u8p, u8p, i32p, i64]
+        lib.nt_count_newlines.restype = i64
+        lib.nt_count_newlines.argtypes = [u8p, i64]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _u8ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def scan_fastq(
+    buf: np.ndarray, cap: int, out: Optional[np.ndarray] = None
+) -> Tuple[np.ndarray, int, int, int, int]:
+    """Scan complete FASTQ records from a uint8 buffer.
+
+    Returns (recs[n,5], n, consumed, err, err_rec_start).  Pass ``out``
+    (int64 [>=cap, 5]) to reuse an allocation across calls.
+    """
+    lib = get_lib()
+    recs = out if out is not None and out.shape[0] >= cap else np.empty((cap, 5), dtype=np.int64)
+    consumed = ctypes.c_int64(0)
+    err = ctypes.c_int32(0)
+    err_rec = ctypes.c_int64(-1)
+    n = lib.nt_scan_fastq(
+        _u8ptr(buf),
+        buf.size,
+        recs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cap,
+        ctypes.byref(consumed),
+        ctypes.byref(err),
+        ctypes.byref(err_rec),
+    )
+    return recs[:n], int(n), int(consumed.value), int(err.value), int(err_rec.value)
+
+
+def scan_fasta(buf: np.ndarray, cap: int) -> Tuple[np.ndarray, int, int]:
+    """Scan complete FASTA records. Returns (recs[n,3], n, consumed)."""
+    lib = get_lib()
+    recs = np.empty((cap, 3), dtype=np.int64)
+    consumed = ctypes.c_int64(0)
+    n = lib.nt_scan_fasta(
+        _u8ptr(buf),
+        buf.size,
+        recs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cap,
+        ctypes.byref(consumed),
+    )
+    return recs[:n], int(n), int(consumed.value)
+
+
+def fill_fastq_batch(
+    buf: np.ndarray,
+    recs: np.ndarray,
+    seq_out: np.ndarray,
+    qual_out: Optional[np.ndarray],
+    lengths: np.ndarray,
+) -> int:
+    """memcpy scanned records into padded [rows, max_len] arrays; returns the
+    number of rows skipped because they exceeded max_len."""
+    lib = get_lib()
+    n = recs.shape[0]
+    max_len = seq_out.shape[1]
+    qual_ptr = (
+        _u8ptr(qual_out)
+        if qual_out is not None
+        else ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))
+    )
+    return int(
+        lib.nt_fill_fastq_batch(
+            _u8ptr(buf),
+            recs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n,
+            _u8ptr(seq_out),
+            qual_ptr,
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_len,
+        )
+    )
+
+
+def count_newlines(buf: np.ndarray) -> int:
+    lib = get_lib()
+    return int(lib.nt_count_newlines(_u8ptr(buf), buf.size))

@@ -1,0 +1,116 @@
+"""Native fast-batcher tests: parity with the Python readers (the
+reference-locked oracle) on data, errors, and edge cases."""
+
+import gzip
+import pathlib
+
+import numpy as np
+import pytest
+
+from needletail_tpu.batch import read_batches
+from needletail_tpu.errors import ParseError, ParseErrorKind
+from needletail_tpu.io import native
+from needletail_tpu.io.fast_batch import fast_read_batches
+from needletail_tpu.parser import FastqReader
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native framer not built"
+)
+
+
+def test_parity_with_python_batcher(data_dir):
+    for bs in (64, 512, 2000):
+        fast = list(
+            fast_read_batches(data_dir / "PRJNA271013_head.fq", batch_size=bs, max_len=128)
+        )
+        slow = list(
+            read_batches(data_dir / "PRJNA271013_head.fq", batch_size=bs, max_len=128)
+        )
+        fs = np.concatenate([b.seqs for b in fast])
+        ss = np.concatenate([b.seqs for b in slow])
+        fq = np.concatenate([b.quals for b in fast])
+        sq = np.concatenate([b.quals for b in slow])
+        fl = np.concatenate([b.lengths for b in fast])
+        sl = np.concatenate([b.lengths for b in slow])
+        assert (fl[:2000] == sl[:2000]).all()
+        assert (fs[:2000] == ss[:2000]).all()
+        assert (fq[:2000] == sq[:2000]).all()
+
+
+def test_gz_same_as_plain(data_dir, tmp_path):
+    src = (data_dir / "PRJNA271013_head.fq").read_bytes()
+    gz = tmp_path / "x.fq.gz"
+    gz.write_bytes(gzip.compress(src))
+    a = list(fast_read_batches(gz, batch_size=512, max_len=128))
+    b = list(fast_read_batches(data_dir / "PRJNA271013_head.fq", batch_size=512, max_len=128))
+    assert sum(x.num_bases for x in a) == sum(x.num_bases for x in b) == 250000
+
+
+@pytest.mark.parametrize(
+    "content",
+    [
+        b"@a\nACGT\n+\nII\n",
+        b"@a\nAC\n+\nII\n@b\nACGT\n+\nII\n",
+        b"@a\nAC\n+\nII\n@b\nACGT\nX\nIIII\n",
+        b"@a\nAC\n+\nII\nxyz\nACGT\n+\nIIII\n",
+        b"@a\nAC\n+\nII\n@trunc\nACGT\n",
+        b"@a\nAC\n+\nII\n@t\nACGT\n+\nIII",
+        b"@a\nAC\n+\nII\n@t\n",
+        b"@a\nAC\n+\nII\n@t",
+    ],
+)
+def test_error_parity_with_python_reader(tmp_path, content):
+    p = tmp_path / "case.fq"
+    p.write_bytes(content)
+    with pytest.raises(ParseError) as fast_ei:
+        for _ in fast_read_batches(p):
+            pass
+    reader = FastqReader(content)
+    with pytest.raises(ParseError) as py_ei:
+        while reader.next() is not None:
+            pass
+    assert fast_ei.value.kind == py_ei.value.kind
+    assert fast_ei.value.position == py_ei.value.position
+    assert fast_ei.value.msg == py_ei.value.msg
+
+
+def test_final_record_no_newline(tmp_path):
+    p = tmp_path / "t.fq"
+    p.write_bytes(b"@a\nAC\n+\nII\n@b\nGT\n+\n!!")
+    got = list(fast_read_batches(p))
+    assert sum(b.num_reads for b in got) == 2
+    assert bytes(got[0].seqs[1, :2]) == b"GT"
+    assert bytes(got[0].quals[1, :2]) == b"!!"
+
+
+def test_trailing_blank_lines(tmp_path):
+    p = tmp_path / "t.fq"
+    p.write_bytes(b"@a\nAC\r\n+\r\nII\r\n\r\n\n")
+    got = list(fast_read_batches(p))
+    assert sum(b.num_reads for b in got) == 1
+    assert bytes(got[0].seqs[0, :2]) == b"AC"
+
+
+def test_fasta_falls_back(data_dir):
+    got = list(fast_read_batches(data_dir / "test.fa", batch_size=4))
+    assert sum(b.num_bases for b in got) == 14
+
+
+def test_tiny_batch_spanning_chunks(tmp_path):
+    # many records, batch_size forces spans across scan boundaries
+    p = tmp_path / "many.fq"
+    p.write_bytes(b"".join(b"@r%d\nACGT\n+\nIIII\n" % i for i in range(1000)))
+    got = list(fast_read_batches(p, batch_size=7))
+    assert sum(b.num_reads for b in got) == 1000
+    assert all((b.lengths[: b.num_reads] == 4).all() for b in got)
+
+
+def test_scan_fasta_native(data_dir):
+    raw = np.frombuffer((data_dir / "test.fa").read_bytes(), dtype=np.uint8)
+    recs, n, consumed = native.scan_fasta(raw, 16)
+    # only the first record is complete (terminated by "\n>")
+    assert n == 1
+    assert recs[0, 0] == 0
+    data = raw.tobytes()
+    assert data[recs[0, 1]] == ord("\n")  # header newline
+    assert data[recs[0, 2] + 1] == ord(">")  # record ends before next '>'
