@@ -14,6 +14,6 @@ Layout:
   * ``pallas_kernels`` — hand-written Pallas TPU kernels for the hot loop.
 """
 
-from . import count, kmers, ops, pipeline
+from . import count, kmers, minimizers, ops, pipeline, quality, tiling
 
-__all__ = ["ops", "kmers", "count", "pipeline"]
+__all__ = ["ops", "kmers", "count", "pipeline", "minimizers", "quality", "tiling"]

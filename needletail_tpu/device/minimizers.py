@@ -1,0 +1,91 @@
+"""Minimizers on device.
+
+Two granularities:
+
+  * ``global_minimizer`` — per read, the smallest canonical k-mer value.
+    For pure-ACGT sequences this equals the reference's byte-level
+    ``minimizer`` (ref sequence.rs:139-152): 2-bit integer order coincides
+    with lexicographic byte order over {A,C,G,T}, and the union of forward
+    and reverse-complement windows is exactly the canonical-value set.
+    (The reference's ``bitkmer::minimizer`` quirk — rc computed at full-k
+    width — lives in the host ``bitkmer`` module, ref bitkmer.rs:146-162.)
+
+  * ``window_minimizers`` — the classic (w, k) minimizer sketch: for every
+    run of ``w`` consecutive k-mer windows, the minimum canonical value.
+    A sketch window is valid iff all ``w`` k-mer windows in it are valid.
+
+Minima over (hi, lo) uint32 pairs are computed with a two-word compare —
+no 64-bit lanes needed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .kmers import KmerWindows, canonical_kmers
+
+__all__ = ["global_minimizer", "window_minimizers"]
+
+_UMAX = jnp.uint32(0xFFFFFFFF)
+
+
+def _pair_min(ahi, alo, bhi, blo):
+    """Elementwise min of (hi, lo) 64-bit values held as uint32 pairs."""
+    a_smaller = (ahi < bhi) | ((ahi == bhi) & (alo <= blo))
+    return (
+        jnp.where(a_smaller, ahi, bhi),
+        jnp.where(a_smaller, alo, blo),
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "normalized"))
+def global_minimizer(
+    seqs: jax.Array, lengths: jax.Array, k: int, normalized: bool = True
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-read minimum canonical k-mer value.
+
+    Returns ``(hi, lo, any_valid)`` each [B]; reads with no valid window
+    report (0xFFFFFFFF, 0xFFFFFFFF) and ``any_valid=False``.
+    """
+    win = canonical_kmers(seqs, lengths, k, normalized=normalized)
+    hi = jnp.where(win.valid, win.hi, _UMAX)
+    lo = jnp.where(win.valid, win.lo, _UMAX)
+    # reduce along windows with pair order: scan via min of hi, then lo among
+    # positions achieving the min hi
+    m_hi = jnp.min(hi, axis=1)
+    at_min = hi == m_hi[:, None]
+    m_lo = jnp.min(jnp.where(at_min, lo, _UMAX), axis=1)
+    return m_hi, m_lo, jnp.any(win.valid, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k", "w", "normalized"))
+def window_minimizers(
+    seqs: jax.Array, lengths: jax.Array, k: int, w: int, normalized: bool = True
+) -> KmerWindows:
+    """(w, k) minimizer sketch: min canonical k-mer per w-window.
+
+    Returns a ``KmerWindows`` whose position axis indexes sketch windows
+    (position p covers k-mer windows p..p+w-1); ``was_rc`` is not tracked
+    (all False).
+    """
+    if w < 1:
+        raise ValueError("w must be >= 1")
+    win = canonical_kmers(seqs, lengths, k, normalized=normalized)
+    hi = jnp.where(win.valid, win.hi, _UMAX)
+    lo = jnp.where(win.valid, win.lo, _UMAX)
+    num = hi.shape[1] - w + 1
+    if num < 1:
+        raise ValueError(f"sequence windows {hi.shape[1]} shorter than w={w}")
+    m_hi = jax.lax.dynamic_slice_in_dim(hi, 0, num, axis=1)
+    m_lo = jax.lax.dynamic_slice_in_dim(lo, 0, num, axis=1)
+    valid = jax.lax.dynamic_slice_in_dim(win.valid, 0, num, axis=1)
+    for j in range(1, w):
+        s_hi = jax.lax.dynamic_slice_in_dim(hi, j, num, axis=1)
+        s_lo = jax.lax.dynamic_slice_in_dim(lo, j, num, axis=1)
+        m_hi, m_lo = _pair_min(m_hi, m_lo, s_hi, s_lo)
+        valid = valid & jax.lax.dynamic_slice_in_dim(win.valid, j, num, axis=1)
+    return KmerWindows(hi=m_hi, lo=m_lo, valid=valid, was_rc=jnp.zeros_like(valid))

@@ -166,7 +166,15 @@ class _FastqBatcher:
                     fill = 0
 
             if err != native.ERR_OK:
-                # prior records in this scan + earlier chunks, 4 lines each
+                # flush records framed before the error (the streaming reader
+                # delivers them one-by-one before raising), then raise with
+                # the reference line accounting: 4 lines per prior record
+                if seqs is not None and fill > 0:
+                    yield ReadBatch(
+                        seqs=seqs[:fill], lengths=lengths[:fill],
+                        quals=quals[:fill] if quals is not None else None, ids=[],
+                    )
+                    seqs = quals = lengths = None
                 base_line = 1 + 4 * (self._count_base + n)
                 raise _record_error(pending, err_rec, err, base_line)
 
@@ -183,7 +191,17 @@ class _FastqBatcher:
                 continue
 
             if w_len > 0:
-                row = self._handle_tail(window[:w_len])
+                try:
+                    row = self._handle_tail(window[:w_len])
+                except ParseError:
+                    if seqs is not None and fill > 0:
+                        yield ReadBatch(
+                            seqs=seqs[:fill], lengths=lengths[:fill],
+                            quals=quals[:fill] if quals is not None else None,
+                            ids=[],
+                        )
+                        seqs = quals = lengths = None
+                    raise
                 if row is not None:
                     if seqs is None:
                         seqs, quals, lengths = self._alloc()

@@ -1,0 +1,115 @@
+"""Device minimizer + quality pipeline tests vs host oracles."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from needletail_tpu import bitkmer as hb
+from needletail_tpu import sequence as hs
+from needletail_tpu.device.minimizers import global_minimizer, window_minimizers
+from needletail_tpu.device.quality import (
+    masked_canonical_kmers,
+    mean_quality,
+    quality_mask_batch,
+)
+
+
+def batch_of(seqs, quals=None, max_len=None):
+    L = max_len or max(len(s) for s in seqs)
+    arr = np.zeros((len(seqs), L), dtype=np.uint8)
+    lengths = np.array([len(s) for s in seqs], dtype=np.int32)
+    for i, s in enumerate(seqs):
+        arr[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    q = None
+    if quals is not None:
+        q = np.zeros((len(seqs), L), dtype=np.uint8)
+        for i, s in enumerate(quals):
+            q[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    return (
+        jnp.asarray(arr),
+        jnp.asarray(lengths),
+        jnp.asarray(q) if q is not None else None,
+    )
+
+
+def host_min_canonical(seq, k):
+    vals = [v for (_, (v, _), _) in hb.bit_kmers(seq, k, True)]
+    return min(vals) if vals else None
+
+
+class TestGlobalMinimizer:
+    @pytest.mark.parametrize("k", [3, 15, 21, 31])
+    def test_matches_host_canonical_min(self, k):
+        rng = np.random.default_rng(k)
+        seqs = [
+            bytes(rng.choice(list(b"ACGTN"), size=int(rng.integers(k, 70))).astype(np.uint8))
+            for _ in range(8)
+        ]
+        s, l, _ = batch_of(seqs, max_len=80)
+        hi, lo, any_valid = global_minimizer(s, l, k, normalized=False)
+        for i, seq in enumerate(seqs):
+            expected = host_min_canonical(seq, k)
+            if expected is None:
+                assert not bool(any_valid[i])
+            else:
+                got = (int(hi[i]) << 32) | int(lo[i])
+                assert got == expected, (seq, k)
+
+    def test_matches_reference_byte_minimizer_on_acgt(self):
+        # For pure-ACGT input the canonical-value min equals the reference's
+        # lexicographic byte minimizer (ref sequence.rs:139-152)
+        seq = b"ATTTCG"
+        s, l, _ = batch_of([seq])
+        hi, lo, ok = global_minimizer(s, l, 3, normalized=False)
+        got = hb.bitmer_to_bytes((int(lo[0]), 3))
+        assert got == hs.minimizer(seq, 3) == b"AAA"
+
+
+class TestWindowMinimizers:
+    def test_sliding_min(self):
+        rng = np.random.default_rng(5)
+        seq = bytes(rng.choice(list(b"ACGT"), size=60).astype(np.uint8))
+        k, w = 7, 5
+        s, l, _ = batch_of([seq])
+        sk = window_minimizers(s, l, k, w, normalized=False)
+        vals = {p: v for (p, (v, _), _) in hb.bit_kmers(seq, k, True)}
+        hi = np.asarray(sk.hi)[0]
+        lo = np.asarray(sk.lo)[0]
+        valid = np.asarray(sk.valid)[0]
+        for p in range(len(seq) - k + 1 - w + 1):
+            window_vals = [vals.get(p + j) for j in range(w)]
+            if all(v is not None for v in window_vals):
+                assert bool(valid[p])
+                assert ((int(hi[p]) << 32) | int(lo[p])) == min(window_vals)
+        # N-containing sketch windows are invalid
+        seq2 = b"ACGTNACGTACGT"
+        s2, l2, _ = batch_of([seq2])
+        sk2 = window_minimizers(s2, l2, 3, 3, normalized=False)
+        assert not bool(np.asarray(sk2.valid)[0][2])  # covers the N
+
+
+class TestQuality:
+    def test_mask_matches_host(self):
+        seqs = [b"AGCT", b"ACGTACGT"]
+        quals = [b"AAA0", b"IIII!!II"]
+        s, l, q = batch_of(seqs, quals)
+        out = np.asarray(quality_mask_batch(s, q, l, jnp.uint8(ord("5"))))
+        for i, (sq, ql) in enumerate(zip(seqs, quals)):
+            assert bytes(out[i, : len(sq)]) == hs.quality_mask(sq, ql, ord("5"))
+            assert not out[i, len(sq):].any()
+
+    def test_masked_kmers_drop_low_quality_windows(self):
+        seq = b"ACGTACGTACGT"
+        qual = b"IIII!IIIIIII"  # one bad base at position 4
+        s, l, q = batch_of([seq], [qual])
+        win = masked_canonical_kmers(s, q, l, jnp.uint8(ord("5")), k=4,
+                                     normalized=False)
+        masked = hs.quality_mask(seq, qual, ord("5"))
+        expected_pos = [p for (p, _, _) in hb.bit_kmers(masked, 4, True)]
+        got_pos = np.nonzero(np.asarray(win.valid)[0])[0].tolist()
+        assert got_pos == expected_pos
+
+    def test_mean_quality(self):
+        s, l, q = batch_of([b"ACGT"], [b"IIII"])
+        mq = np.asarray(mean_quality(q, l, jnp.int32(33)))
+        assert mq[0] == pytest.approx(40.0)
