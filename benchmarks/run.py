@@ -1,0 +1,158 @@
+#!/usr/bin/env python3
+"""Benchmark suite mirroring the reference's criterion groups
+(ref benches/benchmark.rs): k-mer extraction (byte-slice vs bitkmer vs
+device), FASTQ parsing, FASTA parsing — each with embedded count asserts so
+the benches double as correctness tests, exactly like the reference.
+
+    python benchmarks/run.py [--quick]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+KMER_FILE = "tests/data/28S.fasta"  # 570 records, 738,580 bases
+FASTQ_FILE = "tests/data/PRJNA271013_head.fq"  # 2,000 reads, 250,000 bases
+# ref benchmark.rs:43-44,66-67
+GOLD_K31_TOTAL = 718_007
+GOLD_K31_FWD = 350_983
+GOLD_FASTA_BASES = 738_580
+GOLD_FASTQ_BASES = 250_000
+
+
+def timeit(fn, reps):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def bench_kmers_host_slice(reps):
+    from needletail_tpu import kmer, sequence
+    from needletail_tpu.parser import parse_fastx_file
+
+    def run():
+        total = fwd = 0
+        reader = parse_fastx_file(KMER_FILE)
+        while (rec := reader.next()) is not None:
+            norm = rec.normalize(False)
+            rc = sequence.reverse_complement(norm)
+            for (_, _k, was_rc) in kmer.canonical_kmers(norm, rc, 31):
+                total += 1
+                fwd += not was_rc
+        return total, fwd
+
+    dt, (total, fwd) = timeit(run, reps)
+    assert (total, fwd) == (GOLD_K31_TOTAL, GOLD_K31_FWD), (total, fwd)
+    return dt
+
+
+def bench_kmers_host_bit(reps):
+    from needletail_tpu import bitkmer
+    from needletail_tpu.parser import parse_fastx_file
+
+    def run():
+        total = fwd = 0
+        reader = parse_fastx_file(KMER_FILE)
+        while (rec := reader.next()) is not None:
+            for (_, _k, was_rc) in bitkmer.bit_kmers(rec.normalize(False), 31, True):
+                total += 1
+                fwd += not was_rc
+        return total, fwd
+
+    dt, (total, fwd) = timeit(run, reps)
+    assert (total, fwd) == (GOLD_K31_TOTAL, GOLD_K31_FWD), (total, fwd)
+    return dt
+
+
+def bench_kmers_device(reps):
+    import jax.numpy as jnp
+
+    from needletail_tpu.batch import read_batches
+    from needletail_tpu.device import count as dcount
+    from needletail_tpu.device import kmers as dkmers
+
+    def run():
+        total = fwd = 0
+        for batch in read_batches(KMER_FILE, batch_size=640, max_len=5120):
+            win = dkmers.canonical_kmers(
+                jnp.asarray(batch.seqs), jnp.asarray(batch.lengths), 31
+            )
+            total += int(dcount.valid_count(win))
+            fwd += int(dcount.forward_count(win))
+        return total, fwd
+
+    run()  # compile warmup
+    dt, (total, fwd) = timeit(run, reps)
+    assert (total, fwd) == (GOLD_K31_TOTAL, GOLD_K31_FWD), (total, fwd)
+    return dt
+
+
+def bench_fastq_parse(reps):
+    from needletail_tpu.parser import parse_fastx_file
+
+    def run():
+        bases = 0
+        reader = parse_fastx_file(FASTQ_FILE)
+        while (rec := reader.next()) is not None:
+            bases += rec.num_bases()
+        return bases
+
+    dt, bases = timeit(run, reps)
+    assert bases == GOLD_FASTQ_BASES, bases
+    return dt
+
+
+def bench_fastq_parse_native(reps):
+    from needletail_tpu.io.fast_batch import fast_read_batches
+
+    def run():
+        return sum(b.num_bases for b in fast_read_batches(FASTQ_FILE, batch_size=4096))
+
+    dt, bases = timeit(run, reps)
+    assert bases == GOLD_FASTQ_BASES, bases
+    return dt
+
+
+def bench_fasta_parse(reps):
+    from needletail_tpu.parser import parse_fastx_file
+
+    def run():
+        bases = 0
+        reader = parse_fastx_file(KMER_FILE)
+        while (rec := reader.next()) is not None:
+            bases += rec.num_bases()
+        return bases
+
+    dt, bases = timeit(run, reps)
+    assert bases == GOLD_FASTA_BASES, bases
+    return dt
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    reps = 2 if args.quick else 5
+
+    groups = [
+        ("kmers/31mer canonical (host byte-slice)", bench_kmers_host_slice, GOLD_FASTA_BASES),
+        ("kmers/31mer canonical (host bitkmer)", bench_kmers_host_bit, GOLD_FASTA_BASES),
+        ("kmers/31mer canonical (device)", bench_kmers_device, GOLD_FASTA_BASES),
+        ("fastq/parse (streaming reader)", bench_fastq_parse, GOLD_FASTQ_BASES),
+        ("fastq/parse (native batched)", bench_fastq_parse_native, GOLD_FASTQ_BASES),
+        ("fasta/parse (streaming reader)", bench_fasta_parse, GOLD_FASTA_BASES),
+    ]
+    print(f"{'benchmark':45} {'best':>10} {'throughput':>14}")
+    for name, fn, bases in groups:
+        dt = fn(reps)
+        print(f"{name:45} {dt*1e3:8.1f}ms {bases/dt/1e6:10.1f} Mb/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Checkpoint / resume for streaming count jobs.
+
+The reference has no cross-run checkpointing; within a stream its
+``Position{line, byte}`` gives exact resume coordinates (ref utils.rs:53-72,
+SURVEY.md §5).  The TPU equivalent: a checkpoint is the pair
+``(input byte offset per host, count-table shards)``.  Tables are integer and
+order-independent, so resuming from a record-aligned byte offset reproduces
+the exact final spectrum.
+
+Storage is a plain ``.npz`` (the state is one int32 table + scalars; orbax
+would be overkill and keeps this importable without a TPU runtime).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Union
+
+import numpy as np
+
+from .sharded import CountState
+
+__all__ = ["save_count_state", "load_count_state", "CountCheckpoint"]
+
+
+class CountCheckpoint:
+    """In-memory view of a saved counting job."""
+
+    def __init__(
+        self,
+        table: np.ndarray,
+        n_bases: int,
+        n_reads: int,
+        byte_offset: int,
+        k: int,
+        path: Optional[str] = None,
+    ) -> None:
+        self.table = table
+        self.n_bases = n_bases
+        self.n_reads = n_reads
+        self.byte_offset = byte_offset
+        self.k = k
+        self.path = path
+
+    def to_state(self, mesh=None) -> CountState:
+        """Re-materialize a device CountState (sharded over ``mesh`` when
+        given)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        table = jnp.asarray(self.table)
+        if mesh is not None:
+            table = jax.device_put(table, NamedSharding(mesh, P("table")))
+        return CountState(
+            table=table,
+            n_bases=jnp.asarray(self.n_bases, jnp.int32),
+            n_reads=jnp.asarray(self.n_reads, jnp.int32),
+        )
+
+
+def save_count_state(
+    path: Union[str, Path],
+    state: CountState,
+    byte_offset: int,
+    k: int,
+    input_path: Optional[str] = None,
+) -> None:
+    """Persist (table shards gathered to host, tallies, input byte offset)."""
+    np.savez_compressed(
+        path,
+        table=np.asarray(state.table),
+        n_bases=np.asarray(state.n_bases),
+        n_reads=np.asarray(state.n_reads),
+        byte_offset=np.int64(byte_offset),
+        k=np.int32(k),
+        input_path=np.bytes_(str(input_path or "")),
+    )
+
+
+def load_count_state(path: Union[str, Path]) -> CountCheckpoint:
+    with np.load(path, allow_pickle=False) as z:
+        return CountCheckpoint(
+            table=z["table"],
+            n_bases=int(z["n_bases"]),
+            n_reads=int(z["n_reads"]),
+            byte_offset=int(z["byte_offset"]),
+            k=int(z["k"]),
+            path=bytes(z["input_path"]).decode() or None,
+        )
