@@ -174,6 +174,50 @@ int64_t nt_fill_fastq_batch(const uint8_t* buf, const int64_t* recs,
     return overflow;
 }
 
+// Fill a padded batch from scanned FASTA records: copy each record's
+// sequence span (between the header newline and the record end) into
+// [cap_rows, max_len] rows, skipping '\n' and '\r' bytes (the batched form
+// of the newline-stripping seq() accessor, ref fasta.rs:66-99).
+// Returns the number of rows whose stripped sequence exceeded max_len
+// (those rows get length 0 and are not copied).
+int64_t nt_fill_fasta_batch(const uint8_t* buf, const int64_t* recs,
+                            int64_t n, uint8_t* seq_out, int32_t* lengths,
+                            int64_t max_len) {
+    int64_t overflow = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t* r = recs + i * 3;
+        const uint8_t* p = buf + r[1] + 1;  // first byte after header newline
+        const uint8_t* end = buf + r[2];    // record-terminating newline
+        uint8_t* out = seq_out + i * max_len;
+        int64_t len = 0;
+        bool bad = false;
+        while (p < end && !bad) {
+            const uint8_t* nl = static_cast<const uint8_t*>(
+                memchr(p, '\n', static_cast<size_t>(end - p)));
+            const uint8_t* line_end = nl ? nl : end;
+            // strip every '\r' in the line too, like the memchr2-based
+            // seq() (ref fasta.rs:76-98); almost always zero hits
+            while (p < line_end) {
+                const uint8_t* cr = static_cast<const uint8_t*>(
+                    memchr(p, '\r', static_cast<size_t>(line_end - p)));
+                const uint8_t* stop = cr ? cr : line_end;
+                int64_t seg = stop - p;
+                if (len + seg > max_len) {
+                    ++overflow;
+                    bad = true;
+                    break;
+                }
+                memcpy(out + len, p, static_cast<size_t>(seg));
+                len += seg;
+                p = stop + 1;
+            }
+            p = line_end + 1;
+        }
+        lengths[i] = bad ? 0 : static_cast<int32_t>(len);
+    }
+    return overflow;
+}
+
 // Count newlines in [buf, buf+len) — utility for line accounting.
 int64_t nt_count_newlines(const uint8_t* buf, int64_t len) {
     int64_t count = 0;

@@ -260,6 +260,151 @@ class _FastqBatcher:
         )
 
 
+class _FastaBatcher:
+    """Stream -> padded batches for FASTA using the native scanner + the
+    newline-stripping batch filler.  Mid-file FASTA framing has no
+    validation errors; the truncated-EOF cases are delegated to the
+    streaming FastaReader on the tail bytes (with line-number adjustment)."""
+
+    def __init__(self, stream, batch_size: int, max_len: Optional[int]):
+        self._stream = stream
+        self._bs = batch_size
+        self._max_len = max_len
+        self._lines_done = 0
+
+    def _alloc(self):
+        seqs = np.zeros((self._bs, self._max_len), dtype=np.uint8)
+        lengths = np.zeros(self._bs, dtype=np.int32)
+        return seqs, lengths
+
+    def __iter__(self) -> Iterator[ReadBatch]:
+        window = np.empty(2 * _CHUNK, dtype=np.uint8)
+        w_len = 0
+        eof = False
+        seqs = lengths = None
+        fill = 0
+        need = _CHUNK
+        recs_buf = np.empty(((2 * _CHUNK) // 4 + 16, 3), dtype=np.int64)
+        started = False
+
+        while True:
+            while not eof and w_len < need:
+                if window.size - w_len < _CHUNK:
+                    grown = np.empty(window.size * 2, dtype=np.uint8)
+                    grown[:w_len] = window[:w_len]
+                    window = grown
+                try:
+                    got = self._stream.readinto(
+                        memoryview(window)[w_len : w_len + _CHUNK]
+                    )
+                except (OSError, EOFError) as exc:
+                    raise ParseError.from_io(
+                        exc if isinstance(exc, OSError) else OSError(str(exc))
+                    ) from exc
+                if not got:
+                    eof = True
+                    break
+                w_len += got
+
+            pending = window[:w_len]
+            if w_len == 0 and eof:
+                break
+            if not started:
+                if pending[0] != 0x3E:  # '>' (dispatch normally catches this)
+                    raise ParseError.new_invalid_start(
+                        int(pending[0]), ErrorPosition(line=0, id=None), Format.FASTA
+                    )
+                started = True
+
+            cap = pending.size // 4 + 16  # min record is ">\n\n" = 4ish bytes
+            if recs_buf.shape[0] < cap:
+                recs_buf = np.empty((cap, 3), dtype=np.int64)
+            recs, n, consumed = native.scan_fasta(pending, cap)
+
+            if self._max_len is None:
+                # upper bound incl. internal newlines, rounded to 128
+                longest = int((recs[:, 2] - recs[:, 1] - 1).max()) if n else 128
+                self._max_len = ((max(longest, 1) + 127) // 128) * 128
+
+            idx = 0
+            while idx < n:
+                if seqs is None:
+                    seqs, lengths = self._alloc()
+                    fill = 0
+                take = min(n - idx, self._bs - fill)
+                chunk_recs = np.ascontiguousarray(recs[idx : idx + take])
+                overflow = native.fill_fasta_batch(
+                    pending, chunk_recs, seqs[fill : fill + take],
+                    lengths[fill : fill + take],
+                )
+                if overflow:
+                    raise ValueError(
+                        f"{overflow} record(s) exceed max_len={self._max_len}; "
+                        "pass a larger max_len or use device.tiling for "
+                        "whole-genome records"
+                    )
+                fill += take
+                idx += take
+                if fill == self._bs:
+                    yield ReadBatch(seqs=seqs, lengths=lengths, quals=None, ids=[])
+                    seqs = lengths = None
+                    fill = 0
+
+            if consumed:
+                self._lines_done += native.count_newlines(pending[:consumed])
+                remaining = w_len - consumed
+                window[:remaining] = window[consumed:w_len]
+                w_len = remaining
+
+            if not eof:
+                need = _CHUNK if n > 0 else w_len + _CHUNK
+                continue
+
+            if w_len > 0:
+                # delegate the final (possibly truncated) record to the
+                # reference-exact streaming reader, offsetting line numbers
+                reader = FastaReader(bytes(window[:w_len]))
+                try:
+                    while (rec := reader.next()) is not None:
+                        s = rec.seq()
+                        if seqs is None:
+                            seqs, lengths = self._alloc()
+                            fill = 0
+                        if len(s) > self._max_len:
+                            raise ValueError(
+                                f"final record exceeds max_len={self._max_len}"
+                            )
+                        seqs[fill, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+                        lengths[fill] = len(s)
+                        fill += 1
+                        if fill == self._bs:
+                            yield ReadBatch(seqs=seqs, lengths=lengths,
+                                            quals=None, ids=[])
+                            seqs = lengths = None
+                            fill = 0
+                except ParseError as exc:
+                    if seqs is not None and fill > 0:
+                        yield ReadBatch(seqs=seqs[:fill], lengths=lengths[:fill],
+                                        quals=None, ids=[])
+                        seqs = lengths = None
+                    raise ParseError(
+                        exc.msg,
+                        exc.kind,
+                        ErrorPosition(
+                            line=exc.position.line + self._lines_done,
+                            id=exc.position.id,
+                        ),
+                        exc.format,
+                    ) from None
+                w_len = 0
+            break
+
+        if seqs is not None and fill > 0:
+            yield ReadBatch(
+                seqs=seqs[:fill], lengths=lengths[:fill], quals=None, ids=[]
+            )
+
+
 def fast_read_batches(
     path: Union[str, Path],
     batch_size: int = 8192,
@@ -268,9 +413,10 @@ def fast_read_batches(
 ) -> Iterator[ReadBatch]:
     """Stream a FASTX file as padded batches at native-framer speed.
 
-    FASTQ uses the full native fast path; FASTA and environments without the
-    native library fall back to the Python ``BatchReader`` (same output).
-    Batches carry no ids (use the streaming readers when ids are needed).
+    FASTQ and FASTA both use the native fast path when the C framer is
+    available; otherwise the pure-Python ``BatchReader`` produces the same
+    output.  Batches carry no ids (use the streaming readers when ids are
+    needed).
     """
     try:
         handle = open(path, "rb")
@@ -280,7 +426,10 @@ def fast_read_batches(
     if first_byte == 0x40 and native.available():  # '@' FASTQ
         yield from _FastqBatcher(stream, batch_size, max_len, with_quals)
         return
-    if first_byte == 0x3E:  # '>' FASTA
+    if first_byte == 0x3E and native.available():  # '>' FASTA
+        yield from _FastaBatcher(stream, batch_size, max_len)
+        return
+    if first_byte == 0x3E:
         reader = FastaReader(stream)
     elif first_byte == 0x40:
         reader = FastqReader(stream)

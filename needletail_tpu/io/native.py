@@ -71,6 +71,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.nt_scan_fasta.argtypes = [u8p, i64, i64p, i64, i64p]
         lib.nt_fill_fastq_batch.restype = i64
         lib.nt_fill_fastq_batch.argtypes = [u8p, i64p, i64, u8p, u8p, i32p, i64]
+        lib.nt_fill_fasta_batch.restype = i64
+        lib.nt_fill_fasta_batch.argtypes = [u8p, i64p, i64, u8p, i32p, i64]
         lib.nt_count_newlines.restype = i64
         lib.nt_count_newlines.argtypes = [u8p, i64]
         _lib = lib
@@ -149,6 +151,29 @@ def fill_fastq_batch(
             n,
             _u8ptr(seq_out),
             qual_ptr,
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_len,
+        )
+    )
+
+
+def fill_fasta_batch(
+    buf: np.ndarray,
+    recs: np.ndarray,
+    seq_out: np.ndarray,
+    lengths: np.ndarray,
+) -> int:
+    """Copy scanned FASTA records' newline-stripped sequences into padded
+    rows; returns the number of rows that exceeded max_len."""
+    lib = get_lib()
+    n = recs.shape[0]
+    max_len = seq_out.shape[1]
+    return int(
+        lib.nt_fill_fasta_batch(
+            _u8ptr(buf),
+            recs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n,
+            _u8ptr(seq_out),
             lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             max_len,
         )

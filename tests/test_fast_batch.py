@@ -91,7 +91,7 @@ def test_trailing_blank_lines(tmp_path):
     assert bytes(got[0].seqs[0, :2]) == b"AC"
 
 
-def test_fasta_falls_back(data_dir):
+def test_fasta_small_file(data_dir):
     got = list(fast_read_batches(data_dir / "test.fa", batch_size=4))
     assert sum(b.num_bases for b in got) == 14
 
@@ -114,3 +114,57 @@ def test_scan_fasta_native(data_dir):
     data = raw.tobytes()
     assert data[recs[0, 1]] == ord("\n")  # header newline
     assert data[recs[0, 2] + 1] == ord(">")  # record ends before next '>'
+
+
+class TestFastaFastPath:
+    def test_28s_parity(self, data_dir):
+        fast = list(fast_read_batches(data_dir / "28S.fasta", batch_size=100, max_len=5120))
+        slow = list(read_batches(data_dir / "28S.fasta", batch_size=100, max_len=5120))
+        fs = np.concatenate([b.seqs for b in fast])
+        ss = np.concatenate([b.seqs for b in slow])
+        fl = np.concatenate([b.lengths for b in fast])
+        sl = np.concatenate([b.lengths for b in slow])
+        assert (fl[:570] == sl[:570]).all()
+        assert (fs[:570] == ss[:570]).all()
+
+    def test_crlf_wrapped_empty(self, tmp_path):
+        p = tmp_path / "t.fa"
+        p.write_bytes(b">a\r\nAC\r\nGT\r\n>b\r\n\r\n>c\r\nTTT")
+        got = list(fast_read_batches(p))
+        seqs = [
+            bytes(b.seqs[i, : b.lengths[i]]) for b in got for i in range(b.num_reads)
+        ]
+        assert seqs == [b"ACGT", b"", b"TTT"]
+
+    def test_midline_cr_stripped(self, tmp_path):
+        from needletail_tpu.parser import parse_fastx_file
+
+        p = tmp_path / "t.fa"
+        p.write_bytes(b">a\nAC\rGT\n>b\nAAAA\n")
+        got = list(fast_read_batches(p))
+        expected = parse_fastx_file(p).next().seq()
+        assert bytes(got[0].seqs[0, : got[0].lengths[0]]) == expected == b"ACGT"
+
+    @pytest.mark.parametrize(
+        "content", [b">a\nACGT\n>b", b">a\nACGT\n>b\r\n", b">x"]
+    )
+    def test_error_parity(self, tmp_path, content):
+        from needletail_tpu.parser import FastaReader
+
+        p = tmp_path / "t.fa"
+        p.write_bytes(content)
+        with pytest.raises(ParseError) as fast_ei:
+            for _ in fast_read_batches(p):
+                pass
+        reader = FastaReader(content)
+        with pytest.raises(ParseError) as py_ei:
+            while reader.next() is not None:
+                pass
+        assert fast_ei.value.kind == py_ei.value.kind
+        assert fast_ei.value.position == py_ei.value.position
+
+    def test_overflow_suggests_tiling(self, tmp_path):
+        p = tmp_path / "g.fa"
+        p.write_bytes(b">chr\n" + b"ACGT" * 200 + b"\n>next\nAC\n")
+        with pytest.raises(ValueError, match="tiling"):
+            list(fast_read_batches(p, max_len=128))
