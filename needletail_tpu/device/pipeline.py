@@ -90,9 +90,18 @@ def count_file(
     if dense is None:
         dense = k <= _count.MAX_DENSE_K
     n_bases = 0
-    dense_total: Optional[np.ndarray] = None
+    dense_total = None  # stays on device; accumulation is async-dispatched
     dicts = []
-    for batch in read_batches(path, batch_size=batch_size, max_len=max_len):
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=())
+    def _accumulate(table, seqs, lengths):
+        fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
+        windows = fn(seqs, lengths, k, normalized=normalized)
+        return table + _count.dense_spectrum(windows, k)
+
+    for batch in read_batches(
+        path, batch_size=batch_size, max_len=max_len, prefetch=True
+    ):
         if batch.max_len < k:
             # no window fits; bases still count
             n_bases += batch.num_bases
@@ -101,9 +110,9 @@ def count_file(
         lengths = jnp.asarray(batch.lengths)
         n_bases += batch.num_bases
         if dense:
-            spec = canonical_dense_count(seqs, lengths, k, canonical, normalized)
-            spec = np.asarray(spec)
-            dense_total = spec if dense_total is None else dense_total + spec
+            if dense_total is None:
+                dense_total = jnp.zeros(4**k, dtype=jnp.int32)
+            dense_total = _accumulate(dense_total, seqs, lengths)
         else:
             fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
             windows = fn(seqs, lengths, k, normalized=normalized)
@@ -111,7 +120,9 @@ def count_file(
             dicts.append(_count.spectrum_to_dict(hi, lo, counts, k))
     if dense:
         return n_bases, (
-            dense_total if dense_total is not None else np.zeros(4**k, np.int64)
+            np.asarray(dense_total)
+            if dense_total is not None
+            else np.zeros(4**k, np.int64)
         )
     return n_bases, _count.merge_spectra(dicts)
 

@@ -27,7 +27,8 @@ from ..batch import BatchReader, ReadBatch
 from ..errors import ErrorPosition, Format, ParseError
 from ..parser import FastaReader, FastqReader
 from ..parser.utils import trim_cr
-from .compression import open_uncompressed
+from .compression import open_uncompressed, sniff_compression
+from .prefetch import PrefetchReader
 from . import native
 
 __all__ = ["fast_read_batches"]
@@ -410,8 +411,12 @@ def fast_read_batches(
     batch_size: int = 8192,
     max_len: Optional[int] = None,
     with_quals: bool = True,
+    prefetch: bool = False,
 ) -> Iterator[ReadBatch]:
     """Stream a FASTX file as padded batches at native-framer speed.
+
+    ``prefetch=True`` decodes compressed input in a background thread —
+    use when the consumer overlaps device compute.
 
     FASTQ and FASTA both use the native fast path when the C framer is
     available; otherwise the pure-Python ``BatchReader`` produces the same
@@ -420,9 +425,16 @@ def fast_read_batches(
     """
     try:
         handle = open(path, "rb")
+        magic = handle.read(2)
+        handle.seek(0)
     except OSError as exc:
         raise ParseError.from_io(exc) from exc
     stream, first_byte = open_uncompressed(handle)
+    if prefetch and len(magic) == 2 and sniff_compression(magic):
+        # overlap decompression with downstream (device) work; measured
+        # slightly negative for framing alone, positive when the consumer
+        # computes concurrently
+        stream = PrefetchReader(stream)
     if first_byte == 0x40 and native.available():  # '@' FASTQ
         yield from _FastqBatcher(stream, batch_size, max_len, with_quals)
         return
