@@ -32,6 +32,7 @@ from .api import (
     reverse_complement,
 )
 from .errors import ParseError, ParseErrorKind, PhredOffsetError
+from .seq_wrapper import Sequence
 from .parser import parse_fastx_reader, parse_fastx_stdin
 
 __version__ = "0.1.0"
@@ -50,6 +51,7 @@ __all__ = [
     "ParseError",
     "ParseErrorKind",
     "PhredOffsetError",
+    "Sequence",
     "errors",
     "sequence",
     "kmer",

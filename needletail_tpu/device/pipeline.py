@@ -28,6 +28,7 @@ __all__ = [
     "base_count",
     "count_file",
     "readme_pipeline",
+    "multi_k_tally",
     "pack_target",
 ]
 
@@ -125,6 +126,35 @@ def count_file(
             else np.zeros(4**k, np.int64)
         )
     return n_bases, _count.merge_spectra(dicts)
+
+
+def multi_k_tally(
+    seqs: jax.Array,
+    lengths: jax.Array,
+    ks: Tuple[int, ...],
+    canonical: bool = True,
+    normalized: bool = True,
+) -> Dict[int, Tuple[jax.Array, jax.Array]]:
+    """Single compiled pass tallying several k values at once (the north-star
+    "canonical 4..31-mer counting" shape): encode happens once per call and
+    XLA CSEs the shared window packing across k.
+
+    Returns {k: (total_valid, forward_count)}.
+    """
+
+    @partial(jax.jit, static_argnames=("ks", "canonical", "normalized"))
+    def run(seqs, lengths, ks, canonical, normalized):
+        out = {}
+        fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
+        for k in ks:
+            win = fn(seqs, lengths, k, normalized=normalized)
+            out[k] = (
+                _count.valid_count(win),
+                _count.forward_count(win),
+            )
+        return out
+
+    return run(seqs, lengths, tuple(ks), canonical, normalized)
 
 
 def readme_pipeline(path, k: int = 4, target: bytes = b"AAAA") -> Tuple[int, int]:

@@ -192,3 +192,20 @@ class TestGoldenFile:
             got += batch.num_bases
             assert batch.quals is not None
         assert got == 250000  # ref benches/benchmark.rs:97
+
+
+class TestMultiK:
+    def test_multi_k_tally_matches_per_k(self):
+        from needletail_tpu.device.pipeline import multi_k_tally
+
+        rng = np.random.default_rng(2)
+        seqs = rng.choice(list(b"ACGTN"), size=(8, 64)).astype(np.uint8)
+        lengths = np.full(8, 64, np.int32)
+        s, l = jnp.asarray(seqs), jnp.asarray(lengths)
+        out = multi_k_tally(s, l, ks=(4, 21, 31))
+        for k, (total, fwd) in out.items():
+            win = dkmers.canonical_kmers(s, l, k)
+            assert int(total) == int(np.asarray(win.valid).sum())
+            assert int(fwd) == int(
+                (np.asarray(win.valid) & ~np.asarray(win.was_rc)).sum()
+            )

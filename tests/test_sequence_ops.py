@@ -196,3 +196,27 @@ class TestPhred:
 
     def test_empty(self):
         assert quality.decode_phred(b"", quality.PhredEncoding.PHRED33) == b""
+
+
+class TestSequenceWrapper:
+    def test_trait_methods(self):
+        from needletail_tpu import Sequence
+
+        s = Sequence(b"AACC")
+        assert s.reverse_complement() == b"GGTT"
+        assert Sequence(b"ADGH").normalize(False) == b"ANGN"
+        assert Sequence(b"ADGH").normalize(True) == b"ADGH"
+        assert Sequence(b"ACTT").canonical() == b"AAGT"
+        assert Sequence(b"ATTTCG").minimizer(3) == b"AAA"
+        assert Sequence(b"AC\r\nGT\n").strip_returns() == b"ACGT"
+        assert list(Sequence(b"AGCT").kmers(2)) == [b"AG", b"GC", b"CT"]
+        rc = s.reverse_complement()
+        assert list(s.canonical_kmers(4, rc))[0][1] == b"AACC"
+        assert list(Sequence(b"ACGT").bit_kmers(2))[0] == (0, (1, 2), False)
+        assert Sequence(b"AGCT").quality_mask(b"AAA0", ord("5")) == b"AGCN"
+
+    def test_normalize_returns_self_when_unchanged(self):
+        from needletail_tpu import Sequence
+
+        s = Sequence(b"ACGT")
+        assert s.normalize(False) is s
