@@ -48,7 +48,7 @@ def main() -> None:
 
     from needletail_tpu.io.fast_batch import fast_read_batches as read_batches
     from needletail_tpu.device.pallas_kernels import (
-        canonical_hash_tally,
+        canonical_hash_keys,
         mxu_histogram16,
     )
 
@@ -73,10 +73,8 @@ def main() -> None:
     def step(table, seqs, lengths):
         # Fused Pallas pass: encode -> canonical k-mer (hi,lo) -> hash ->
         # tallies, then MXU outer-product histogram into the table shard.
-        idx, w, total, fwd = canonical_hash_tally(
-            seqs, lengths, K, table_bits=TABLE_BITS
-        )
-        table = table + mxu_histogram16(idx, w)
+        keys, total, fwd = canonical_hash_keys(seqs, lengths, K, table_bits=TABLE_BITS)
+        table = table + mxu_histogram16(keys, None)
         return table, total, fwd
 
     table = jnp.zeros((1 << TABLE_BITS,), dtype=jnp.int32)

@@ -27,7 +27,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["canonical_hash_tally", "canonical_windows_pallas"]
+__all__ = [
+    "canonical_hash_tally",
+    "canonical_hash_keys",
+    "canonical_windows_pallas",
+    "mxu_histogram16",
+]
 
 _BLOCK_ROWS = 256
 
@@ -61,13 +66,34 @@ def _encode_codes(block: jax.Array, normalized: bool) -> jax.Array:
     return jnp.where(valid, code, jnp.uint32(255))
 
 
-def _kernel(
+def _roll_left(x: jax.Array, j: int, l: int) -> jax.Array:
+    """rolled[:, p] == x[:, p + j] (wraps; wrapped lanes are masked off).
+
+    pltpu.roll needs a non-negative shift, so a left-roll by j rides as a
+    right-roll by l - j.  Mosaic only rotates 32-bit lanes, which is why
+    every rolled quantity in this kernel is uint32.
+    """
+    if j == 0:
+        return x
+    return pltpu.roll(x, l - j, 1)
+
+
+def _revpairs(x: jax.Array) -> jax.Array:
+    """Reverse the sixteen 2-bit groups of each uint32 lane (bit-twiddled
+    pair-swap cascade, the lane-parallel analogue of ref bitkmer.rs:112-132).
+    """
+    m2 = jnp.uint32(0x33333333)
+    m4 = jnp.uint32(0x0F0F0F0F)
+    m8 = jnp.uint32(0x00FF00FF)
+    x = ((x & m2) << jnp.uint32(2)) | ((x >> jnp.uint32(2)) & m2)
+    x = ((x & m4) << jnp.uint32(4)) | ((x >> jnp.uint32(4)) & m4)
+    x = ((x & m8) << jnp.uint32(8)) | ((x >> jnp.uint32(8)) & m8)
+    return (x << jnp.uint32(16)) | (x >> jnp.uint32(16))
+
+
+def _tally_body(
     seq_ref,
     len_ref,
-    idx_ref,
-    weight_ref,
-    total_ref,
-    fwd_ref,
     *,
     k: int,
     normalized: bool,
@@ -75,63 +101,67 @@ def _kernel(
     c1: int,
     c2: int,
 ):
-    i = pl.program_id(0)
-
+    """Shared tally computation: (hash, valid, use_rc) for every window."""
     codes = _encode_codes(seq_ref[:], normalized)  # [BR, L] uint32
     br, l = codes.shape
 
-    # rolled[j][:, p] == codes[:, p + j] for p + j < L (wraps otherwise;
-    # wrapped positions are masked out by the in-bounds check below).
-    # Mosaic only rotates 32-bit lanes, so validity is derived from the
-    # rolled uint32 codes rather than rolling a bool mask.
-    rolled = [codes]
-    for _ in range(k - 1):
-        # left-roll by one lane == right-roll by L-1 (pltpu.roll needs a
-        # non-negative shift)
-        rolled.append(pltpu.roll(rolled[-1], l - 1, 1))
+    # Doubling ladders: W[m][:, p] packs codes[p..p+m-1] into the low 2m
+    # bits (O(log k) rolls instead of k-1); V[m] is 1 iff all m codes are
+    # valid bases.  Invalid codes (255) pollute packed values of nearby
+    # windows, but those windows are exactly the ones V masks off.
+    W = {1: codes}
+    V = {1: jnp.where(codes < jnp.uint32(4), jnp.uint32(1), jnp.uint32(0))}
+    for m in (1, 2, 4, 8):
+        if 2 * m > max(k, 16 if k > 16 else k):
+            break
+        W[2 * m] = (W[m] << jnp.uint32(2 * m)) | _roll_left(W[m], m, l)
+        V[2 * m] = V[m] & _roll_left(V[m], m, l)
 
-    valid = rolled[0] < jnp.uint32(4)
-    for j in range(1, k):
-        valid = valid & (rolled[j] < jnp.uint32(4))
+    def compose(ladder, width, combine):
+        """ladder entry for an arbitrary width from the power-of-two runs."""
+        acc = None
+        off = 0
+        for m in (16, 8, 4, 2, 1):
+            if width & m:
+                part = _roll_left(ladder[m], off, l)
+                acc = part if acc is None else combine(acc, part, m)
+                off += m
+        return acc
+
+    pack2 = lambda acc, part, m: (acc << jnp.uint32(2 * m)) | part
+    and2 = lambda acc, part, m: acc & part
+
+    valid_u = compose(V, k, and2)
     pos = jax.lax.broadcasted_iota(jnp.int32, (br, l), 1)
-    valid = valid & (pos + k <= len_ref[:])  # len_ref block is [br, 1]
-
-    two = jnp.uint32(2)
-    three = jnp.uint32(3)
-
-    def pack_fwd(js):
-        acc = jnp.zeros((br, l), dtype=jnp.uint32)
-        for j in js:
-            acc = (acc << two) | rolled[j]
-        return acc
-
-    def pack_rc(js_desc):
-        acc = jnp.zeros((br, l), dtype=jnp.uint32)
-        for j in js_desc:
-            acc = (acc << two) | (three - rolled[j])
-        return acc
+    valid = (valid_u != jnp.uint32(0)) & (pos + k <= len_ref[:])
 
     if k <= 16:
-        fwd_lo = pack_fwd(range(k))
+        fwd_lo = compose(W, k, pack2)
         fwd_hi = jnp.zeros((br, l), dtype=jnp.uint32)
-        rc_lo = pack_rc(range(k - 1, -1, -1))
+        # rc of the k-base window: complement every 2-bit group, reverse
+        # group order, shift the groups down from the top of the lane
+        rc_lo = _revpairs(~fwd_lo)
+        if k < 16:
+            rc_lo = rc_lo >> jnp.uint32(32 - 2 * k)
         rc_hi = jnp.zeros((br, l), dtype=jnp.uint32)
     else:
-        fwd_hi = pack_fwd(range(k - 16))
-        fwd_lo = pack_fwd(range(k - 16, k))
-        rc_lo = pack_rc(range(15, -1, -1))
-        rc_hi = pack_rc(range(k - 1, 15, -1))
+        m_hi = k - 16
+        fwd_hi = compose(W, m_hi, pack2)  # first k-16 bases
+        fwd_lo = _roll_left(W[16], m_hi, l)  # last 16 bases
+        rc_lo = _revpairs(~W[16])  # rc of the first 16 bases
+        # rc of the last m_hi bases = bases p+16..p+k-1 = fwd_hi at p+16
+        rc_hi = _revpairs(~_roll_left(fwd_hi, 16, l)) >> jnp.uint32(32 - 2 * m_hi)
 
     use_rc = (fwd_hi > rc_hi) | ((fwd_hi == rc_hi) & (fwd_lo > rc_lo))
     hi = jnp.where(use_rc, rc_hi, fwd_hi)
     lo = jnp.where(use_rc, rc_lo, fwd_lo)
 
     h = ((lo * jnp.uint32(c1)) ^ (hi * jnp.uint32(c2))) & jnp.uint32(table_mask)
-    w = valid.astype(jnp.int32)
-    idx_ref[:] = jnp.where(valid, h, jnp.uint32(0)).astype(jnp.int32)
-    weight_ref[:] = w
+    return h, valid, use_rc
 
-    block_total = jnp.sum(w)
+
+def _accumulate_tallies(i, total_ref, fwd_ref, valid, use_rc):
+    block_total = jnp.sum(valid.astype(jnp.int32))
     block_fwd = jnp.sum((valid & ~use_rc).astype(jnp.int32))
 
     @pl.when(i == 0)
@@ -141,6 +171,24 @@ def _kernel(
 
     total_ref[0, 0] += block_total
     fwd_ref[0, 0] += block_fwd
+
+
+def _kernel(seq_ref, len_ref, idx_ref, weight_ref, total_ref, fwd_ref, **kw):
+    i = pl.program_id(0)
+    h, valid, use_rc = _tally_body(seq_ref, len_ref, **kw)
+    idx_ref[:] = jnp.where(valid, h, jnp.uint32(0)).astype(jnp.int32)
+    weight_ref[:] = valid.astype(jnp.int32)
+    _accumulate_tallies(i, total_ref, fwd_ref, valid, use_rc)
+
+
+def _keys_kernel(seq_ref, len_ref, keys_ref, total_ref, fwd_ref, **kw):
+    """Variant emitting -1-masked keys only (no weight plane): feeds
+    ``mxu_histogram16(keys, None)`` directly, skipping one [B, L] HBM
+    write + read + re-mask pass per step."""
+    i = pl.program_id(0)
+    h, valid, use_rc = _tally_body(seq_ref, len_ref, **kw)
+    keys_ref[:] = jnp.where(valid, h.astype(jnp.int32), jnp.int32(-1))
+    _accumulate_tallies(i, total_ref, fwd_ref, valid, use_rc)
 
 
 @partial(
@@ -201,6 +249,57 @@ def canonical_hash_tally(
         interpret=_interpret(),
     )(seqs, lengths.reshape(b, 1))
     return idx, weight, total[0, 0], fwd[0, 0]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "normalized", "table_bits", "block_rows"),
+)
+def canonical_hash_keys(
+    seqs: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    table_bits: int = 20,
+    normalized: bool = True,
+    block_rows: int = _BLOCK_ROWS,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Like :func:`canonical_hash_tally` but returns ``(keys, total, fwd)``
+    with invalid windows masked to -1 in ``keys`` — the exact input format
+    of ``mxu_histogram16(keys, None)``.  Skips the weight plane (one fewer
+    [B, L] HBM write + read per step)."""
+    if not 1 <= k <= 31:
+        raise ValueError(f"k must be in [1, 31], got {k}")
+    b, l = seqs.shape
+    if b % block_rows:
+        raise ValueError(f"batch rows {b} not a multiple of {block_rows}")
+    kernel = partial(
+        _keys_kernel,
+        k=k,
+        normalized=normalized,
+        table_mask=(1 << table_bits) - 1,
+        c1=0x9E3779B1,
+        c2=0x85EBCA77,
+    )
+    keys, total, fwd = pl.pallas_call(
+        kernel,
+        grid=(b // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_rows, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, l), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(seqs, lengths.reshape(b, 1))
+    return keys, total[0, 0], fwd[0, 0]
 
 
 def _zero_bytes01(x: jax.Array) -> jax.Array:
@@ -300,14 +399,16 @@ def _hist_kernel(keys_ref, counts_ref, *, sub: int):
 @partial(jax.jit, static_argnames=("chunk", "sub"))
 def mxu_histogram16(
     idx: jax.Array,
-    weight: jax.Array,
+    weight: Optional[jax.Array],
     chunk: int = 32768,
     sub: int = 2048,
 ) -> jax.Array:
     """Exact 65,536-bin histogram of 16-bit keys via MXU outer products.
 
     ``idx``/``weight``: int32 [B, L]; zero-weight entries are dropped.
-    Returns int32 [65536].  Histogramming becomes matmul work instead of
+    ``weight=None`` means ``idx`` is already -1-masked (the output of
+    :func:`canonical_hash_keys`), skipping the re-mask pass.  Returns
+    int32 [65536].  Histogramming becomes matmul work instead of
     serialized scatter-adds.  65,536 bins is exactly the per-chip table
     shard of the sharded count-table design (2^20 global over a 16-chip
     mesh).
@@ -317,7 +418,8 @@ def mxu_histogram16(
     roofline); interpret mode (CPU tests) keeps the compare-based kernel
     because the interpreter does not model sublane-expanding bitcasts.
     """
-    keys = jnp.where(weight > 0, idx, -1).reshape(-1)
+    keys = idx if weight is None else jnp.where(weight > 0, idx, -1)
+    keys = keys.reshape(-1)
     n = keys.shape[0]
     if _interpret():
         pad = (-n) % chunk

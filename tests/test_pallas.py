@@ -7,7 +7,11 @@ import numpy as np
 import pytest
 
 from needletail_tpu.device import kmers as dkmers
-from needletail_tpu.device.pallas_kernels import canonical_hash_tally, mxu_histogram16
+from needletail_tpu.device.pallas_kernels import (
+    canonical_hash_keys,
+    canonical_hash_tally,
+    mxu_histogram16,
+)
 
 C1 = np.uint32(0x9E3779B1)
 C2 = np.uint32(0x85EBCA77)
@@ -51,6 +55,22 @@ def test_mxu_histogram16_exact():
     out = np.asarray(mxu_histogram16(jnp.asarray(idx), jnp.asarray(w), chunk=4096, sub=1024))
     expected = np.bincount(idx[w > 0].reshape(-1), minlength=1 << 16)
     assert (out == expected).all()
+
+
+@pytest.mark.parametrize("k", [4, 16, 21])
+def test_canonical_hash_keys_matches_tally(k):
+    s, l = random_batch(256, 128, seed=100 + k)
+    idx, w, total, fwd = canonical_hash_tally(s, l, k, table_bits=16)
+    keys, total2, fwd2 = canonical_hash_keys(s, l, k, table_bits=16)
+    gk = np.asarray(keys)
+    gw = np.asarray(w)
+    assert int(total) == int(total2) and int(fwd) == int(fwd2)
+    assert (gk[gw > 0] == np.asarray(idx)[gw > 0]).all()
+    assert (gk[gw == 0] == -1).all()
+    # the -1-masked keys feed the histogram without a weight plane
+    h1 = np.asarray(mxu_histogram16(idx, w, chunk=4096, sub=1024))
+    h2 = np.asarray(mxu_histogram16(keys, None, chunk=4096, sub=1024))
+    assert (h1 == h2).all()
 
 
 def test_mxu_histogram16_all_invalid():
