@@ -10,7 +10,9 @@ tables merge with ``psum`` over ICI.
 from .mesh import make_mesh, mesh_shape_for
 from .sharded import (
     CountState,
+    HashCountState,
     init_count_state,
+    make_hash_update_step,
     sharded_spectrum,
     update_count_state,
 )
@@ -22,4 +24,6 @@ __all__ = [
     "init_count_state",
     "update_count_state",
     "sharded_spectrum",
+    "HashCountState",
+    "make_hash_update_step",
 ]

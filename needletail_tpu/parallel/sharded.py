@@ -34,6 +34,8 @@ __all__ = [
     "CountState",
     "init_count_state",
     "update_count_state",
+    "HashCountState",
+    "make_hash_update_step",
 ]
 
 
@@ -153,3 +155,116 @@ def update_count_state(
     step, place, _ = make_update_step(mesh, k)
     s, l = place(jnp.asarray(seqs), jnp.asarray(lengths))
     return step(state, s, l)
+
+
+# ---------------------------------------------------------------------------
+# Production hash-table pipeline: Pallas kernels inside shard_map
+# ---------------------------------------------------------------------------
+#
+# The dense path above replicates extraction across the ``table`` axis,
+# which is fine for small table axes but scales extraction cost with the
+# table factor; and its XLA scatter-add is ~6x slower than the MXU
+# histogram.  The hash pipeline below is the deployment design: every
+# chip runs the fused Pallas kernels (canonical_hash_keys +
+# mxu_histogram16) on ITS OWN read shard only, and the per-chip [2^16]
+# hash tables merge with one ``psum_scatter`` over the ``data`` axis —
+# a 256 KiB reduce-scatter per step riding ICI, after which chip d owns
+# the contiguous global-bin range [d*2^16/N, (d+1)*2^16/N).  No key
+# routing, perfect linear scaling in chips, and exact (integer adds are
+# order-independent).  The tradeoff vs. an all-to-all-routed 2^20 table
+# is bin count: the global table here is 2^16 (the MXU histogram's cost
+# is linear in bins, so a 2^20 per-chip histogram would cost 16x; routing
+# keys to 2^20/N-bin owners instead requires an owner-sorted compaction,
+# which TPUs have no fast primitive for).
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class HashCountState:
+    """Streaming hash-spectrum state: [2^table_bits] global table sharded
+    over ``data`` (each chip owns a contiguous bin range after the
+    reduce-scatter) plus replicated tallies."""
+
+    table: jax.Array  # int32 [2^table_bits], sharded P('data')
+    total: jax.Array  # int32 scalar: valid canonical windows
+    fwd: jax.Array  # int32 scalar: windows where forward strand won
+
+
+def make_hash_update_step(
+    mesh: Mesh,
+    k: int,
+    table_bits: int = 16,
+    normalized: bool = True,
+    block_rows: int = 256,
+):
+    """Build the jitted hash-counting step over a 1-axis ``data`` mesh
+    (or the ``data`` axis of a 2-axis mesh; the ``table`` axis, if any,
+    must be 1 for this pipeline — the hash table shards over ``data``).
+
+    Returns ``(init, step, place_batch)``.  Per-chip batch rows must be a
+    multiple of ``block_rows``.
+    """
+    from ..device.pallas_kernels import canonical_hash_keys, mxu_histogram16
+
+    n_data = mesh.shape["data"]
+    if "table" in mesh.shape and mesh.shape["table"] != 1:
+        raise ValueError(
+            "hash pipeline shards its table over 'data'; use a mesh with "
+            f"table=1 (got table={mesh.shape['table']})"
+        )
+    if table_bits > 16:
+        raise ValueError("the MXU histogram shard is 2^16 bins; table_bits <= 16")
+    n_bins = 1 << table_bits
+    if n_bins % n_data:
+        raise ValueError(f"2^{table_bits} bins not divisible by data={n_data}")
+
+    data_sharding = NamedSharding(mesh, P("data", None))
+    len_sharding = NamedSharding(mesh, P("data"))
+    table_sharding = NamedSharding(mesh, P("data"))
+
+    def _local(table_shard, seqs, lengths):
+        keys, total, fwd = canonical_hash_keys(
+            seqs, lengths, k, table_bits=table_bits,
+            normalized=normalized, block_rows=block_rows,
+        )
+        # hashes are already masked to table_bits, so bins >= 2^table_bits
+        # of the 2^16-bin kernel stay zero and the slice below is exact
+        local = mxu_histogram16(keys, None)[:n_bins]
+        upd = jax.lax.psum_scatter(local, "data", scatter_dimension=0, tiled=True)
+        return (
+            table_shard + upd,
+            jax.lax.psum(total, "data"),
+            jax.lax.psum(fwd, "data"),
+        )
+
+    local_fn = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P("data"), P("data", None), P("data")),
+        out_specs=(P("data"), P(), P()),
+        # pallas_call outputs carry no varying-mesh-axes metadata, so the
+        # vma check cannot see that the kernel outputs vary over 'data'
+        check_vma=False,
+    )
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: HashCountState, seqs, lengths) -> HashCountState:
+        table, total, fwd = local_fn(state.table, seqs, lengths)
+        return HashCountState(
+            table=table, total=state.total + total, fwd=state.fwd + fwd
+        )
+
+    def init() -> HashCountState:
+        return HashCountState(
+            table=jax.device_put(jnp.zeros((n_bins,), jnp.int32), table_sharding),
+            total=jnp.zeros((), jnp.int32),
+            fwd=jnp.zeros((), jnp.int32),
+        )
+
+    def place_batch(seqs, lengths):
+        return (
+            jax.device_put(seqs, data_sharding),
+            jax.device_put(lengths, len_sharding),
+        )
+
+    return init, step, place_batch

@@ -86,3 +86,54 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+class TestHashPipeline:
+    """Production hash pipeline: Pallas kernels inside shard_map, table
+    merged/sharded with psum_scatter over the data axis."""
+
+    def _run(self, table_bits, k=9, steps=1, block_rows=8):
+        from needletail_tpu.device.pallas_kernels import (
+            canonical_hash_keys,
+            mxu_histogram16,
+        )
+        from needletail_tpu.parallel import make_hash_update_step, make_mesh
+
+        mesh = make_mesh(data=8, table=1)
+        init, step, place = make_hash_update_step(
+            mesh, k, table_bits=table_bits, block_rows=block_rows
+        )
+        state = init()
+        rng = np.random.default_rng(42)
+        expected = np.zeros(1 << table_bits, np.int64)
+        exp_total = 0
+        for s in range(steps):
+            seqs = rng.choice(list(b"ACGTN"), size=(64, 32)).astype(np.uint8)
+            lengths = rng.integers(0, 33, size=64).astype(np.int32)
+            sj, lj = place(jnp.asarray(seqs), jnp.asarray(lengths))
+            state = step(state, sj, lj)
+            # single-device oracle on the full batch
+            keys, total, _ = canonical_hash_keys(
+                jnp.asarray(seqs), jnp.asarray(lengths), k,
+                table_bits=table_bits, block_rows=block_rows,
+            )
+            expected += np.asarray(mxu_histogram16(keys, None))[: 1 << table_bits]
+            exp_total += int(total)
+        assert np.array_equal(np.asarray(state.table), expected)
+        assert int(state.total) == exp_total
+
+    def test_matches_single_device(self):
+        self._run(table_bits=16)
+
+    def test_small_table_bits(self):
+        self._run(table_bits=12)
+
+    def test_streaming_accumulates(self):
+        self._run(table_bits=16, steps=3)
+
+    def test_rejects_table_axis(self):
+        from needletail_tpu.parallel import make_hash_update_step, make_mesh
+
+        mesh = make_mesh(data=2, table=4)
+        with pytest.raises(ValueError):
+            make_hash_update_step(mesh, 9)
