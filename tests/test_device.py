@@ -209,3 +209,18 @@ class TestMultiK:
             assert int(fwd) == int(
                 (np.asarray(win.valid) & ~np.asarray(win.was_rc)).sum()
             )
+
+
+class TestDenseSpectrumMXU:
+    """dense_spectrum's MXU branch (forced on; interpret-mode kernel on CPU)
+    must equal the scatter branch bin-for-bin."""
+
+    @pytest.mark.parametrize("k", [4, 8, 9])
+    def test_matches_scatter(self, k):
+        rng = np.random.default_rng(k)
+        seqs = rng.choice(list(b"ACGTN"), size=(32, 64)).astype(np.uint8)
+        lengths = rng.integers(0, 65, size=32).astype(np.int32)
+        win = dkmers.canonical_kmers(jnp.asarray(seqs), jnp.asarray(lengths), k)
+        a = np.asarray(dcount.dense_spectrum(win, k, use_mxu=False))
+        b = np.asarray(dcount.dense_spectrum(win, k, use_mxu=True))
+        assert np.array_equal(a, b)
