@@ -78,19 +78,6 @@ def _roll_left(x: jax.Array, j: int, l: int) -> jax.Array:
     return pltpu.roll(x, l - j, 1)
 
 
-def _revpairs(x: jax.Array) -> jax.Array:
-    """Reverse the sixteen 2-bit groups of each uint32 lane (bit-twiddled
-    pair-swap cascade, the lane-parallel analogue of ref bitkmer.rs:112-132).
-    """
-    m2 = jnp.uint32(0x33333333)
-    m4 = jnp.uint32(0x0F0F0F0F)
-    m8 = jnp.uint32(0x00FF00FF)
-    x = ((x & m2) << jnp.uint32(2)) | ((x >> jnp.uint32(2)) & m2)
-    x = ((x & m4) << jnp.uint32(4)) | ((x >> jnp.uint32(4)) & m4)
-    x = ((x & m8) << jnp.uint32(8)) | ((x >> jnp.uint32(8)) & m8)
-    return (x << jnp.uint32(16)) | (x >> jnp.uint32(16))
-
-
 def _tally_body(
     seq_ref,
     len_ref,
@@ -106,51 +93,72 @@ def _tally_body(
     br, l = codes.shape
 
     # Doubling ladders: W[m][:, p] packs codes[p..p+m-1] into the low 2m
-    # bits (O(log k) rolls instead of k-1); V[m] is 1 iff all m codes are
-    # valid bases.  Invalid codes (255) pollute packed values of nearby
-    # windows, but those windows are exactly the ones V masks off.
+    # bits (O(log k) rolls instead of k-1); R[m] packs the reverse
+    # complement (3-c[p+m-1] .. 3-c[p]), doubling as R[2m](p) =
+    # (R[m](p+m) << 2m) | R[m](p) — amortized across levels it is cheaper
+    # than bit-reversing the forward pack per use; V[m] is 1 iff all m
+    # codes are valid bases.  Invalid codes (255) pollute packed values of
+    # nearby windows, but those windows are exactly the ones V masks off.
     W = {1: codes}
+    R = {1: ~codes & jnp.uint32(3)}
     V = {1: jnp.where(codes < jnp.uint32(4), jnp.uint32(1), jnp.uint32(0))}
     for m in (1, 2, 4, 8):
-        if 2 * m > max(k, 16 if k > 16 else k):
+        if 2 * m > k:
             break
         W[2 * m] = (W[m] << jnp.uint32(2 * m)) | _roll_left(W[m], m, l)
+        R[2 * m] = (_roll_left(R[m], m, l) << jnp.uint32(2 * m)) | R[m]
         V[2 * m] = V[m] & _roll_left(V[m], m, l)
 
-    def compose(ladder, width, combine):
-        """ladder entry for an arbitrary width from the power-of-two runs."""
+    def compose_fwd(width):
+        """W-ladder entry for an arbitrary width (groups packed MSB-first:
+        base p lands in the top 2 bits)."""
         acc = None
         off = 0
         for m in (16, 8, 4, 2, 1):
             if width & m:
-                part = _roll_left(ladder[m], off, l)
-                acc = part if acc is None else combine(acc, part, m)
+                part = _roll_left(W[m], off, l)
+                acc = part if acc is None else (acc << jnp.uint32(2 * m)) | part
                 off += m
         return acc
 
-    pack2 = lambda acc, part, m: (acc << jnp.uint32(2 * m)) | part
-    and2 = lambda acc, part, m: acc & part
+    def compose_rc(width):
+        """R-ladder entry for an arbitrary width: rc of window [p, p+width).
+        Accumulates low-to-high: R[a+b](p) = (R[b](p+a) << 2a) | R[a](p)."""
+        acc = None
+        off = 0
+        for m in (1, 2, 4, 8, 16):
+            if width & m:
+                part = _roll_left(R[m], off, l)
+                acc = part if acc is None else (part << jnp.uint32(2 * off)) | acc
+                off += m
+        return acc
 
-    valid_u = compose(V, k, and2)
+    def compose_valid(width):
+        acc = None
+        off = 0
+        for m in (16, 8, 4, 2, 1):
+            if width & m:
+                part = _roll_left(V[m], off, l)
+                acc = part if acc is None else acc & part
+                off += m
+        return acc
+
+    valid_u = compose_valid(k)
     pos = jax.lax.broadcasted_iota(jnp.int32, (br, l), 1)
     valid = (valid_u != jnp.uint32(0)) & (pos + k <= len_ref[:])
 
     if k <= 16:
-        fwd_lo = compose(W, k, pack2)
+        fwd_lo = compose_fwd(k)
         fwd_hi = jnp.zeros((br, l), dtype=jnp.uint32)
-        # rc of the k-base window: complement every 2-bit group, reverse
-        # group order, shift the groups down from the top of the lane
-        rc_lo = _revpairs(~fwd_lo)
-        if k < 16:
-            rc_lo = rc_lo >> jnp.uint32(32 - 2 * k)
+        rc_lo = compose_rc(k)
         rc_hi = jnp.zeros((br, l), dtype=jnp.uint32)
     else:
         m_hi = k - 16
-        fwd_hi = compose(W, m_hi, pack2)  # first k-16 bases
+        fwd_hi = compose_fwd(m_hi)  # first k-16 bases
         fwd_lo = _roll_left(W[16], m_hi, l)  # last 16 bases
-        rc_lo = _revpairs(~W[16])  # rc of the first 16 bases
-        # rc of the last m_hi bases = bases p+16..p+k-1 = fwd_hi at p+16
-        rc_hi = _revpairs(~_roll_left(fwd_hi, 16, l)) >> jnp.uint32(32 - 2 * m_hi)
+        rc_lo = R[16]  # rc of the first 16 bases
+        # rc of the last m_hi bases = bases p+16..p+k-1
+        rc_hi = _roll_left(compose_rc(m_hi), 16, l)
 
     use_rc = (fwd_hi > rc_hi) | ((fwd_hi == rc_hi) & (fwd_lo > rc_lo))
     hi = jnp.where(use_rc, rc_hi, fwd_hi)
