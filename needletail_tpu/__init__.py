@@ -20,6 +20,36 @@ Layered API:
   * ``needletail_tpu.parallel``       — mesh/sharding + collective merges.
 """
 
+import os as _os
+
+
+def _enable_jax_compile_cache() -> None:
+    """Enable JAX's persistent compilation cache unless the user has their
+    own setting.  Big-array ``lax.sort`` programs (the exact-spectrum path)
+    take ~30s to compile on TPU toolchains; the cache turns every repeat
+    compile across processes into a ~0.2s disk hit.  Opt out with
+    ``NEEDLETAIL_TPU_NO_COMPILE_CACHE=1``."""
+    if _os.environ.get("NEEDLETAIL_TPU_NO_COMPILE_CACHE"):
+        return
+    if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir:
+            return
+        cache_dir = _os.path.join(
+            _os.path.expanduser("~"), ".cache", "needletail_tpu", "jax"
+        )
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover — cache is best-effort
+        pass
+
+
+_enable_jax_compile_cache()
+
 from . import bitkmer, errors, kmer, quality, sequence
 from .api import (
     FastxReader,

@@ -32,6 +32,11 @@ __all__ = [
     "valid_count",
     "forward_count",
     "sorted_spectrum",
+    "unique_counts",
+    "mask_keys",
+    "compact_spectrum",
+    "finalize_sparse",
+    "spectrum_arrays_to_dict",
     "spectrum_to_dict",
     "merge_spectra",
     "MAX_DENSE_K",
@@ -97,6 +102,56 @@ def forward_count(windows: KmerWindows) -> jax.Array:
     return jnp.sum(fwd.astype(jnp.int32))
 
 
+_SENTINEL = 0xFFFFFFFF
+
+
+@jax.jit
+def unique_counts(
+    hi: jax.Array, lo: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact run counts of flat (hi, lo) key streams (any shape, flattened).
+
+    Invalid keys must already carry the sentinel (0xFFFFFFFF, 0xFFFFFFFF);
+    they sort last and count 0.  Returns ``(hi_sorted, lo_sorted, counts)``
+    where ``counts[i]`` is the run length at the first element of each
+    distinct key's run and 0 elsewhere.
+
+    Scatter/gather-free: one lexicographic ``lax.sort`` (two keys), then
+    run lengths come from the distance to the next run boundary via a
+    suffix cummin — ~30 ms for 8M keys on v5e vs ~110 ms for the
+    lexsort+scatter formulation and ~1 s for host ``np.unique``.
+    """
+    hi = hi.reshape(-1)
+    lo = lo.reshape(-1)
+    hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2)
+    n = hi_s.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), dtype=bool),
+            (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
+        ]
+    )
+    boundary_pos = jnp.where(first, pos, n)
+    suf_min = jnp.flip(jax.lax.cummin(jnp.flip(boundary_pos)))  # inclusive
+    next_boundary = jnp.concatenate(
+        [suf_min[1:], jnp.full((1,), n, dtype=jnp.int32)]
+    )
+    counts = jnp.where(first, next_boundary - pos, 0)
+    sentinel = jnp.uint32(_SENTINEL)
+    counts = jnp.where((hi_s == sentinel) & (lo_s == sentinel), 0, counts)
+    return hi_s, lo_s, counts
+
+
+@jax.jit
+def mask_keys(windows: KmerWindows) -> Tuple[jax.Array, jax.Array]:
+    """Flat (hi, lo) keys with invalid windows replaced by the sentinel."""
+    sentinel = jnp.uint32(_SENTINEL)
+    hi = jnp.where(windows.valid, windows.hi, sentinel).reshape(-1)
+    lo = jnp.where(windows.valid, windows.lo, sentinel).reshape(-1)
+    return hi, lo
+
+
 @jax.jit
 def sorted_spectrum(windows: KmerWindows) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Exact spectrum for any k: sort (hi, lo) keys, segment-count runs.
@@ -107,27 +162,47 @@ def sorted_spectrum(windows: KmerWindows) -> Tuple[jax.Array, jax.Array, jax.Arr
     key (0xFFFFFFFF, 0xFFFFFFFF) with count 0.  ``spectrum_to_dict``
     compacts this on host.
     """
-    sentinel = jnp.uint32(0xFFFFFFFF)
-    hi = jnp.where(windows.valid, windows.hi, sentinel).reshape(-1)
-    lo = jnp.where(windows.valid, windows.lo, sentinel).reshape(-1)
-    # single sort key: (hi, lo) as sortable via two stable passes (lexsort)
-    order = jnp.lexsort((lo, hi))
-    hi_s = hi[order]
-    lo_s = lo[order]
-    n = hi_s.shape[0]
-    prev_same = jnp.concatenate(
-        [
-            jnp.zeros((1,), dtype=bool),
-            (hi_s[1:] == hi_s[:-1]) & (lo_s[1:] == lo_s[:-1]),
-        ]
+    hi, lo = mask_keys(windows)
+    return unique_counts(hi, lo)
+
+
+def compact_spectrum(
+    hi: np.ndarray, lo: np.ndarray, counts: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host compaction of ``unique_counts`` output: (keys_u64, counts)
+    numpy arrays for distinct valid k-mers (vectorized boolean indexing —
+    no per-key Python objects, unlike ``spectrum_to_dict``)."""
+    hi = np.asarray(hi)
+    lo = np.asarray(lo)
+    counts = np.asarray(counts)
+    keep = counts > 0
+    keys = (hi[keep].astype(np.uint64) << np.uint64(32)) | lo[keep].astype(
+        np.uint64
     )
-    seg_id = jnp.cumsum((~prev_same).astype(jnp.int32)) - 1
-    is_valid = ~((hi_s == sentinel) & (lo_s == sentinel))
-    seg_counts = jnp.zeros(n, dtype=jnp.int32).at[seg_id].add(is_valid.astype(jnp.int32))
-    first_of_run = ~prev_same
-    counts = jnp.where(first_of_run, seg_counts[seg_id], 0)
-    counts = jnp.where(is_valid, counts, 0)
-    return hi_s, lo_s, counts
+    return keys, counts[keep].astype(np.int64)
+
+
+def finalize_sparse(key_parts, pad_multiple: int = 1 << 20):
+    """Concatenate per-batch masked (hi, lo) key planes, pad with the
+    sentinel to a shape bucket (bounds recompiles across file sizes), and
+    resolve with one device sort: returns ``(keys_u64, counts)`` numpy."""
+    import jax.numpy as jnp
+
+    if not key_parts:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    hi = jnp.concatenate([h.reshape(-1) for h, _ in key_parts])
+    lo = jnp.concatenate([l.reshape(-1) for _, l in key_parts])
+    pad = (-hi.shape[0]) % pad_multiple
+    if pad:
+        fill = jnp.full((pad,), _SENTINEL, dtype=jnp.uint32)
+        hi = jnp.concatenate([hi, fill])
+        lo = jnp.concatenate([lo, fill])
+    return compact_spectrum(*unique_counts(hi, lo))
+
+
+def spectrum_arrays_to_dict(keys: np.ndarray, counts: np.ndarray) -> Dict[int, int]:
+    """Python-dict view of a (keys, counts) spectrum (slow for large k)."""
+    return {int(key): int(c) for key, c in zip(keys, counts)}
 
 
 def spectrum_to_dict(

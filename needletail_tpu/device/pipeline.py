@@ -82,23 +82,34 @@ def count_file(
     batch_size: int = 512,
     max_len: Optional[int] = None,
     dense: Optional[bool] = None,
-) -> Tuple[int, Union[np.ndarray, Dict[int, int]]]:
+    sparse_format: str = "dict",
+) -> Tuple[int, Union[np.ndarray, Dict[int, int], Tuple[np.ndarray, np.ndarray]]]:
     """Stream a FASTX file through the device k-mer counter.
 
     Returns ``(n_bases, spectrum)`` where spectrum is a dense ``[4^k]`` numpy
-    array for small k or a ``{packed_kmer: count}`` dict otherwise.
+    array for small k, otherwise a ``{packed_kmer: count}`` dict (or
+    ``(keys_u64, counts)`` numpy arrays with ``sparse_format="arrays"`` —
+    preferred for large outputs; the dict itself is the slow part).  Sparse
+    counting accumulates masked key planes on device and resolves the whole
+    stream with one lexicographic device sort + run-length count.
     """
     if dense is None:
         dense = k <= _count.MAX_DENSE_K
     n_bases = 0
     dense_total = None  # stays on device; accumulation is async-dispatched
-    dicts = []
+    key_parts = []
 
     @partial(jax.jit, donate_argnums=(0,), static_argnums=())
     def _accumulate(table, seqs, lengths):
         fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
         windows = fn(seqs, lengths, k, normalized=normalized)
         return table + _count.dense_spectrum(windows, k)
+
+    @jax.jit
+    def _keys(seqs, lengths):
+        fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
+        windows = fn(seqs, lengths, k, normalized=normalized)
+        return _count.mask_keys(windows)
 
     for batch in read_batches(
         path, batch_size=batch_size, max_len=max_len, prefetch=True
@@ -115,17 +126,17 @@ def count_file(
                 dense_total = jnp.zeros(4**k, dtype=jnp.int32)
             dense_total = _accumulate(dense_total, seqs, lengths)
         else:
-            fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
-            windows = fn(seqs, lengths, k, normalized=normalized)
-            hi, lo, counts = _count.sorted_spectrum(windows)
-            dicts.append(_count.spectrum_to_dict(hi, lo, counts, k))
+            key_parts.append(_keys(seqs, lengths))
     if dense:
         return n_bases, (
             np.asarray(dense_total)
             if dense_total is not None
             else np.zeros(4**k, np.int64)
         )
-    return n_bases, _count.merge_spectra(dicts)
+    keys, counts = _count.finalize_sparse(key_parts)
+    if sparse_format == "arrays":
+        return n_bases, (keys, counts)
+    return n_bases, _count.spectrum_arrays_to_dict(keys, counts)
 
 
 def multi_k_tally(

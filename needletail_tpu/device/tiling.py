@@ -96,12 +96,20 @@ def genome_spectrum(
     canonical: bool = True,
     normalized: bool = True,
     dense: Optional[bool] = None,
-) -> Tuple[int, Union[np.ndarray, Dict[int, int]]]:
+    sparse_format: str = "dict",
+) -> Tuple[int, Union[np.ndarray, Dict[int, int], Tuple[np.ndarray, np.ndarray]]]:
     """Exact k-mer spectrum of a (possibly multi-Mbp) FASTX file via halo
     tiling (BASELINE config #4: whole-bacterium k=31 spectrum).
 
     Returns ``(n_bases, spectrum)`` like ``pipeline.count_file`` but scales
     to arbitrarily long records with fixed device shapes.
+
+    For large k the sparse path accumulates masked (hi, lo) key planes on
+    device and resolves the whole file with ONE lexicographic device sort +
+    run-length count (no per-batch host dicts).  ``sparse_format="arrays"``
+    returns ``(keys_u64, counts)`` numpy arrays — for multi-Mbp genomes the
+    Python dict itself is the bottleneck, so prefer arrays when consuming
+    programmatically.
     """
     import jax.numpy as jnp
 
@@ -111,8 +119,8 @@ def genome_spectrum(
     if dense is None:
         dense = k <= _count.MAX_DENSE_K
     n_bases = 0
-    dense_total: Optional[np.ndarray] = None
-    dicts = []
+    dense_total = None  # device-resident accumulation
+    key_parts = []
     fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
     # count bases separately (tiles double-count halo bytes)
     reader = parse_fastx_file(path)
@@ -124,13 +132,17 @@ def genome_spectrum(
     for tiles, lengths in tiled_batches(path, k, tile_len, batch_tiles):
         windows = fn(jnp.asarray(tiles), jnp.asarray(lengths), k, normalized=normalized)
         if dense:
-            spec = np.asarray(_count.dense_spectrum(windows, k))
+            spec = _count.dense_spectrum(windows, k)
             dense_total = spec if dense_total is None else dense_total + spec
         else:
-            hi, lo, counts = _count.sorted_spectrum(windows)
-            dicts.append(_count.spectrum_to_dict(hi, lo, counts, k))
+            key_parts.append(_count.mask_keys(windows))
     if dense:
         return n_bases, (
-            dense_total if dense_total is not None else np.zeros(4**k, np.int64)
+            np.asarray(dense_total)
+            if dense_total is not None
+            else np.zeros(4**k, np.int64)
         )
-    return n_bases, _count.merge_spectra(dicts)
+    keys, counts = _count.finalize_sparse(key_parts)
+    if sparse_format == "arrays":
+        return n_bases, (keys, counts)
+    return n_bases, _count.spectrum_arrays_to_dict(keys, counts)
