@@ -18,9 +18,15 @@ from typing import Optional, Union
 
 import numpy as np
 
-from .sharded import CountState
+from .sharded import CountState, HashCountState
 
-__all__ = ["save_count_state", "load_count_state", "CountCheckpoint"]
+__all__ = [
+    "save_count_state",
+    "load_count_state",
+    "CountCheckpoint",
+    "save_hash_state",
+    "load_hash_state",
+]
 
 
 class CountCheckpoint:
@@ -88,4 +94,53 @@ def load_count_state(path: Union[str, Path]) -> CountCheckpoint:
             byte_offset=int(z["byte_offset"]),
             k=int(z["k"]),
             path=bytes(z["input_path"]).decode() or None,
+        )
+
+
+def save_hash_state(
+    path: Union[str, Path],
+    state: HashCountState,
+    byte_offset: int,
+    k: int,
+    input_path: Optional[str] = None,
+) -> None:
+    """Persist the hash-pipeline state (global table gathered to host,
+    tallies, input byte offset).  Resume semantics match
+    ``save_count_state``: integer adds commute, so resuming from a
+    record-aligned offset reproduces the exact final table."""
+    np.savez_compressed(
+        path,
+        table=np.asarray(state.table),
+        total=np.asarray(state.total),
+        fwd=np.asarray(state.fwd),
+        byte_offset=np.int64(byte_offset),
+        k=np.int32(k),
+        input_path=np.bytes_(str(input_path or "")),
+    )
+
+
+def load_hash_state(
+    path: Union[str, Path], mesh=None
+) -> "tuple[HashCountState, int, int, Optional[str]]":
+    """Returns ``(state, byte_offset, k, input_path)``; the table is placed
+    sharded over ``mesh``'s data axis when a mesh is given."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    with np.load(path, allow_pickle=False) as z:
+        table = jnp.asarray(z["table"])
+        if mesh is not None:
+            table = jax.device_put(table, NamedSharding(mesh, P("data")))
+        state = HashCountState(
+            table=table,
+            total=jnp.asarray(int(z["total"]), jnp.int32),
+            fwd=jnp.asarray(int(z["fwd"]), jnp.int32),
+        )
+        return (
+            state,
+            int(z["byte_offset"]),
+            int(z["k"]),
+            bytes(z["input_path"]).decode() or None,
         )

@@ -137,3 +137,25 @@ class TestHashPipeline:
         mesh = make_mesh(data=2, table=4)
         with pytest.raises(ValueError):
             make_hash_update_step(mesh, 9)
+
+
+def test_hash_state_checkpoint_roundtrip(tmp_path):
+    from needletail_tpu.parallel import make_hash_update_step, make_mesh
+    from needletail_tpu.parallel.checkpoint import load_hash_state, save_hash_state
+
+    mesh = make_mesh(data=8, table=1)
+    init, step, place = make_hash_update_step(mesh, 9, block_rows=8)
+    rng = np.random.default_rng(5)
+    seqs = rng.choice(list(b"ACGT"), size=(64, 32)).astype(np.uint8)
+    lengths = np.full(64, 32, np.int32)
+    state = step(init(), *place(jnp.asarray(seqs), jnp.asarray(lengths)))
+    p = tmp_path / "ck.npz"
+    save_hash_state(p, state, byte_offset=1234, k=9, input_path="reads.fq")
+    loaded, off, k, ip = load_hash_state(p, mesh=mesh)
+    assert off == 1234 and k == 9 and ip == "reads.fq"
+    assert np.array_equal(np.asarray(loaded.table), np.asarray(state.table))
+    assert int(loaded.total) == int(state.total)
+    # resuming must continue exact accumulation
+    resumed = step(loaded, *place(jnp.asarray(seqs), jnp.asarray(lengths)))
+    twice = step(state, *place(jnp.asarray(seqs), jnp.asarray(lengths)))
+    assert np.array_equal(np.asarray(resumed.table), np.asarray(twice.table))

@@ -8,6 +8,7 @@ from needletail_tpu import bitkmer as hb
 from needletail_tpu.device import count as dcount
 from needletail_tpu.device import kmers as dkmers
 from needletail_tpu.device.tiling import genome_spectrum, tile_sequence, tiled_batches
+from conftest import DATA_DIR
 
 
 def host_spectrum(seq, k):
@@ -86,3 +87,37 @@ def test_tiled_batches_multi_record(tmp_path):
                                 normalized=False)
         total_windows += int(np.asarray(win.valid).sum())
     assert total_windows == (400 - k + 1) + (480 - k + 1)
+
+
+class TestCompressedCounting:
+    """BASELINE config #3: gzip-compressed FASTQ streaming with k=21
+    counting must equal the plain-file spectrum exactly."""
+
+    def test_gzip_fastq_k21_spectrum_equality(self, tmp_path):
+        import gzip
+
+        from needletail_tpu.device.pipeline import count_file
+
+        src = (DATA_DIR / "PRJNA271013_head.fq").read_bytes()
+        # keep CPU runtime modest: first 200 records (4 lines each)
+        head = b"\n".join(src.split(b"\n")[: 200 * 4]) + b"\n"
+        plain = tmp_path / "h.fq"
+        plain.write_bytes(head)
+        gz = tmp_path / "h.fq.gz"
+        gz.write_bytes(gzip.compress(head))
+
+        nb1, (k1, c1) = count_file(str(plain), k=21, sparse_format="arrays")
+        nb2, (k2, c2) = count_file(str(gz), k=21, sparse_format="arrays")
+        assert nb1 == nb2 > 0
+        assert np.array_equal(k1, k2) and np.array_equal(c1, c2)
+
+    def test_sparse_arrays_match_dict(self, tmp_path):
+        from needletail_tpu.device.pipeline import count_file
+
+        src = (DATA_DIR / "PRJNA271013_head.fq").read_bytes()
+        head = b"\n".join(src.split(b"\n")[: 50 * 4]) + b"\n"
+        p = tmp_path / "h.fq"
+        p.write_bytes(head)
+        _, (keys, counts) = count_file(str(p), k=17, sparse_format="arrays")
+        _, d = count_file(str(p), k=17)
+        assert d == {int(key): int(c) for key, c in zip(keys, counts)}
