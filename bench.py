@@ -32,10 +32,10 @@ GOLD_FWD_K21 = 106_181
 
 K = 21
 TABLE_BITS = 16  # per-chip table shard (2^20 global over a 16-chip mesh)
-TILE = 64  # 2,000 reads -> 128,000 reads, 16M bases per step
+TILE = 256  # 2,000 reads -> 512,000 reads, 64M bases per step
 # enough chained steps that the remote-dispatch round trip (~40 ms through
 # the dev tunnel) amortizes out of the steady-state measure
-STEPS = 30
+STEPS = 15
 # BASELINE.json north star: >= 10 GB/s of FASTQ *file bytes* aggregate on a
 # v5e-16 => 625 MB/s per chip.  vs_baseline therefore compares file-byte
 # throughput (this corpus has ~3.76 file bytes per base).
