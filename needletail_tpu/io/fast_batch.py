@@ -36,6 +36,17 @@ __all__ = ["fast_read_batches"]
 _CHUNK = 4 << 20
 
 
+def _round128(n: int) -> int:
+    return ((max(n, 1) + 127) // 128) * 128
+
+
+def _widen(arr: np.ndarray, new_ml: int) -> np.ndarray:
+    """Re-pad a partially-filled [rows, old_ml] batch plane to new_ml."""
+    out = np.zeros((arr.shape[0], new_ml), dtype=arr.dtype)
+    out[:, : arr.shape[1]] = arr
+    return out
+
+
 def _tail_error_pos(
     tail: bytes, base_line: int, line_offset: int, parse_id: bool
 ) -> ErrorPosition:
@@ -85,6 +96,7 @@ class _FastqBatcher:
         self._stream = stream
         self._bs = batch_size
         self._max_len = max_len
+        self._auto = max_len is None  # widen instead of erroring on overflow
         self._with_quals = with_quals
         self._count_base = 0  # records scanned in prior chunks (line accounting)
 
@@ -134,10 +146,19 @@ class _FastqBatcher:
                 recs_buf = np.empty((cap, 5), dtype=np.int64)
             recs, n, consumed, err, err_rec = native.scan_fastq(pending, cap, out=recs_buf)
 
+            longest = int((recs[:, 2] - 1 - recs[:, 1]).max()) if n else 0
             if self._max_len is None:
                 # infer from the first scan: longest seq line, rounded to 128
-                longest = int((recs[:, 2] - 1 - recs[:, 1]).max()) if n else 128
-                self._max_len = ((max(longest, 1) + 127) // 128) * 128
+                self._max_len = _round128(longest)
+            elif self._auto and longest > self._max_len:
+                # auto mode: a later chunk holds a longer read — widen the
+                # batch width (and any partially-filled arrays) instead of
+                # erroring like the explicit-max_len contract does
+                self._max_len = _round128(longest)
+                if seqs is not None:
+                    seqs = _widen(seqs, self._max_len)
+                    if quals is not None:
+                        quals = _widen(quals, self._max_len)
 
             # fill rows, possibly spanning multiple output batches
             idx = 0
@@ -209,9 +230,14 @@ class _FastqBatcher:
                         fill = 0
                     sb, qb = row
                     if len(sb) > self._max_len:
-                        raise ValueError(
-                            f"final read exceeds max_len={self._max_len}"
-                        )
+                        if not self._auto:
+                            raise ValueError(
+                                f"final read exceeds max_len={self._max_len}"
+                            )
+                        self._max_len = _round128(len(sb))
+                        seqs = _widen(seqs, self._max_len)
+                        if quals is not None:
+                            quals = _widen(quals, self._max_len)
                     seqs[fill, : len(sb)] = np.frombuffer(sb, dtype=np.uint8)
                     if quals is not None:
                         quals[fill, : len(qb)] = np.frombuffer(qb, dtype=np.uint8)
@@ -271,6 +297,7 @@ class _FastaBatcher:
         self._stream = stream
         self._bs = batch_size
         self._max_len = max_len
+        self._auto = max_len is None  # widen instead of erroring on overflow
         self._lines_done = 0
 
     def _alloc(self):
@@ -322,10 +349,15 @@ class _FastaBatcher:
                 recs_buf = np.empty((cap, 3), dtype=np.int64)
             recs, n, consumed = native.scan_fasta(pending, cap)
 
+            # upper bound incl. internal newlines, rounded to 128
+            longest = int((recs[:, 2] - recs[:, 1] - 1).max()) if n else 0
             if self._max_len is None:
-                # upper bound incl. internal newlines, rounded to 128
-                longest = int((recs[:, 2] - recs[:, 1] - 1).max()) if n else 128
-                self._max_len = ((max(longest, 1) + 127) // 128) * 128
+                self._max_len = _round128(longest)
+            elif self._auto and longest > self._max_len:
+                # auto mode: widen for longer records in later chunks
+                self._max_len = _round128(longest)
+                if seqs is not None:
+                    seqs = _widen(seqs, self._max_len)
 
             idx = 0
             while idx < n:
@@ -372,9 +404,12 @@ class _FastaBatcher:
                             seqs, lengths = self._alloc()
                             fill = 0
                         if len(s) > self._max_len:
-                            raise ValueError(
-                                f"final record exceeds max_len={self._max_len}"
-                            )
+                            if not self._auto:
+                                raise ValueError(
+                                    f"final record exceeds max_len={self._max_len}"
+                                )
+                            self._max_len = _round128(len(s))
+                            seqs = _widen(seqs, self._max_len)
                         seqs[fill, : len(s)] = np.frombuffer(s, dtype=np.uint8)
                         lengths[fill] = len(s)
                         fill += 1

@@ -168,3 +168,34 @@ class TestFastaFastPath:
         p.write_bytes(b">chr\n" + b"ACGT" * 200 + b"\n>next\nAC\n")
         with pytest.raises(ValueError, match="tiling"):
             list(fast_read_batches(p, max_len=128))
+
+
+class TestAutoMaxLenWidening:
+    """Auto max_len must widen for records longer than anything in the
+    first scan chunk instead of erroring (explicit max_len still errors)."""
+
+    def test_fasta_long_final_record(self, tmp_path):
+        p = tmp_path / "x.fa"
+        p.write_bytes(b">a\nACGT\n>b\n" + b"A" * 1000 + b"\n")
+        batches = list(fast_read_batches(str(p), batch_size=8))
+        lens = sorted(int(x) for b in batches for x in b.lengths[: b.num_reads])
+        assert lens == [4, 1000]
+
+    def test_fastq_long_later_read(self, tmp_path):
+        long = b"C" * 700
+        recs = b"@r1\nACGT\n+\nIIII\n" + b"@r2\n" + long + b"\n+\n" + b"I" * 700 + b"\n"
+        p = tmp_path / "x.fq"
+        p.write_bytes(recs)
+        batches = list(fast_read_batches(str(p), batch_size=8))
+        lens = sorted(int(x) for b in batches for x in b.lengths[: b.num_reads])
+        assert lens == [4, 700]
+        # quality plane widened in lockstep
+        b = batches[0]
+        row = list(b.lengths).index(700)
+        assert bytes(b.quals[row][:700]) == b"I" * 700
+
+    def test_explicit_max_len_still_errors(self, tmp_path):
+        p = tmp_path / "x.fa"
+        p.write_bytes(b">a\n" + b"A" * 300 + b"\n")
+        with pytest.raises(ValueError):
+            list(fast_read_batches(str(p), batch_size=8, max_len=128))
