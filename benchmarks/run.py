@@ -93,6 +93,34 @@ def bench_kmers_device(reps):
     return dt
 
 
+def bench_kmers_device_resident(reps):
+    """Steady-state fused Pallas tally on a device-resident batch — the
+    per-chip hot loop without host framing/transfer (the shape the
+    headline bench.py measures)."""
+    import jax
+    import jax.numpy as jnp
+
+    from needletail_tpu.batch import read_batches
+    from needletail_tpu.device.pallas_kernels import canonical_hash_keys
+
+    batch = next(iter(read_batches(KMER_FILE, batch_size=640, max_len=5120)))
+    batch = batch.pad_reads_to(1024)  # block_rows multiple
+    seqs = jnp.asarray(batch.seqs)
+    lengths = jnp.asarray(batch.lengths)
+
+    inner = 10  # chain calls so the dispatch round trip amortizes
+
+    def run():
+        for _ in range(inner):
+            keys, total, fwd = canonical_hash_keys(seqs, lengths, 31, table_bits=16)
+        return int(total), int(fwd)
+
+    run()  # compile warmup
+    dt, (total, fwd) = timeit(run, reps)
+    assert (total, fwd) == (GOLD_K31_TOTAL, GOLD_K31_FWD), (total, fwd)
+    return dt / inner
+
+
 def bench_fastq_parse(reps):
     from needletail_tpu.parser import parse_fastx_file
 
@@ -144,6 +172,7 @@ def main() -> None:
         ("kmers/31mer canonical (host byte-slice)", bench_kmers_host_slice, GOLD_FASTA_BASES),
         ("kmers/31mer canonical (host bitkmer)", bench_kmers_host_bit, GOLD_FASTA_BASES),
         ("kmers/31mer canonical (device)", bench_kmers_device, GOLD_FASTA_BASES),
+        ("kmers/31mer canonical (device resident)", bench_kmers_device_resident, GOLD_FASTA_BASES),
         ("fastq/parse (streaming reader)", bench_fastq_parse, GOLD_FASTQ_BASES),
         ("fastq/parse (native batched)", bench_fastq_parse_native, GOLD_FASTQ_BASES),
         ("fasta/parse (streaming reader)", bench_fasta_parse, GOLD_FASTA_BASES),

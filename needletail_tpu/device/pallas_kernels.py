@@ -37,6 +37,25 @@ __all__ = [
 _BLOCK_ROWS = 256
 
 
+def _auto_block_rows(l: int) -> int:
+    """Pick block_rows so a [block_rows, L] uint32 plane stays ~128 KiB:
+    the kernel holds ~14 ladder/pack planes live, keeping VMEM well under
+    the 16 MiB budget for any read length."""
+    rows = max(8, min(_BLOCK_ROWS, (32768 // max(l, 1)) // 8 * 8))
+    return rows
+
+
+def _pad_rows(seqs: jax.Array, lengths: jax.Array, block_rows: int):
+    b = seqs.shape[0]
+    pad = (-b) % block_rows
+    if pad:
+        seqs = jnp.concatenate(
+            [seqs, jnp.zeros((pad, seqs.shape[1]), dtype=seqs.dtype)]
+        )
+        lengths = jnp.concatenate([lengths, jnp.zeros((pad,), lengths.dtype)])
+    return seqs, lengths, b
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -209,7 +228,7 @@ def canonical_hash_tally(
     k: int,
     table_bits: int = 20,
     normalized: bool = True,
-    block_rows: int = _BLOCK_ROWS,
+    block_rows: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused Pallas pass: canonical k-mer hash indices + weights + tallies.
 
@@ -217,11 +236,16 @@ def canonical_hash_tally(
     [B, L] int32 (window at lane p; weight 0 marks invalid/out-of-bounds
     windows and hashes masked to 0) and ``total``/``fwd`` are scalars.
     The caller scatter-adds ``weight`` at ``idx`` into its count table.
-    ``B`` must be a multiple of ``block_rows`` (pad with zero-length rows).
+    ``block_rows=None`` sizes VMEM tiles from the read length and pads the
+    batch rows internally; an explicit value must divide the batch rows.
     """
     if not 1 <= k <= 31:
         raise ValueError(f"k must be in [1, 31], got {k}")
-    b, l = seqs.shape
+    b_in, l = seqs.shape
+    if block_rows is None:
+        block_rows = _auto_block_rows(l)
+        seqs, lengths, b_in = _pad_rows(seqs, lengths, block_rows)
+    b = seqs.shape[0]
     if b % block_rows:
         raise ValueError(f"batch rows {b} not a multiple of {block_rows}")
     grid = (b // block_rows,)
@@ -256,6 +280,8 @@ def canonical_hash_tally(
         ],
         interpret=_interpret(),
     )(seqs, lengths.reshape(b, 1))
+    if b != b_in:
+        idx, weight = idx[:b_in], weight[:b_in]
     return idx, weight, total[0, 0], fwd[0, 0]
 
 
@@ -269,15 +295,24 @@ def canonical_hash_keys(
     k: int,
     table_bits: int = 20,
     normalized: bool = True,
-    block_rows: int = _BLOCK_ROWS,
+    block_rows: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Like :func:`canonical_hash_tally` but returns ``(keys, total, fwd)``
     with invalid windows masked to -1 in ``keys`` — the exact input format
     of ``mxu_histogram16(keys, None)``.  Skips the weight plane (one fewer
-    [B, L] HBM write + read per step)."""
+    [B, L] HBM write + read per step).
+
+    ``block_rows=None`` (default) sizes VMEM tiles from the read length and
+    pads the batch rows internally (padded rows have length 0, so they emit
+    nothing); an explicit value must divide the batch rows.
+    """
     if not 1 <= k <= 31:
         raise ValueError(f"k must be in [1, 31], got {k}")
-    b, l = seqs.shape
+    b_in, l = seqs.shape
+    if block_rows is None:
+        block_rows = _auto_block_rows(l)
+        seqs, lengths, b_in = _pad_rows(seqs, lengths, block_rows)
+    b = seqs.shape[0]
     if b % block_rows:
         raise ValueError(f"batch rows {b} not a multiple of {block_rows}")
     kernel = partial(
@@ -307,6 +342,8 @@ def canonical_hash_keys(
         ],
         interpret=_interpret(),
     )(seqs, lengths.reshape(b, 1))
+    if b != b_in:
+        keys = keys[:b_in]
     return keys, total[0, 0], fwd[0, 0]
 
 

@@ -195,7 +195,7 @@ def make_hash_update_step(
     k: int,
     table_bits: int = 16,
     normalized: bool = True,
-    block_rows: int = 256,
+    block_rows: Optional[int] = None,
 ):
     """Build the jitted hash-counting step over a 1-axis ``data`` mesh
     (or the ``data`` axis of a 2-axis mesh; the ``table`` axis, if any,
