@@ -80,12 +80,25 @@ def window_minimizers(
     num = hi.shape[1] - w + 1
     if num < 1:
         raise ValueError(f"sequence windows {hi.shape[1]} shorter than w={w}")
-    m_hi = jax.lax.dynamic_slice_in_dim(hi, 0, num, axis=1)
-    m_lo = jax.lax.dynamic_slice_in_dim(lo, 0, num, axis=1)
-    valid = jax.lax.dynamic_slice_in_dim(win.valid, 0, num, axis=1)
-    for j in range(1, w):
-        s_hi = jax.lax.dynamic_slice_in_dim(hi, j, num, axis=1)
-        s_lo = jax.lax.dynamic_slice_in_dim(lo, j, num, axis=1)
-        m_hi, m_lo = _pair_min(m_hi, m_lo, s_hi, s_lo)
-        valid = valid & jax.lax.dynamic_slice_in_dim(win.valid, j, num, axis=1)
+
+    # power-of-two doubling ladder over the window axis (O(log w) rolls;
+    # a w-step chain of per-offset slices compiles pathologically slowly
+    # for the w seen in practice). Rolled wrap-around lanes only reach
+    # sketch positions >= num, which are sliced off below.
+    def roll(x, j):
+        return x if j == 0 else jnp.roll(x, -j, axis=1)
+
+    lh, ll, lv = hi, lo, win.valid
+    m = 1
+    while 2 * m <= w:
+        rh, rl, rv = (roll(a, m) for a in (lh, ll, lv))
+        lh, ll = _pair_min(lh, ll, rh, rl)
+        lv = lv & rv
+        m *= 2
+    # min/AND are idempotent: cover width w with two overlapping m-spans
+    if m < w:
+        rh, rl, rv = (roll(a, w - m) for a in (lh, ll, lv))
+        lh, ll = _pair_min(lh, ll, rh, rl)
+        lv = lv & rv
+    m_hi, m_lo, valid = (a[:, :num] for a in (lh, ll, lv))
     return KmerWindows(hi=m_hi, lo=m_lo, valid=valid, was_rc=jnp.zeros_like(valid))
