@@ -27,6 +27,7 @@ __all__ = [
     "canonical_match_count",
     "base_count",
     "count_file",
+    "hash_count_file",
     "readme_pipeline",
     "multi_k_tally",
     "pack_target",
@@ -166,6 +167,54 @@ def multi_k_tally(
         return out
 
     return run(seqs, lengths, tuple(ks), canonical, normalized)
+
+
+def hash_count_file(
+    path,
+    k: int,
+    table_bits: int = 16,
+    batch_size: int = 65536,
+    max_len: Optional[int] = None,
+    normalized: bool = True,
+) -> Tuple[int, int, int, np.ndarray]:
+    """Stream a FASTX file through the fused Pallas hash-counting pipeline
+    (the headline bench path): canonical k-mer extraction -> -1-masked hash
+    keys -> int4 MXU histogram, accumulated on device.
+
+    Returns ``(n_bases, total_windows, forward_windows, table)`` where
+    ``table`` is the int32 ``[2^table_bits]`` hash spectrum (collisions
+    accumulate; use :func:`count_file` for exact per-k-mer counts).
+    """
+    import jax
+
+    from .pallas_kernels import canonical_hash_keys, mxu_histogram16
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step(table, total, fwd, seqs, lengths):
+        keys, t, f = canonical_hash_keys(
+            seqs, lengths, k, table_bits=table_bits, normalized=normalized
+        )
+        return (
+            table + mxu_histogram16(keys, None)[: 1 << table_bits],
+            total + t,
+            fwd + f,
+        )
+
+    table = jnp.zeros((1 << table_bits,), jnp.int32)
+    total = jnp.zeros((), jnp.int32)
+    fwd = jnp.zeros((), jnp.int32)
+    n_bases = 0
+    for batch in read_batches(
+        path, batch_size=batch_size, max_len=max_len, prefetch=True
+    ):
+        n_bases += batch.num_bases
+        if batch.max_len < k:
+            continue
+        b = batch if batch.num_reads == batch_size else batch.pad_reads_to(batch_size)
+        table, total, fwd = step(
+            table, total, fwd, jnp.asarray(b.seqs), jnp.asarray(b.lengths)
+        )
+    return n_bases, int(total), int(fwd), np.asarray(table)
 
 
 def readme_pipeline(path, k: int = 4, target: bytes = b"AAAA") -> Tuple[int, int]:

@@ -224,3 +224,26 @@ class TestDenseSpectrumMXU:
         a = np.asarray(dcount.dense_spectrum(win, k, use_mxu=False))
         b = np.asarray(dcount.dense_spectrum(win, k, use_mxu=True))
         assert np.array_equal(a, b)
+
+
+class TestHashCountFile:
+    def test_matches_streamed_oracle(self, data_dir):
+        from needletail_tpu.device.pipeline import hash_count_file
+
+        n_bases, total, fwd, table = hash_count_file(
+            str(data_dir / "PRJNA271013_head.fq"), k=21, batch_size=512
+        )
+        assert n_bases == 250_000
+        # golden canonical k=21 tallies for this corpus (host-verified)
+        assert (total, fwd) == (209_965, 106_181)
+        assert table.sum() == total
+        assert table.shape == (65536,)
+
+    def test_small_table_bits(self, data_dir):
+        from needletail_tpu.device.pipeline import hash_count_file
+
+        n_bases, total, fwd, table = hash_count_file(
+            str(data_dir / "test.fa"), k=4, table_bits=10, batch_size=8
+        )
+        assert table.shape == (1024,)
+        assert table.sum() == total > 0
