@@ -41,6 +41,11 @@ def _auto_block_rows(l: int) -> int:
     """Pick block_rows so a [block_rows, L] uint32 plane stays ~128 KiB:
     the kernel holds ~14 ladder/pack planes live, keeping VMEM well under
     the 16 MiB budget for any read length."""
+    if l > 65536:
+        raise ValueError(
+            f"read length {l} exceeds the kernel's single-row VMEM budget; "
+            "tile long records first (device.tiling, (k-1)-base halos)"
+        )
     rows = max(8, min(_BLOCK_ROWS, (32768 // max(l, 1)) // 8 * 8))
     return rows
 

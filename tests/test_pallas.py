@@ -84,3 +84,11 @@ def test_block_rows_validation():
     s, l = random_batch(100, 128)
     with pytest.raises(ValueError):
         canonical_hash_tally(s, l, 8, block_rows=256)
+
+
+def test_overlong_reads_rejected_with_guidance():
+    s, l = random_batch(8, 128)
+    import jax.numpy as jnp
+    big = jnp.zeros((8, 70000), jnp.uint8)
+    with pytest.raises(ValueError, match="tile long records"):
+        canonical_hash_keys(big, jnp.zeros(8, jnp.int32), 21)
