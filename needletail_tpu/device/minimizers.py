@@ -25,12 +25,15 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .kmers import KmerWindows, canonical_kmers
 
 __all__ = ["global_minimizer", "window_minimizers"]
 
-_UMAX = jnp.uint32(0xFFFFFFFF)
+# numpy scalar, not jnp: a module-level jnp constant would initialize the
+# XLA backend at import time and break jax.distributed.initialize()
+_UMAX = np.uint32(0xFFFFFFFF)
 
 
 def _pair_min(ahi, alo, bhi, blo):

@@ -1,0 +1,76 @@
+"""True multi-process distributed test: two jax.distributed processes (Gloo
+over localhost, 4 virtual CPU devices each) split a FASTQ by byte range,
+frame locally, and run the sharded hash-counting step over the global
+8-device mesh.  The merged table must equal the single-process oracle —
+the CPU-simulated version of BASELINE config #5 (multi-host v5e-16)."""
+
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import DATA_DIR, REPO_ROOT
+
+WORKER = REPO_ROOT / "tests" / "_mp_hash_worker.py"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_hash_pipeline_matches_oracle(tmp_path):
+    src = (DATA_DIR / "PRJNA271013_head.fq").read_bytes()
+    head = b"\n".join(src.split(b"\n")[: 96 * 4]) + b"\n"  # 96 reads
+    path = tmp_path / "mp.fq"
+    path.write_bytes(head)
+    out = tmp_path / "mp_result.npz"
+    port = _free_port()
+
+    rows_local = 64  # 8 global shards of 16 rows each; 2 x 64 local rows
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), str(path), str(out), str(port), str(pid), "2", str(rows_local)],
+            cwd=str(REPO_ROOT),
+            env={
+                **os.environ,
+                "PYTHONPATH": str(REPO_ROOT)
+                + os.pathsep
+                + os.environ.get("PYTHONPATH", ""),
+            },
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=220)
+        logs.append(stdout.decode(errors="replace"))
+    assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+
+    with np.load(out) as z:
+        table = z["table"]
+        total = int(z["total"])
+        fwd = int(z["fwd"])
+
+    # single-process oracle over the same records (framing order differs
+    # across ranges, but integer adds commute)
+    import jax.numpy as jnp
+
+    from needletail_tpu.device.pallas_kernels import canonical_hash_keys, mxu_histogram16
+    from needletail_tpu.io.fast_batch import fast_read_batches
+
+    batch = next(iter(fast_read_batches(str(path), batch_size=128, max_len=128)))
+    b = batch.pad_reads_to(128)
+    keys, t, f = canonical_hash_keys(
+        jnp.asarray(b.seqs), jnp.asarray(b.lengths), 21, table_bits=16, block_rows=8
+    )
+    expected = np.asarray(mxu_histogram16(keys, None))
+    assert total == int(t) and fwd == int(f)
+    assert np.array_equal(table, expected), "\n".join(logs)
