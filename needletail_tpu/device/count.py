@@ -36,6 +36,9 @@ __all__ = [
     "mask_keys",
     "compact_spectrum",
     "finalize_sparse",
+    "merge_sorted_spectra",
+    "SparseSpectrumAccumulator",
+    "SPARSE_FLUSH_LANES",
     "spectrum_arrays_to_dict",
     "spectrum_to_dict",
     "merge_spectra",
@@ -198,6 +201,70 @@ def finalize_sparse(key_parts, pad_multiple: int = 1 << 20):
         hi = jnp.concatenate([hi, fill])
         lo = jnp.concatenate([lo, fill])
     return compact_spectrum(*unique_counts(hi, lo))
+
+
+def merge_sorted_spectra(
+    ak: np.ndarray, ac: np.ndarray, bk: np.ndarray, bc: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge two key-sorted (keys_u64, counts) spectra, summing duplicates.
+
+    Host-side and vectorized; used to bound device memory when streaming
+    sparse spectra (flush every ``SPARSE_FLUSH_LANES`` window lanes instead
+    of holding every batch's key planes until EOF)."""
+    if not len(ak):
+        return bk, bc
+    if not len(bk):
+        return ak, ac
+    keys = np.concatenate([ak, bk])
+    cnts = np.concatenate([ac, bc])
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    cnts = cnts[order]
+    new = np.empty(len(keys), bool)
+    new[0] = True
+    np.not_equal(keys[1:], keys[:-1], out=new[1:])
+    idx = np.cumsum(new) - 1
+    out = np.zeros(int(idx[-1]) + 1, np.int64)
+    np.add.at(out, idx, cnts)
+    return keys[new], out
+
+
+# flush threshold for streaming sparse counting: key planes held on device
+# between flushes are 8 bytes/lane, so 2^26 lanes ~= 0.5 GiB
+SPARSE_FLUSH_LANES = 1 << 26
+
+
+class SparseSpectrumAccumulator:
+    """Streaming exact-spectrum accumulation with bounded device memory:
+    buffer masked (hi, lo) key planes on device, resolve each ~0.5 GiB
+    flush with one device sort, merge flushes on host."""
+
+    def __init__(self, flush_lanes: int = SPARSE_FLUSH_LANES) -> None:
+        self._parts = []
+        self._lanes = 0
+        self._flush_lanes = flush_lanes
+        self._keys = np.zeros(0, np.uint64)
+        self._counts = np.zeros(0, np.int64)
+
+    def add(self, hi: jax.Array, lo: jax.Array) -> None:
+        self._parts.append((hi, lo))
+        self._lanes += hi.size
+        if self._lanes >= self._flush_lanes:
+            self._flush()
+
+    def _flush(self) -> None:
+        if not self._parts:
+            return
+        keys, counts = finalize_sparse(self._parts)
+        self._parts = []
+        self._lanes = 0
+        self._keys, self._counts = merge_sorted_spectra(
+            self._keys, self._counts, keys, counts
+        )
+
+    def finish(self) -> Tuple[np.ndarray, np.ndarray]:
+        self._flush()
+        return self._keys, self._counts
 
 
 def spectrum_arrays_to_dict(keys: np.ndarray, counts: np.ndarray) -> Dict[int, int]:

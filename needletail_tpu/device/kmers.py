@@ -27,6 +27,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import _ladder
 from .ops import encode_2bit
 
 __all__ = ["KmerWindows", "pack_kmers", "canonical_kmers", "window_validity"]
@@ -54,62 +55,6 @@ def _roll_left(x: jax.Array, j: int) -> jax.Array:
     return x if j == 0 else jnp.roll(x, -j, axis=-1)
 
 
-def _ladders(codes: jax.Array, k: int, need_rc: bool):
-    """Power-of-two doubling ladders over the lane axis (O(log k) rolls and
-    a graph XLA compiles in seconds at k=31, vs. minutes for a k-step
-    shift-accumulate with per-offset slices):
-
-      * ``W[m][:, p]`` packs codes[p..p+m-1], first base most significant
-      * ``R[m][:, p]`` packs the reverse complement (start base least
-        significant), doubling as R[2m](p) = (R[m](p+m) << 2m) | R[m](p)
-      * ``V[m][:, p]`` — all m codes are unambiguous bases
-    """
-    W = {1: codes}
-    R = {1: ~codes & jnp.uint32(3)} if need_rc else None
-    V = {1: codes < 4}
-    for m in (1, 2, 4, 8):
-        if 2 * m > k:
-            break
-        W[2 * m] = (W[m] << jnp.uint32(2 * m)) | _roll_left(W[m], m)
-        if need_rc:
-            R[2 * m] = (_roll_left(R[m], m) << jnp.uint32(2 * m)) | R[m]
-        V[2 * m] = V[m] & _roll_left(V[m], m)
-    return W, R, V
-
-
-def _compose_fwd(W, width: int) -> jax.Array:
-    acc = None
-    off = 0
-    for m in (16, 8, 4, 2, 1):
-        if width & m:
-            part = _roll_left(W[m], off)
-            acc = part if acc is None else (acc << jnp.uint32(2 * m)) | part
-            off += m
-    return acc
-
-
-def _compose_rc(R, width: int) -> jax.Array:
-    acc = None
-    off = 0
-    for m in (1, 2, 4, 8, 16):
-        if width & m:
-            part = _roll_left(R[m], off)
-            acc = part if acc is None else (part << jnp.uint32(2 * off)) | acc
-            off += m
-    return acc
-
-
-def _compose_valid(V, width: int) -> jax.Array:
-    acc = None
-    off = 0
-    for m in (16, 8, 4, 2, 1):
-        if width & m:
-            part = _roll_left(V[m], off)
-            acc = part if acc is None else acc & part
-            off += m
-    return acc
-
-
 def window_validity(codes: jax.Array, lengths: jax.Array, k: int) -> jax.Array:
     """bool [B, W]: window has k in-bounds, unambiguous bases.
 
@@ -118,8 +63,8 @@ def window_validity(codes: jax.Array, lengths: jax.Array, k: int) -> jax.Array:
     """
     b, l = codes.shape
     num = l - k + 1
-    _, _, V = _ladders(codes, k, need_rc=False)
-    valid = _compose_valid(V, k)[:, :num]
+    W, _, V = _ladder.build_ladders(codes, k, _roll_left, need_rc=False)
+    valid = _ladder.compose_valid(V, k, _roll_left)[:, :num] != 0
     pos = jnp.arange(num, dtype=jnp.int32)[None, :]
     in_bounds = pos + k <= lengths[:, None]
     return valid & in_bounds
@@ -137,15 +82,17 @@ def pack_kmers(
     if l < k:
         raise ValueError(f"batch max_len {l} shorter than k={k}")
     num = l - k + 1
-    W, _, V = _ladders(codes, k, need_rc=False)
+    W, _, V = _ladder.build_ladders(codes, k, _roll_left, need_rc=False)
     pos = jnp.arange(num, dtype=jnp.int32)[None, :]
-    valid = _compose_valid(V, k)[:, :num] & (pos + k <= lengths[:, None])
+    valid = (_ladder.compose_valid(V, k, _roll_left)[:, :num] != 0) & (
+        pos + k <= lengths[:, None]
+    )
     if k <= 16:
-        lo = _compose_fwd(W, k)[:, :num]
+        lo = _ladder.compose_fwd(W, k, _roll_left)[:, :num]
         hi = jnp.zeros_like(lo)
     else:
         # hi = first k-16 bases of the window, lo = last 16 bases
-        hi = _compose_fwd(W, k - 16)[:, :num]
+        hi = _ladder.compose_fwd(W, k - 16, _roll_left)[:, :num]
         lo = _roll_left(W[16], k - 16)[:, :num]
     return KmerWindows(hi=hi, lo=lo, valid=valid, was_rc=jnp.zeros_like(valid))
 
@@ -164,22 +111,14 @@ def canonical_kmers(
     if l < k:
         raise ValueError(f"batch max_len {l} shorter than k={k}")
     num = l - k + 1
-    W, R, V = _ladders(codes, k, need_rc=True)
+    fwd_hi, fwd_lo, rc_hi, rc_lo, valid_u = _ladder.canonical_parts(
+        codes, k, _roll_left
+    )
     pos = jnp.arange(num, dtype=jnp.int32)[None, :]
-    valid = _compose_valid(V, k)[:, :num] & (pos + k <= lengths[:, None])
-
-    if k <= 16:
-        fwd_lo = _compose_fwd(W, k)[:, :num]
-        fwd_hi = jnp.zeros_like(fwd_lo)
-        rc_lo = _compose_rc(R, k)[:, :num]
-        rc_hi = jnp.zeros_like(rc_lo)
-    else:
-        m_hi = k - 16
-        fwd_hi = _compose_fwd(W, m_hi)[:, :num]  # first k-16 bases
-        fwd_lo = _roll_left(W[16], m_hi)[:, :num]  # last 16 bases
-        rc_lo = R[16][:, :num]  # rc of the first 16 bases
-        # rc of the last m_hi bases = bases p+16..p+k-1
-        rc_hi = _roll_left(_compose_rc(R, m_hi), 16)[:, :num]
+    valid = (valid_u[:, :num] != 0) & (pos + k <= lengths[:, None])
+    fwd_hi, fwd_lo, rc_hi, rc_lo = (
+        a[:, :num] for a in (fwd_hi, fwd_lo, rc_hi, rc_lo)
+    )
 
     use_rc = (fwd_hi > rc_hi) | ((fwd_hi == rc_hi) & (fwd_lo > rc_lo))
     hi = jnp.where(use_rc, rc_hi, fwd_hi)

@@ -27,6 +27,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import _ladder
+
 __all__ = [
     "canonical_hash_tally",
     "canonical_hash_keys",
@@ -41,7 +43,10 @@ def _auto_block_rows(l: int) -> int:
     """Pick block_rows so a [block_rows, L] uint32 plane stays ~128 KiB:
     the kernel holds ~14 ladder/pack planes live, keeping VMEM well under
     the 16 MiB budget for any read length."""
-    if l > 65536:
+    if l > 16384:
+        # rows floor at 8, so beyond this the ~15 live ladder planes of
+        # [8, L] uint32 (~512 KiB each at L=16384) approach the 16 MiB
+        # VMEM budget; longer records must be tiled
         raise ValueError(
             f"read length {l} exceeds the kernel's single-row VMEM budget; "
             "tile long records first (device.tiling, (k-1)-base halos)"
@@ -94,9 +99,12 @@ def _roll_left(x: jax.Array, j: int, l: int) -> jax.Array:
     """rolled[:, p] == x[:, p + j] (wraps; wrapped lanes are masked off).
 
     pltpu.roll needs a non-negative shift, so a left-roll by j rides as a
-    right-roll by l - j.  Mosaic only rotates 32-bit lanes, which is why
-    every rolled quantity in this kernel is uint32.
+    right-roll by (l - j) mod l — the modulo keeps the shift legal when
+    j >= l (possible when L < k; every window is then out-of-bounds and
+    masked, so the wrapped values never surface).  Mosaic only rotates
+    32-bit lanes, which is why every rolled quantity here is uint32.
     """
+    j = j % l
     if j == 0:
         return x
     return pltpu.roll(x, l - j, 1)
@@ -112,77 +120,19 @@ def _tally_body(
     c1: int,
     c2: int,
 ):
-    """Shared tally computation: (hash, valid, use_rc) for every window."""
+    """Shared tally computation: (hash, valid, use_rc) for every window.
+
+    Window packing rides the shared power-of-two doubling ladders
+    (``device._ladder``, one source of truth with the XLA path); only the
+    roll primitive differs (``pltpu.roll`` over VMEM lanes here).
+    """
     codes = _encode_codes(seq_ref[:], normalized)  # [BR, L] uint32
     br, l = codes.shape
 
-    # Doubling ladders: W[m][:, p] packs codes[p..p+m-1] into the low 2m
-    # bits (O(log k) rolls instead of k-1); R[m] packs the reverse
-    # complement (3-c[p+m-1] .. 3-c[p]), doubling as R[2m](p) =
-    # (R[m](p+m) << 2m) | R[m](p) — amortized across levels it is cheaper
-    # than bit-reversing the forward pack per use; V[m] is 1 iff all m
-    # codes are valid bases.  Invalid codes (255) pollute packed values of
-    # nearby windows, but those windows are exactly the ones V masks off.
-    W = {1: codes}
-    R = {1: ~codes & jnp.uint32(3)}
-    V = {1: jnp.where(codes < jnp.uint32(4), jnp.uint32(1), jnp.uint32(0))}
-    for m in (1, 2, 4, 8):
-        if 2 * m > k:
-            break
-        W[2 * m] = (W[m] << jnp.uint32(2 * m)) | _roll_left(W[m], m, l)
-        R[2 * m] = (_roll_left(R[m], m, l) << jnp.uint32(2 * m)) | R[m]
-        V[2 * m] = V[m] & _roll_left(V[m], m, l)
-
-    def compose_fwd(width):
-        """W-ladder entry for an arbitrary width (groups packed MSB-first:
-        base p lands in the top 2 bits)."""
-        acc = None
-        off = 0
-        for m in (16, 8, 4, 2, 1):
-            if width & m:
-                part = _roll_left(W[m], off, l)
-                acc = part if acc is None else (acc << jnp.uint32(2 * m)) | part
-                off += m
-        return acc
-
-    def compose_rc(width):
-        """R-ladder entry for an arbitrary width: rc of window [p, p+width).
-        Accumulates low-to-high: R[a+b](p) = (R[b](p+a) << 2a) | R[a](p)."""
-        acc = None
-        off = 0
-        for m in (1, 2, 4, 8, 16):
-            if width & m:
-                part = _roll_left(R[m], off, l)
-                acc = part if acc is None else (part << jnp.uint32(2 * off)) | acc
-                off += m
-        return acc
-
-    def compose_valid(width):
-        acc = None
-        off = 0
-        for m in (16, 8, 4, 2, 1):
-            if width & m:
-                part = _roll_left(V[m], off, l)
-                acc = part if acc is None else acc & part
-                off += m
-        return acc
-
-    valid_u = compose_valid(k)
+    roll = lambda x, j: _roll_left(x, j, l)
+    fwd_hi, fwd_lo, rc_hi, rc_lo, valid_u = _ladder.canonical_parts(codes, k, roll)
     pos = jax.lax.broadcasted_iota(jnp.int32, (br, l), 1)
     valid = (valid_u != jnp.uint32(0)) & (pos + k <= len_ref[:])
-
-    if k <= 16:
-        fwd_lo = compose_fwd(k)
-        fwd_hi = jnp.zeros((br, l), dtype=jnp.uint32)
-        rc_lo = compose_rc(k)
-        rc_hi = jnp.zeros((br, l), dtype=jnp.uint32)
-    else:
-        m_hi = k - 16
-        fwd_hi = compose_fwd(m_hi)  # first k-16 bases
-        fwd_lo = _roll_left(W[16], m_hi, l)  # last 16 bases
-        rc_lo = R[16]  # rc of the first 16 bases
-        # rc of the last m_hi bases = bases p+16..p+k-1
-        rc_hi = _roll_left(compose_rc(m_hi), 16, l)
 
     use_rc = (fwd_hi > rc_hi) | ((fwd_hi == rc_hi) & (fwd_lo > rc_lo))
     hi = jnp.where(use_rc, rc_hi, fwd_hi)
@@ -223,6 +173,60 @@ def _keys_kernel(seq_ref, len_ref, keys_ref, total_ref, fwd_ref, **kw):
     _accumulate_tallies(i, total_ref, fwd_ref, valid, use_rc)
 
 
+def _run_tally(
+    kernel_fn,
+    n_planes: int,
+    seqs: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    table_bits: int,
+    normalized: bool,
+    block_rows: Optional[int],
+):
+    """Shared launch logic for the fused tally kernels: k validation, VMEM
+    block sizing + internal row padding, grid/spec construction.  Returns
+    (``n_planes`` [B, L] int32 planes..., total, fwd)."""
+    if not 1 <= k <= 31:
+        raise ValueError(f"k must be in [1, 31], got {k}")
+    b_in, l = seqs.shape
+    if block_rows is None:
+        block_rows = _auto_block_rows(l)
+        seqs, lengths, b_in = _pad_rows(seqs, lengths, block_rows)
+    b = seqs.shape[0]
+    if b % block_rows:
+        raise ValueError(f"batch rows {b} not a multiple of {block_rows}")
+    kernel = partial(
+        kernel_fn,
+        k=k,
+        normalized=normalized,
+        table_mask=(1 << table_bits) - 1,
+        c1=0x9E3779B1,
+        c2=0x85EBCA77,
+    )
+    plane_spec = pl.BlockSpec(
+        (block_rows, l), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // block_rows,),
+        in_specs=[
+            plane_spec,
+            # lengths ride as [B, 1] — 1D operands hit an XLA/Mosaic layout
+            # mismatch (T(512) vs T(256))
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[plane_spec] * n_planes + [scalar_spec, scalar_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, l), jnp.int32)] * n_planes
+        + [jax.ShapeDtypeStruct((1, 1), jnp.int32)] * 2,
+        interpret=_interpret(),
+    )(seqs, lengths.reshape(b, 1))
+    planes, total, fwd = out[:n_planes], out[-2], out[-1]
+    if b != b_in:
+        planes = [p[:b_in] for p in planes]
+    return (*planes, total[0, 0], fwd[0, 0])
+
+
 @partial(
     jax.jit,
     static_argnames=("k", "normalized", "table_bits", "block_rows"),
@@ -244,50 +248,9 @@ def canonical_hash_tally(
     ``block_rows=None`` sizes VMEM tiles from the read length and pads the
     batch rows internally; an explicit value must divide the batch rows.
     """
-    if not 1 <= k <= 31:
-        raise ValueError(f"k must be in [1, 31], got {k}")
-    b_in, l = seqs.shape
-    if block_rows is None:
-        block_rows = _auto_block_rows(l)
-        seqs, lengths, b_in = _pad_rows(seqs, lengths, block_rows)
-    b = seqs.shape[0]
-    if b % block_rows:
-        raise ValueError(f"batch rows {b} not a multiple of {block_rows}")
-    grid = (b // block_rows,)
-    kernel = partial(
-        _kernel,
-        k=k,
-        normalized=normalized,
-        table_mask=(1 << table_bits) - 1,
-        c1=0x9E3779B1,
-        c2=0x85EBCA77,
+    return _run_tally(
+        _kernel, 2, seqs, lengths, k, table_bits, normalized, block_rows
     )
-    idx, weight, total, fwd = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_rows, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            # lengths ride as [B, 1] — 1D operands hit an XLA/Mosaic layout
-            # mismatch (T(512) vs T(256))
-            pl.BlockSpec((block_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((block_rows, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, l), jnp.int32),
-            jax.ShapeDtypeStruct((b, l), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        ],
-        interpret=_interpret(),
-    )(seqs, lengths.reshape(b, 1))
-    if b != b_in:
-        idx, weight = idx[:b_in], weight[:b_in]
-    return idx, weight, total[0, 0], fwd[0, 0]
 
 
 @partial(
@@ -311,45 +274,9 @@ def canonical_hash_keys(
     pads the batch rows internally (padded rows have length 0, so they emit
     nothing); an explicit value must divide the batch rows.
     """
-    if not 1 <= k <= 31:
-        raise ValueError(f"k must be in [1, 31], got {k}")
-    b_in, l = seqs.shape
-    if block_rows is None:
-        block_rows = _auto_block_rows(l)
-        seqs, lengths, b_in = _pad_rows(seqs, lengths, block_rows)
-    b = seqs.shape[0]
-    if b % block_rows:
-        raise ValueError(f"batch rows {b} not a multiple of {block_rows}")
-    kernel = partial(
-        _keys_kernel,
-        k=k,
-        normalized=normalized,
-        table_mask=(1 << table_bits) - 1,
-        c1=0x9E3779B1,
-        c2=0x85EBCA77,
+    return _run_tally(
+        _keys_kernel, 1, seqs, lengths, k, table_bits, normalized, block_rows
     )
-    keys, total, fwd = pl.pallas_call(
-        kernel,
-        grid=(b // block_rows,),
-        in_specs=[
-            pl.BlockSpec((block_rows, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((block_rows, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, l), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        ],
-        interpret=_interpret(),
-    )(seqs, lengths.reshape(b, 1))
-    if b != b_in:
-        keys = keys[:b_in]
-    return keys, total[0, 0], fwd[0, 0]
 
 
 def _zero_nibbles8(z: jax.Array) -> jax.Array:

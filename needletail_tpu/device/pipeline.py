@@ -98,7 +98,7 @@ def count_file(
         dense = k <= _count.MAX_DENSE_K
     n_bases = 0
     dense_total = None  # stays on device; accumulation is async-dispatched
-    key_parts = []
+    sparse = _count.SparseSpectrumAccumulator()
 
     @partial(jax.jit, donate_argnums=(0,), static_argnums=())
     def _accumulate(table, seqs, lengths):
@@ -127,14 +127,14 @@ def count_file(
                 dense_total = jnp.zeros(4**k, dtype=jnp.int32)
             dense_total = _accumulate(dense_total, seqs, lengths)
         else:
-            key_parts.append(_keys(seqs, lengths))
+            sparse.add(*_keys(seqs, lengths))
     if dense:
         return n_bases, (
             np.asarray(dense_total)
             if dense_total is not None
             else np.zeros(4**k, np.int64)
         )
-    keys, counts = _count.finalize_sparse(key_parts)
+    keys, counts = sparse.finish()
     if sparse_format == "arrays":
         return n_bases, (keys, counts)
     return n_bases, _count.spectrum_arrays_to_dict(keys, counts)
@@ -189,20 +189,25 @@ def hash_count_file(
 
     from .pallas_kernels import canonical_hash_keys, mxu_histogram16
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step(table, total, fwd, seqs, lengths):
+    if table_bits > 16:
+        raise ValueError("the MXU histogram shard is 2^16 bins; table_bits <= 16")
+
+    from ..utils.limbs import acc64, limbs_to_int
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(table, tallies, seqs, lengths):
         keys, t, f = canonical_hash_keys(
             seqs, lengths, k, table_bits=table_bits, normalized=normalized
         )
+        t_lo, t_hi = acc64(tallies[0], tallies[1], t)
+        f_lo, f_hi = acc64(tallies[2], tallies[3], f)
         return (
             table + mxu_histogram16(keys, None)[: 1 << table_bits],
-            total + t,
-            fwd + f,
+            jnp.stack([t_lo, t_hi, f_lo, f_hi]),
         )
 
     table = jnp.zeros((1 << table_bits,), jnp.int32)
-    total = jnp.zeros((), jnp.int32)
-    fwd = jnp.zeros((), jnp.int32)
+    tallies = jnp.zeros((4,), jnp.uint32)  # (total_lo, total_hi, fwd_lo, fwd_hi)
     n_bases = 0
     for batch in read_batches(
         path, batch_size=batch_size, max_len=max_len, prefetch=True
@@ -211,10 +216,13 @@ def hash_count_file(
         if batch.max_len < k:
             continue
         b = batch if batch.num_reads == batch_size else batch.pad_reads_to(batch_size)
-        table, total, fwd = step(
-            table, total, fwd, jnp.asarray(b.seqs), jnp.asarray(b.lengths)
+        table, tallies = step(
+            table, tallies, jnp.asarray(b.seqs), jnp.asarray(b.lengths)
         )
-    return n_bases, int(total), int(fwd), np.asarray(table)
+    tallies = np.asarray(tallies)
+    total = limbs_to_int(tallies[0], tallies[1])
+    fwd = limbs_to_int(tallies[2], tallies[3])
+    return n_bases, total, fwd, np.asarray(table)
 
 
 def readme_pipeline(path, k: int = 4, target: bytes = b"AAAA") -> Tuple[int, int]:

@@ -120,7 +120,7 @@ def genome_spectrum(
         dense = k <= _count.MAX_DENSE_K
     n_bases = 0
     dense_total = None  # device-resident accumulation
-    key_parts = []
+    sparse = _count.SparseSpectrumAccumulator()
     fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
     # count bases separately (tiles double-count halo bytes)
     reader = parse_fastx_file(path)
@@ -135,14 +135,14 @@ def genome_spectrum(
             spec = _count.dense_spectrum(windows, k)
             dense_total = spec if dense_total is None else dense_total + spec
         else:
-            key_parts.append(_count.mask_keys(windows))
+            sparse.add(*_count.mask_keys(windows))
     if dense:
         return n_bases, (
             np.asarray(dense_total)
             if dense_total is not None
             else np.zeros(4**k, np.int64)
         )
-    keys, counts = _count.finalize_sparse(key_parts)
+    keys, counts = sparse.finish()
     if sparse_format == "arrays":
         return n_bases, (keys, counts)
     return n_bases, _count.spectrum_arrays_to_dict(keys, counts)

@@ -61,8 +61,10 @@ class CountCheckpoint:
             table = jax.device_put(table, NamedSharding(mesh, P("table")))
         return CountState(
             table=table,
-            n_bases=jnp.asarray(self.n_bases, jnp.int32),
-            n_reads=jnp.asarray(self.n_reads, jnp.int32),
+            n_bases_lo=jnp.asarray(self.n_bases & 0xFFFFFFFF, jnp.uint32),
+            n_bases_hi=jnp.asarray(self.n_bases >> 32, jnp.uint32),
+            n_reads_lo=jnp.asarray(self.n_reads & 0xFFFFFFFF, jnp.uint32),
+            n_reads_hi=jnp.asarray(self.n_reads >> 32, jnp.uint32),
         )
 
 
@@ -77,8 +79,8 @@ def save_count_state(
     np.savez_compressed(
         path,
         table=np.asarray(state.table),
-        n_bases=np.asarray(state.n_bases),
-        n_reads=np.asarray(state.n_reads),
+        n_bases=np.int64(state.n_bases),
+        n_reads=np.int64(state.n_reads),
         byte_offset=np.int64(byte_offset),
         k=np.int32(k),
         input_path=np.bytes_(str(input_path or "")),
@@ -111,8 +113,8 @@ def save_hash_state(
     np.savez_compressed(
         path,
         table=np.asarray(state.table),
-        total=np.asarray(state.total),
-        fwd=np.asarray(state.fwd),
+        total=np.int64(state.total),
+        fwd=np.int64(state.fwd),
         byte_offset=np.int64(byte_offset),
         k=np.int32(k),
         input_path=np.bytes_(str(input_path or "")),
@@ -133,10 +135,14 @@ def load_hash_state(
         table = jnp.asarray(z["table"])
         if mesh is not None:
             table = jax.device_put(table, NamedSharding(mesh, P("data")))
+        total = int(z["total"])
+        fwd = int(z["fwd"])
         state = HashCountState(
             table=table,
-            total=jnp.asarray(int(z["total"]), jnp.int32),
-            fwd=jnp.asarray(int(z["fwd"]), jnp.int32),
+            total_lo=jnp.asarray(total & 0xFFFFFFFF, jnp.uint32),
+            total_hi=jnp.asarray(total >> 32, jnp.uint32),
+            fwd_lo=jnp.asarray(fwd & 0xFFFFFFFF, jnp.uint32),
+            fwd_hi=jnp.asarray(fwd >> 32, jnp.uint32),
         )
         return (
             state,

@@ -84,15 +84,30 @@ def sharded_spectrum(
     return fn(seqs, lengths)
 
 
+from ..utils.limbs import acc64 as _acc64
+from ..utils.limbs import limbs_to_int as _limbs_to_int
+
+
 @jax.tree_util.register_dataclass
 @dataclass
 class CountState:
     """Streaming count-table state: the global spectrum (sharded over
-    ``table``) plus running base/read tallies (replicated)."""
+    ``table``) plus running base/read tallies (replicated, uint32 limb
+    pairs — see ``_acc64``; read them via ``.n_bases``/``.n_reads``)."""
 
     table: jax.Array  # int32 [4^k], sharded P('table')
-    n_bases: jax.Array  # int64-ish scalar (int32 here)
-    n_reads: jax.Array
+    n_bases_lo: jax.Array
+    n_bases_hi: jax.Array
+    n_reads_lo: jax.Array
+    n_reads_hi: jax.Array
+
+    @property
+    def n_bases(self) -> int:
+        return _limbs_to_int(self.n_bases_lo, self.n_bases_hi)
+
+    @property
+    def n_reads(self) -> int:
+        return _limbs_to_int(self.n_reads_lo, self.n_reads_hi)
 
 
 def init_count_state(mesh: Mesh, k: int) -> CountState:
@@ -104,8 +119,10 @@ def init_count_state(mesh: Mesh, k: int) -> CountState:
     # aliased buffers cannot be donated twice
     return CountState(
         table=table,
-        n_bases=jnp.zeros((), dtype=jnp.int32),
-        n_reads=jnp.zeros((), dtype=jnp.int32),
+        n_bases_lo=jnp.zeros((), dtype=jnp.uint32),
+        n_bases_hi=jnp.zeros((), dtype=jnp.uint32),
+        n_reads_lo=jnp.zeros((), dtype=jnp.uint32),
+        n_reads_hi=jnp.zeros((), dtype=jnp.uint32),
     )
 
 
@@ -133,10 +150,20 @@ def make_update_step(mesh: Mesh, k: int, canonical: bool = True, normalized: boo
             in_specs=(P("data", None), P("data")),
             out_specs=P("table"),
         )(seqs, lengths)
+        nb_lo, nb_hi = _acc64(
+            state.n_bases_lo, state.n_bases_hi, jnp.sum(lengths.astype(jnp.int32))
+        )
+        nr_lo, nr_hi = _acc64(
+            state.n_reads_lo,
+            state.n_reads_hi,
+            jnp.asarray(seqs.shape[0], dtype=jnp.int32),
+        )
         return CountState(
             table=state.table + spec,
-            n_bases=state.n_bases + jnp.sum(lengths.astype(jnp.int32)),
-            n_reads=state.n_reads + jnp.asarray(seqs.shape[0], dtype=jnp.int32),
+            n_bases_lo=nb_lo,
+            n_bases_hi=nb_hi,
+            n_reads_lo=nr_lo,
+            n_reads_hi=nr_hi,
         )
 
     def place_batch(seqs, lengths):
@@ -183,11 +210,24 @@ def update_count_state(
 class HashCountState:
     """Streaming hash-spectrum state: [2^table_bits] global table sharded
     over ``data`` (each chip owns a contiguous bin range after the
-    reduce-scatter) plus replicated tallies."""
+    reduce-scatter) plus replicated tallies (uint32 limb pairs, exact past
+    2^31 windows; read via ``.total``/``.fwd``)."""
 
     table: jax.Array  # int32 [2^table_bits], sharded P('data')
-    total: jax.Array  # int32 scalar: valid canonical windows
-    fwd: jax.Array  # int32 scalar: windows where forward strand won
+    total_lo: jax.Array
+    total_hi: jax.Array
+    fwd_lo: jax.Array
+    fwd_hi: jax.Array
+
+    @property
+    def total(self) -> int:
+        """Valid canonical windows counted so far (Python int, syncs)."""
+        return _limbs_to_int(self.total_lo, self.total_hi)
+
+    @property
+    def fwd(self) -> int:
+        """Windows where the forward strand won (Python int, syncs)."""
+        return _limbs_to_int(self.fwd_lo, self.fwd_hi)
 
 
 def make_hash_update_step(
@@ -250,15 +290,19 @@ def make_hash_update_step(
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: HashCountState, seqs, lengths) -> HashCountState:
         table, total, fwd = local_fn(state.table, seqs, lengths)
+        t_lo, t_hi = _acc64(state.total_lo, state.total_hi, total)
+        f_lo, f_hi = _acc64(state.fwd_lo, state.fwd_hi, fwd)
         return HashCountState(
-            table=table, total=state.total + total, fwd=state.fwd + fwd
+            table=table, total_lo=t_lo, total_hi=t_hi, fwd_lo=f_lo, fwd_hi=f_hi
         )
 
     def init() -> HashCountState:
         return HashCountState(
             table=jax.device_put(jnp.zeros((n_bins,), jnp.int32), table_sharding),
-            total=jnp.zeros((), jnp.int32),
-            fwd=jnp.zeros((), jnp.int32),
+            total_lo=jnp.zeros((), jnp.uint32),
+            total_hi=jnp.zeros((), jnp.uint32),
+            fwd_lo=jnp.zeros((), jnp.uint32),
+            fwd_hi=jnp.zeros((), jnp.uint32),
         )
 
     def place_batch(seqs, lengths):

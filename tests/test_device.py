@@ -247,3 +247,41 @@ class TestHashCountFile:
         )
         assert table.shape == (1024,)
         assert table.sum() == total > 0
+
+
+class TestSparseStreamingMemory:
+    def test_merge_sorted_spectra(self):
+        ak = np.array([1, 5, 9], np.uint64); ac = np.array([2, 1, 4], np.int64)
+        bk = np.array([0, 5, 10], np.uint64); bc = np.array([7, 3, 1], np.int64)
+        k_, c_ = dcount.merge_sorted_spectra(ak, ac, bk, bc)
+        assert list(k_) == [0, 1, 5, 9, 10]
+        assert list(c_) == [7, 2, 4, 4, 1]
+        # identity with empties
+        k2, c2 = dcount.merge_sorted_spectra(np.zeros(0, np.uint64), np.zeros(0, np.int64), ak, ac)
+        assert np.array_equal(k2, ak) and np.array_equal(c2, ac)
+
+    def test_accumulator_flush_equals_single_pass(self):
+        rng = np.random.default_rng(0)
+        parts = []
+        for s in range(5):
+            seqs = rng.choice(list(b"ACGTN"), size=(16, 48)).astype(np.uint8)
+            lengths = rng.integers(0, 49, 16).astype(np.int32)
+            win = dkmers.canonical_kmers(jnp.asarray(seqs), jnp.asarray(lengths), 13)
+            parts.append(dcount.mask_keys(win))
+        # tiny flush budget forces several host merges
+        acc = dcount.SparseSpectrumAccumulator(flush_lanes=100)
+        for hi, lo in parts:
+            acc.add(hi, lo)
+        k1, c1 = acc.finish()
+        k2, c2 = dcount.finalize_sparse(parts, pad_multiple=128)
+        assert np.array_equal(k1, k2) and np.array_equal(c1, c2)
+
+
+class TestLimbAccumulation:
+    def test_acc64_carry(self):
+        from needletail_tpu.utils.limbs import acc64, limbs_to_int
+
+        lo = jnp.asarray(0xFFFFFFFE, jnp.uint32)
+        hi = jnp.asarray(3, jnp.uint32)
+        lo2, hi2 = acc64(lo, hi, jnp.asarray(5, jnp.int32))
+        assert limbs_to_int(lo2, hi2) == (3 << 32) + 0xFFFFFFFE + 5
