@@ -1,5 +1,6 @@
 """Host-side I/O: compression sniffing/decoding and batched ingestion."""
 
+from .bucketed import DEFAULT_BUCKETS, bucketed_read_batches
 from .compression import (
     BZ_MAGIC,
     GZ_MAGIC,
@@ -12,6 +13,8 @@ from .compression import (
 )
 
 __all__ = [
+    "bucketed_read_batches",
+    "DEFAULT_BUCKETS",
     "GZ_MAGIC",
     "BZ_MAGIC",
     "XZ_MAGIC",

@@ -199,3 +199,51 @@ class TestAutoMaxLenWidening:
         p.write_bytes(b">a\n" + b"A" * 300 + b"\n")
         with pytest.raises(ValueError):
             list(fast_read_batches(str(p), batch_size=8, max_len=128))
+
+
+class TestBucketedBatches:
+    """Length-bucketed batching: every record preserved, batch widths are
+    the smallest bucket holding all their reads (SURVEY §7 hard part 4)."""
+
+    def _mixed_file(self, tmp_path, lengths, fmt="fastq"):
+        rng = np.random.default_rng(11)
+        p = tmp_path / ("m.fq" if fmt == "fastq" else "m.fa")
+        with open(p, "wb") as f:
+            for i, ln in enumerate(lengths):
+                seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), ln).tobytes()
+                if fmt == "fastq":
+                    f.write(b"@r%d\n" % i + seq + b"\n+\n" + b"I" * ln + b"\n")
+                else:
+                    f.write(b">r%d\n" % i + seq + b"\n")
+        return p
+
+    def test_mixed_lengths_bucketed(self, tmp_path):
+        from needletail_tpu.io.bucketed import bucketed_read_batches
+
+        lengths = [36] * 10 + [150] * 7 + [300] * 3 + [5000]
+        p = self._mixed_file(tmp_path, lengths)
+        seen = []
+        for b in bucketed_read_batches(str(p), batch_size=4):
+            assert b.seqs.shape[1] in (128, 256, 512, 5120)
+            assert (b.lengths[: b.num_reads] <= b.seqs.shape[1]).all()
+            seen.extend(int(x) for x in b.lengths[: b.num_reads])
+        assert sorted(seen) == sorted(lengths)
+
+    def test_content_preserved_and_quals(self, tmp_path):
+        from needletail_tpu.io.bucketed import bucketed_read_batches
+
+        lengths = [20, 200, 20, 200, 20]
+        p = self._mixed_file(tmp_path, lengths)
+        # oracle: streaming reader
+        from needletail_tpu.parser import parse_fastx_file
+
+        recs = {}
+        reader = parse_fastx_file(str(p))
+        while (r := reader.next()) is not None:
+            recs[bytes(r.seq())] = bytes(r.qual())
+        got = {}
+        for b in bucketed_read_batches(str(p), batch_size=2):
+            for i in range(b.num_reads):
+                ln = int(b.lengths[i])
+                got[bytes(b.seqs[i, :ln])] = bytes(b.quals[i, :ln])
+        assert got == recs
