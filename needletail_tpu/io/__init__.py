@@ -1,6 +1,5 @@
 """Host-side I/O: compression sniffing/decoding and batched ingestion."""
 
-from .bucketed import DEFAULT_BUCKETS, bucketed_read_batches
 from .compression import (
     BZ_MAGIC,
     GZ_MAGIC,
@@ -11,6 +10,16 @@ from .compression import (
     sniff_compression,
     wrap_decompressor,
 )
+
+def __getattr__(name):
+    # lazy: bucketed -> fast_batch -> parser -> io.compression would be a
+    # circular import at package-init time
+    if name in ("bucketed_read_batches", "DEFAULT_BUCKETS"):
+        from . import bucketed
+
+        return getattr(bucketed, name)
+    raise AttributeError(name)
+
 
 __all__ = [
     "bucketed_read_batches",
