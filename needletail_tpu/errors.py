@@ -91,6 +91,10 @@ class ParseError(Exception):
         self.position = position if position is not None else ErrorPosition()
         self.format = format
 
+    def __reduce__(self):
+        # picklable across process boundaries (multiprocess framing workers)
+        return (ParseError, (self.msg, self.kind, self.position, self.format))
+
     # ---- constructors matching the reference (src/errors.rs:59-126) ----
     @classmethod
     def new_invalid_start(

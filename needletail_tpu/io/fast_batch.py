@@ -441,6 +441,76 @@ class _FastaBatcher:
             )
 
 
+class RangeStream(io.RawIOBase):
+    """Reads exactly ``[start, end)`` of a file (record-aligned ranges come
+    from ``parallel.distributed.split_fastx_ranges``)."""
+
+    def __init__(self, path, start: int, end: int) -> None:
+        self._f = open(path, "rb")
+        self._f.seek(start)
+        self._remaining = end - start
+
+    def readable(self) -> bool:  # pragma: no cover
+        return True
+
+    def read(self, size: int = -1) -> bytes:
+        if self._remaining <= 0:
+            return b""
+        if size is None or size < 0 or size > self._remaining:
+            size = self._remaining
+        data = self._f.read(size)
+        self._remaining -= len(data)
+        return data
+
+    def readinto(self, b) -> int:
+        data = self.read(len(b))
+        b[: len(data)] = data
+        return len(data)
+
+    def close(self) -> None:
+        try:
+            self._f.close()
+        finally:
+            super().close()
+
+
+def fast_read_batches_range(
+    path: Union[str, Path],
+    start: int,
+    end: int,
+    batch_size: int = 8192,
+    max_len: Optional[int] = None,
+    with_quals: bool = True,
+) -> Iterator[ReadBatch]:
+    """Native-framer batches over one record-aligned byte range of an
+    UNCOMPRESSED file (compressed streams cannot be range-split)."""
+    try:
+        with open(path, "rb") as f:
+            magic = f.read(2)
+    except OSError as exc:
+        raise ParseError.from_io(exc) from exc
+    if len(magic) == 2 and sniff_compression(magic):
+        raise ValueError("byte-range framing needs an uncompressed file")
+    if start >= end:
+        return
+    first = magic[:1]
+    stream = RangeStream(path, start, end)
+    if first == b"@" and native.available():
+        yield from _FastqBatcher(stream, batch_size, max_len, with_quals)
+    elif first == b">" and native.available():
+        yield from _FastaBatcher(stream, batch_size, max_len)
+    elif first == b">":
+        yield from BatchReader(
+            FastaReader(stream), batch_size=batch_size, max_len=max_len, keep_ids=False
+        )
+    elif first == b"@":
+        yield from BatchReader(
+            FastqReader(stream), batch_size=batch_size, max_len=max_len, keep_ids=False
+        )
+    else:
+        raise ParseError.new_unknown_format(first[0] if first else 0)
+
+
 def fast_read_batches(
     path: Union[str, Path],
     batch_size: int = 8192,

@@ -1,0 +1,113 @@
+"""Multi-process host framing: parallel byte-range workers feeding batches.
+
+One framing core tops out around ~400 Mbases/s while a v5e chip counts at
+~3.3 Gbases/s — the host is the deployment bottleneck (SURVEY.md §7 hard
+part 3).  ``parallel_read_batches`` splits an uncompressed FASTX file into
+record-aligned byte ranges (``parallel.distributed.split_fastx_ranges``)
+and frames each range in its own worker process with the native scanner,
+streaming ``ReadBatch``es back over a queue.
+
+Batch arrival order interleaves across workers; every record is framed by
+exactly one worker, so any order-independent consumer (all the counting
+pipelines — integer adds commute) gets bit-identical results.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+from pathlib import Path
+from typing import Iterator, Optional, Union
+
+from ..batch import ReadBatch
+from ..errors import ParseError
+
+__all__ = ["parallel_read_batches"]
+
+_DONE = "done"
+_ERR = "err"
+_BATCH = "batch"
+
+
+def _worker(path, start, end, batch_size, max_len, with_quals, q) -> None:
+    from .fast_batch import fast_read_batches_range
+
+    try:
+        for b in fast_read_batches_range(
+            path, start, end, batch_size=batch_size, max_len=max_len,
+            with_quals=with_quals,
+        ):
+            q.put((_BATCH, (b.seqs, b.lengths, b.quals)))
+        q.put((_DONE, None))
+    except BaseException as exc:  # propagate to the consumer
+        try:
+            q.put((_ERR, exc))
+        except Exception:  # unpicklable exception: degrade to an IO error
+            q.put((_ERR, ParseError.from_io(OSError(repr(exc)))))
+
+
+def parallel_read_batches(
+    path: Union[str, Path],
+    workers: int = 2,
+    batch_size: int = 8192,
+    max_len: Optional[int] = None,
+    with_quals: bool = True,
+) -> Iterator[ReadBatch]:
+    """Frame an uncompressed FASTX file with ``workers`` processes.
+
+    Falls back to the single-process fast path for ``workers <= 1``.
+    Compressed inputs cannot be range-split; use ``fast_read_batches``
+    (optionally with ``prefetch=True``) for those.
+    """
+    from .fast_batch import fast_read_batches
+
+    if workers <= 1:
+        yield from fast_read_batches(
+            str(path), batch_size=batch_size, max_len=max_len, with_quals=with_quals
+        )
+        return
+
+    from .compression import sniff_compression
+
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if len(magic) == 2 and sniff_compression(magic):
+        raise ValueError(
+            "byte-range framing needs an uncompressed file; use "
+            "fast_read_batches(prefetch=True) for compressed input"
+        )
+
+    from ..parallel.distributed import split_fastx_ranges
+
+    ranges = split_fastx_ranges(path, workers)
+    ctx = mp.get_context("fork" if "fork" in mp.get_all_start_methods() else "spawn")
+    q = ctx.Queue(maxsize=4 * workers)
+    procs = [
+        ctx.Process(
+            target=_worker,
+            args=(str(path), start, end, batch_size, max_len, with_quals, q),
+            daemon=True,
+        )
+        for start, end in ranges
+    ]
+    for p in procs:
+        p.start()
+    live = len(procs)
+    error = None
+    try:
+        while live:
+            kind, payload = q.get()
+            if kind == _DONE:
+                live -= 1
+            elif kind == _ERR:
+                error = payload
+                break
+            else:
+                seqs, lengths, quals = payload
+                yield ReadBatch(seqs=seqs, lengths=lengths, quals=quals, ids=[])
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            p.join()
+    if error is not None:
+        raise error

@@ -20,6 +20,7 @@ from pathlib import Path
 from typing import Iterator, List, Optional, Tuple, Union
 
 from ..errors import ParseError
+from ..io.fast_batch import RangeStream as _RangeStream
 from ..parser import FastaReader, FastqReader, FastxReader
 
 __all__ = [
@@ -131,38 +132,6 @@ def split_fastx_ranges(
         cuts.append(max(cut, cuts[-1]))
     cuts.append(size)
     return [(cuts[i], cuts[i + 1]) for i in range(n)]
-
-
-class _RangeStream(io.RawIOBase):
-    """Reads exactly ``[start, end)`` of a file."""
-
-    def __init__(self, path, start: int, end: int) -> None:
-        self._f = open(path, "rb")
-        self._f.seek(start)
-        self._remaining = end - start
-
-    def readable(self) -> bool:  # pragma: no cover
-        return True
-
-    def read(self, size: int = -1) -> bytes:
-        if self._remaining <= 0:
-            return b""
-        if size is None or size < 0 or size > self._remaining:
-            size = self._remaining
-        data = self._f.read(size)
-        self._remaining -= len(data)
-        return data
-
-    def readinto(self, b) -> int:
-        data = self.read(len(b))
-        b[: len(data)] = data
-        return len(data)
-
-    def close(self) -> None:
-        try:
-            self._f.close()
-        finally:
-            super().close()
 
 
 def read_range(path: Union[str, Path], start: int, end: int) -> FastxReader:

@@ -247,3 +247,41 @@ class TestBucketedBatches:
                 ln = int(b.lengths[i])
                 got[bytes(b.seqs[i, :ln])] = bytes(b.quals[i, :ln])
         assert got == recs
+
+
+class TestParallelHostFraming:
+    def test_two_workers_cover_all_records(self, data_dir):
+        from needletail_tpu.io.parallel_host import parallel_read_batches
+        from needletail_tpu.io.fast_batch import fast_read_batches
+
+        path = str(data_dir / "PRJNA271013_head.fq")
+        single = {}
+        for b in fast_read_batches(path, batch_size=256):
+            for i in range(b.num_reads):
+                ln = int(b.lengths[i])
+                key = bytes(b.seqs[i, :ln])
+                single[key] = single.get(key, 0) + 1
+        par = {}
+        n = 0
+        for b in parallel_read_batches(path, workers=2, batch_size=256):
+            for i in range(b.num_reads):
+                ln = int(b.lengths[i])
+                key = bytes(b.seqs[i, :ln])
+                par[key] = par.get(key, 0) + 1
+                n += 1
+        assert n == 2000 and par == single
+
+    def test_worker_error_propagates(self, tmp_path):
+        from needletail_tpu.io.parallel_host import parallel_read_batches
+
+        p = tmp_path / "bad.fq"
+        p.write_bytes(b"@r1\nACGT\n+\nII\n" * 50)  # unequal lengths
+        with pytest.raises(ParseError):
+            for _ in parallel_read_batches(str(p), workers=2, batch_size=8):
+                pass
+
+    def test_compressed_rejected(self, data_dir):
+        from needletail_tpu.io.parallel_host import parallel_read_batches
+
+        with pytest.raises(ValueError):
+            list(parallel_read_batches(str(data_dir / "test.fa.gz"), workers=2))
