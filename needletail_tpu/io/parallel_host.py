@@ -79,7 +79,9 @@ def parallel_read_batches(
     from ..parallel.distributed import split_fastx_ranges
 
     ranges = split_fastx_ranges(path, workers)
-    ctx = mp.get_context("fork" if "fork" in mp.get_all_start_methods() else "spawn")
+    # spawn, never fork: the consumer typically has JAX (multithreaded)
+    # initialized, and forking a multithreaded process can deadlock
+    ctx = mp.get_context("spawn")
     q = ctx.Queue(maxsize=4 * workers)
     procs = [
         ctx.Process(
