@@ -176,6 +176,7 @@ def hash_count_file(
     batch_size: int = 65536,
     max_len: Optional[int] = None,
     normalized: bool = True,
+    host_workers: int = 1,
 ) -> Tuple[int, int, int, np.ndarray]:
     """Stream a FASTX file through the fused Pallas hash-counting pipeline
     (the headline bench path): canonical k-mer extraction -> -1-masked hash
@@ -184,6 +185,9 @@ def hash_count_file(
     Returns ``(n_bases, total_windows, forward_windows, table)`` where
     ``table`` is the int32 ``[2^table_bits]`` hash spectrum (collisions
     accumulate; use :func:`count_file` for exact per-k-mer counts).
+
+    ``host_workers > 1`` frames uncompressed input with that many worker
+    processes (``io.parallel_host``) — one framing core cannot feed a chip.
     """
     import jax
 
@@ -209,9 +213,17 @@ def hash_count_file(
     table = jnp.zeros((1 << table_bits,), jnp.int32)
     tallies = jnp.zeros((4,), jnp.uint32)  # (total_lo, total_hi, fwd_lo, fwd_hi)
     n_bases = 0
-    for batch in read_batches(
-        path, batch_size=batch_size, max_len=max_len, prefetch=True
-    ):
+    if host_workers > 1:
+        from ..io.parallel_host import parallel_read_batches
+
+        batches = parallel_read_batches(
+            path, workers=host_workers, batch_size=batch_size, max_len=max_len
+        )
+    else:
+        batches = read_batches(
+            path, batch_size=batch_size, max_len=max_len, prefetch=True
+        )
+    for batch in batches:
         n_bases += batch.num_bases
         if batch.max_len < k:
             continue
