@@ -248,6 +248,15 @@ class TestHashCountFile:
         assert table.shape == (1024,)
         assert table.sum() == total > 0
 
+    def test_host_workers_parity(self, data_dir):
+        from needletail_tpu.device.pipeline import hash_count_file
+
+        path = str(data_dir / "PRJNA271013_head.fq")
+        a = hash_count_file(path, k=9, batch_size=512)
+        b = hash_count_file(path, k=9, batch_size=512, host_workers=2)
+        assert a[0] == b[0] and a[1] == b[1] and a[2] == b[2]
+        assert np.array_equal(a[3], b[3])
+
 
 class TestSparseStreamingMemory:
     def test_merge_sorted_spectra(self):
@@ -285,12 +294,3 @@ class TestLimbAccumulation:
         hi = jnp.asarray(3, jnp.uint32)
         lo2, hi2 = acc64(lo, hi, jnp.asarray(5, jnp.int32))
         assert limbs_to_int(lo2, hi2) == (3 << 32) + 0xFFFFFFFE + 5
-
-    def test_host_workers_parity(self, data_dir):
-        from needletail_tpu.device.pipeline import hash_count_file
-
-        path = str(data_dir / "PRJNA271013_head.fq")
-        a = hash_count_file(path, k=9, batch_size=512)
-        b = hash_count_file(path, k=9, batch_size=512, host_workers=2)
-        assert a[0] == b[0] and a[1] == b[1] and a[2] == b[2]
-        assert np.array_equal(a[3], b[3])
