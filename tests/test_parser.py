@@ -354,3 +354,16 @@ class TestIoErrors:
             while reader.next() is not None:
                 pass
         assert ei.value.kind == ParseErrorKind.IO
+
+
+def test_multi_member_gzip(tmp_path):
+    """Concatenated gzip members decode as one stream (ref MultiGzDecoder,
+    mod.rs:98-106)."""
+    import gzip
+
+    import needletail_tpu as nt
+
+    p = tmp_path / "mm.fa.gz"
+    p.write_bytes(gzip.compress(b">a\nACGT\n") + gzip.compress(b">b\nGGCC\n"))
+    recs = [(r.id, r.seq) for r in nt.parse_fastx_file(str(p))]
+    assert recs == [("a", "ACGT"), ("b", "GGCC")]
