@@ -84,6 +84,7 @@ def count_file(
     max_len: Optional[int] = None,
     dense: Optional[bool] = None,
     sparse_format: str = "dict",
+    bucketed: bool = False,
 ) -> Tuple[int, Union[np.ndarray, Dict[int, int], Tuple[np.ndarray, np.ndarray]]]:
     """Stream a FASTX file through the device k-mer counter.
 
@@ -93,6 +94,10 @@ def count_file(
     preferred for large outputs; the dict itself is the slow part).  Sparse
     counting accumulates masked key planes on device and resolves the whole
     stream with one lexicographic device sort + run-length count.
+
+    ``bucketed=True`` groups reads by length bucket so padding lanes (and
+    thus device FLOPs) track real bases on mixed-length corpora — one
+    compile per bucket width instead of one corpus-wide width.
     """
     if dense is None:
         dense = k <= _count.MAX_DENSE_K
@@ -112,9 +117,15 @@ def count_file(
         windows = fn(seqs, lengths, k, normalized=normalized)
         return _count.mask_keys(windows)
 
-    for batch in read_batches(
-        path, batch_size=batch_size, max_len=max_len, prefetch=True
-    ):
+    if bucketed:
+        from ..io.bucketed import bucketed_read_batches
+
+        batches = bucketed_read_batches(path, batch_size=batch_size)
+    else:
+        batches = read_batches(
+            path, batch_size=batch_size, max_len=max_len, prefetch=True
+        )
+    for batch in batches:
         if batch.max_len < k:
             # no window fits; bases still count
             n_bases += batch.num_bases

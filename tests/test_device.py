@@ -294,3 +294,19 @@ class TestLimbAccumulation:
         hi = jnp.asarray(3, jnp.uint32)
         lo2, hi2 = acc64(lo, hi, jnp.asarray(5, jnp.int32))
         assert limbs_to_int(lo2, hi2) == (3 << 32) + 0xFFFFFFFE + 5
+
+
+class TestBucketedCounting:
+    def test_bucketed_equals_flat(self, tmp_path):
+        from needletail_tpu.device.pipeline import count_file
+
+        rng = np.random.default_rng(2)
+        p = tmp_path / "mixed.fq"
+        with open(p, "wb") as f:
+            for i, ln in enumerate([30] * 20 + [200] * 5 + [700]):
+                seq = rng.choice(np.frombuffer(b"ACGTN", np.uint8), ln).tobytes()
+                f.write(b"@r%d\n" % i + seq + b"\n+\n" + b"I" * ln + b"\n")
+        nb1, spec1 = count_file(str(p), k=11, batch_size=8)
+        nb2, spec2 = count_file(str(p), k=11, batch_size=8, bucketed=True)
+        assert nb1 == nb2
+        assert np.array_equal(spec1, spec2)
