@@ -1,0 +1,181 @@
+"""Command-line interface: ``needletail-tpu <command>``.
+
+The reference ships an example binary (``examples/stdin_pipe.rs``); this CLI
+is the product-grade equivalent over the TPU pipelines:
+
+    needletail-tpu stats reads.fq.gz
+    needletail-tpu count reads.fq -k 21 --top 10
+    needletail-tpu hash-count reads.fq -k 21 --table-bits 16
+    needletail-tpu spectrum genome.fa -k 31 --long -o spectrum.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _cmd_stats(args) -> int:
+    from .io.fast_batch import fast_read_batches
+
+    n_reads = n_bases = 0
+    min_len = None
+    max_len = 0
+    t0 = time.perf_counter()
+    for b in fast_read_batches(args.path, batch_size=args.batch_size):
+        n = b.num_reads
+        n_reads += n
+        lens = b.lengths[:n]
+        n_bases += int(lens.sum())
+        if n:
+            lo = int(lens.min())
+            min_len = lo if min_len is None else min(min_len, lo)
+            max_len = max(max_len, int(lens.max()))
+    el = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "reads": n_reads,
+                "bases": n_bases,
+                "min_len": min_len or 0,
+                "max_len": max_len,
+                "mean_len": round(n_bases / n_reads, 2) if n_reads else 0,
+                "seconds": round(el, 3),
+                "bases_per_sec": round(n_bases / el) if el > 0 else None,
+            }
+        )
+    )
+    return 0
+
+
+def _top_kmers(keys, counts, k, top):
+    import numpy as np
+
+    from .bitkmer import bitmer_to_bytes
+
+    order = np.argsort(counts)[::-1][:top]
+    for i in order:
+        print(f"{bitmer_to_bytes((int(keys[i]), k)).decode()}\t{int(counts[i])}")
+
+
+def _cmd_count(args) -> int:
+    from .device.pipeline import count_file
+
+    n_bases, spec = count_file(
+        args.path,
+        k=args.k,
+        batch_size=args.batch_size,
+        bucketed=args.bucketed,
+        sparse_format="arrays",
+    )
+    import numpy as np
+
+    if isinstance(spec, tuple):
+        keys, counts = spec
+    else:  # dense
+        keys = np.flatnonzero(spec).astype(np.uint64)
+        counts = spec[keys.astype(np.int64)]
+    total = int(counts.sum())
+    print(f"# {n_bases} bases, {total} canonical {args.k}-mers, {len(keys)} distinct", file=sys.stderr)
+    if args.output:
+        np.savez_compressed(args.output, keys=keys, counts=counts, k=args.k)
+        print(f"# spectrum written to {args.output}", file=sys.stderr)
+    if args.top:
+        _top_kmers(keys, counts, args.k, args.top)
+    return 0
+
+
+def _cmd_hash_count(args) -> int:
+    from .device.pipeline import hash_count_file
+
+    import numpy as np
+
+    n_bases, total, fwd, table = hash_count_file(
+        args.path,
+        k=args.k,
+        table_bits=args.table_bits,
+        batch_size=args.batch_size,
+        host_workers=args.host_workers,
+    )
+    print(
+        json.dumps(
+            {
+                "bases": n_bases,
+                "windows": total,
+                "forward": fwd,
+                "bins": len(table),
+                "nonzero_bins": int((table > 0).sum()),
+            }
+        )
+    )
+    if args.output:
+        np.savez_compressed(args.output, table=table, k=args.k)
+        print(f"# table written to {args.output}", file=sys.stderr)
+    return 0
+
+
+def _cmd_spectrum(args) -> int:
+    from .device.tiling import genome_spectrum
+
+    import numpy as np
+
+    n_bases, spec = genome_spectrum(
+        args.path, k=args.k, tile_len=args.tile_len, sparse_format="arrays"
+    )
+    if isinstance(spec, tuple):
+        keys, counts = spec
+    else:
+        keys = np.flatnonzero(spec).astype(np.uint64)
+        counts = spec[keys.astype(np.int64)]
+    print(f"# {n_bases} bases, {len(keys)} distinct {args.k}-mers", file=sys.stderr)
+    if args.output:
+        np.savez_compressed(args.output, keys=keys, counts=counts, k=args.k)
+        print(f"# spectrum written to {args.output}", file=sys.stderr)
+    if args.top:
+        _top_kmers(keys, counts, args.k, args.top)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="needletail-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("stats", help="read/base counts at framer speed (no device)")
+    p.add_argument("path")
+    p.add_argument("--batch-size", type=int, default=8192)
+    p.set_defaults(fn=_cmd_stats)
+
+    p = sub.add_parser("count", help="exact canonical k-mer spectrum (device)")
+    p.add_argument("path")
+    p.add_argument("-k", type=int, required=True)
+    p.add_argument("--top", type=int, default=0, help="print the N most frequent")
+    p.add_argument("--batch-size", type=int, default=4096)
+    p.add_argument("--bucketed", action="store_true", help="length-bucketed batching")
+    p.add_argument("-o", "--output", help="write spectrum .npz")
+    p.set_defaults(fn=_cmd_count)
+
+    p = sub.add_parser("hash-count", help="hash count table (headline pipeline)")
+    p.add_argument("path")
+    p.add_argument("-k", type=int, required=True)
+    p.add_argument("--table-bits", type=int, default=16)
+    p.add_argument("--batch-size", type=int, default=65536)
+    p.add_argument("--host-workers", type=int, default=1)
+    p.add_argument("-o", "--output", help="write table .npz")
+    p.set_defaults(fn=_cmd_hash_count)
+
+    p = sub.add_parser("spectrum", help="whole-genome spectrum via halo tiling")
+    p.add_argument("path")
+    p.add_argument("-k", type=int, required=True)
+    p.add_argument("--tile-len", type=int, default=8192)
+    p.add_argument("--top", type=int, default=0)
+    p.add_argument("-o", "--output", help="write spectrum .npz")
+    p.set_defaults(fn=_cmd_spectrum)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,43 @@
+"""CLI smoke tests (the product surface over the TPU pipelines)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+
+from conftest import DATA_DIR, REPO_ROOT
+
+
+def _run(*argv):
+    proc = subprocess.run(
+        [sys.executable, "-m", "needletail_tpu.cli", *argv],
+        capture_output=True,
+        cwd=str(REPO_ROOT),
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr.decode(errors="replace")
+    return proc.stdout.decode(), proc.stderr.decode()
+
+
+def test_stats():
+    out, _ = _run("stats", str(DATA_DIR / "PRJNA271013_head.fq"))
+    d = json.loads(out)
+    assert d["reads"] == 2000 and d["bases"] == 250_000
+
+
+def test_count_top_and_output(tmp_path):
+    out_npz = tmp_path / "spec.npz"
+    out, err = _run(
+        "count", str(DATA_DIR / "test.fa"), "-k", "4", "--top", "2", "-o", str(out_npz)
+    )
+    assert "8 canonical 4-mers" in err
+    assert len(out.strip().splitlines()) == 2
+    with np.load(out_npz) as z:
+        assert z["counts"].sum() == 8
+
+
+def test_hash_count():
+    out, _ = _run("hash-count", str(DATA_DIR / "PRJNA271013_head.fq"), "-k", "21")
+    d = json.loads(out)
+    assert d["windows"] == 209_965 and d["forward"] == 106_181
