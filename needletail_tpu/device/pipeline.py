@@ -85,6 +85,8 @@ def count_file(
     dense: Optional[bool] = None,
     sparse_format: str = "dict",
     bucketed: bool = False,
+    quality_cutoff: Optional[int] = None,
+    phred_offset: int = 33,
 ) -> Tuple[int, Union[np.ndarray, Dict[int, int], Tuple[np.ndarray, np.ndarray]]]:
     """Stream a FASTX file through the device k-mer counter.
 
@@ -98,6 +100,11 @@ def count_file(
     ``bucketed=True`` groups reads by length bucket so padding lanes (and
     thus device FLOPs) track real bases on mixed-length corpora — one
     compile per bucket width instead of one corpus-wide width.
+
+    ``quality_cutoff`` masks bases whose Phred score is below the cutoff to
+    'N' before counting (FASTQ only) — the reference's ``quality_mask`` →
+    count composition (ref sequence.rs:280-308), fused into the same
+    compiled program via the window validity mask.
     """
     if dense is None:
         dense = k <= _count.MAX_DENSE_K
@@ -105,17 +112,23 @@ def count_file(
     dense_total = None  # stays on device; accumulation is async-dispatched
     sparse = _count.SparseSpectrumAccumulator()
 
-    @partial(jax.jit, donate_argnums=(0,), static_argnums=())
-    def _accumulate(table, seqs, lengths):
+    def _windows(seqs, lengths, quals):
+        if quals is not None:
+            from .ops import quality_mask
+
+            seqs = quality_mask(
+                seqs, quals, jnp.int32(phred_offset + quality_cutoff)
+            )
         fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
-        windows = fn(seqs, lengths, k, normalized=normalized)
-        return table + _count.dense_spectrum(windows, k)
+        return fn(seqs, lengths, k, normalized=normalized)
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=())
+    def _accumulate(table, seqs, lengths, quals):
+        return table + _count.dense_spectrum(_windows(seqs, lengths, quals), k)
 
     @jax.jit
-    def _keys(seqs, lengths):
-        fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
-        windows = fn(seqs, lengths, k, normalized=normalized)
-        return _count.mask_keys(windows)
+    def _keys(seqs, lengths, quals):
+        return _count.mask_keys(_windows(seqs, lengths, quals))
 
     if bucketed:
         from ..io.bucketed import bucketed_read_batches
@@ -132,13 +145,18 @@ def count_file(
             continue
         seqs = jnp.asarray(batch.seqs)
         lengths = jnp.asarray(batch.lengths)
+        quals = None
+        if quality_cutoff is not None:
+            if batch.quals is None:
+                raise ValueError("quality_cutoff needs FASTQ input with qualities")
+            quals = jnp.asarray(batch.quals)
         n_bases += batch.num_bases
         if dense:
             if dense_total is None:
                 dense_total = jnp.zeros(4**k, dtype=jnp.int32)
-            dense_total = _accumulate(dense_total, seqs, lengths)
+            dense_total = _accumulate(dense_total, seqs, lengths, quals)
         else:
-            sparse.add(*_keys(seqs, lengths))
+            sparse.add(*_keys(seqs, lengths, quals))
     if dense:
         return n_bases, (
             np.asarray(dense_total)

@@ -310,3 +310,38 @@ class TestBucketedCounting:
         nb2, spec2 = count_file(str(p), k=11, batch_size=8, bucketed=True)
         assert nb1 == nb2
         assert np.array_equal(spec1, spec2)
+
+
+class TestQualityAwareCounting:
+    def test_quality_cutoff_matches_host_mask(self, tmp_path):
+        from needletail_tpu.device.pipeline import count_file
+        from needletail_tpu import sequence as hseq
+        from needletail_tpu.bitkmer import bit_kmers
+        import collections
+
+        rng = np.random.default_rng(4)
+        p = tmp_path / "q.fq"
+        recs = []
+        with open(p, "wb") as f:
+            for i in range(40):
+                ln = int(rng.integers(10, 60))
+                seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), ln).tobytes()
+                qual = rng.integers(33, 74, ln, dtype=np.uint8).tobytes()
+                recs.append((seq, qual))
+                f.write(b"@r%d\n" % i + seq + b"\n+\n" + qual + b"\n")
+        cutoff = 20  # phred score; raw byte cutoff = 33 + 20
+        k = 9
+        host = collections.Counter()
+        for seq, qual in recs:
+            masked = hseq.quality_mask(seq, qual, 33 + cutoff)
+            for (_p_, (v, _k), _rc) in bit_kmers(masked, k, canonical_form=True):
+                host[v] += 1
+        nb, spec = count_file(str(p), k=k, batch_size=16, quality_cutoff=cutoff)
+        dev = {key: int(c) for key, c in enumerate(spec) if c}
+        assert dev == dict(host)
+
+    def test_quality_cutoff_requires_fastq(self, data_dir):
+        from needletail_tpu.device.pipeline import count_file
+
+        with pytest.raises(ValueError, match="qualities"):
+            count_file(str(data_dir / "test.fa"), k=4, quality_cutoff=20)
