@@ -69,6 +69,7 @@ def _cmd_count(args) -> int:
         batch_size=args.batch_size,
         bucketed=args.bucketed,
         sparse_format="arrays",
+        quality_cutoff=args.quality_cutoff,
     )
     import numpy as np
 
@@ -153,6 +154,12 @@ def main(argv=None) -> int:
     p.add_argument("--top", type=int, default=0, help="print the N most frequent")
     p.add_argument("--batch-size", type=int, default=4096)
     p.add_argument("--bucketed", action="store_true", help="length-bucketed batching")
+    p.add_argument(
+        "--quality-cutoff",
+        type=int,
+        default=None,
+        help="mask bases below this Phred score before counting (FASTQ)",
+    )
     p.add_argument("-o", "--output", help="write spectrum .npz")
     p.set_defaults(fn=_cmd_count)
 
