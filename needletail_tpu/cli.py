@@ -6,7 +6,7 @@ is the product-grade equivalent over the TPU pipelines:
     needletail-tpu stats reads.fq.gz
     needletail-tpu count reads.fq -k 21 --top 10
     needletail-tpu hash-count reads.fq -k 21 --table-bits 16
-    needletail-tpu spectrum genome.fa -k 31 --long -o spectrum.npz
+    needletail-tpu spectrum genome.fa -k 31 -o spectrum.npz
 """
 
 from __future__ import annotations

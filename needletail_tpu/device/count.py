@@ -223,10 +223,11 @@ def merge_sorted_spectra(
     new = np.empty(len(keys), bool)
     new[0] = True
     np.not_equal(keys[1:], keys[:-1], out=new[1:])
-    idx = np.cumsum(new) - 1
-    out = np.zeros(int(idx[-1]) + 1, np.int64)
-    np.add.at(out, idx, cnts)
-    return keys[new], out
+    # runs are contiguous after the sort: reduceat sums each run in one
+    # vectorized pass (~10x np.add.at, which is unbuffered per-element)
+    starts = np.flatnonzero(new)
+    out = np.add.reduceat(cnts, starts)
+    return keys[new], out.astype(np.int64, copy=False)
 
 
 # flush threshold for streaming sparse counting: key planes held on device

@@ -43,10 +43,10 @@ def _auto_block_rows(l: int) -> int:
     """Pick block_rows so a [block_rows, L] uint32 plane stays ~128 KiB:
     the kernel holds ~14 ladder/pack planes live, keeping VMEM well under
     the 16 MiB budget for any read length."""
-    if l > 16384:
-        # rows floor at 8, so beyond this the ~15 live ladder planes of
-        # [8, L] uint32 (~512 KiB each at L=16384) approach the 16 MiB
-        # VMEM budget; longer records must be tiled
+    if l > 28672:
+        # rows floor at 8: the ~15 live ladder planes of [8, L] uint32 fit
+        # the 16 MiB VMEM budget up to L=28672 (measured; 32768 fails
+        # Mosaic allocation); longer records must be tiled
         raise ValueError(
             f"read length {l} exceeds the kernel's single-row VMEM budget; "
             "tile long records first (device.tiling, (k-1)-base halos)"

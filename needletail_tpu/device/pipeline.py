@@ -133,7 +133,7 @@ def count_file(
     if bucketed:
         from ..io.bucketed import bucketed_read_batches
 
-        batches = bucketed_read_batches(path, batch_size=batch_size)
+        batches = bucketed_read_batches(path, batch_size=batch_size, max_len=max_len)
     else:
         batches = read_batches(
             path, batch_size=batch_size, max_len=max_len, prefetch=True
@@ -246,7 +246,13 @@ def hash_count_file(
         from ..io.parallel_host import parallel_read_batches
 
         batches = parallel_read_batches(
-            path, workers=host_workers, batch_size=batch_size, max_len=max_len
+            path,
+            workers=host_workers,
+            batch_size=batch_size,
+            max_len=max_len,
+            # the hash pipeline never reads qualities; don't ship them
+            # through the worker IPC queue
+            with_quals=False,
         )
     else:
         batches = read_batches(

@@ -55,27 +55,38 @@ def bucketed_read_batches(
     batch_size: int = 4096,
     buckets: Sequence[int] = DEFAULT_BUCKETS,
     with_quals: bool = True,
+    max_len: Optional[int] = None,
 ) -> Iterator[ReadBatch]:
     """Stream ``ReadBatch``es grouped by length bucket.
 
     Every yielded batch's width is the smallest bucket holding all its
     reads, so device FLOPs scale with real bases instead of the corpus's
     longest read.  Record order is preserved within a bucket; buckets
-    interleave as they fill.
+    interleave as they fill.  An explicit ``max_len`` keeps the flat
+    paths' contract: reads longer than it raise.
     """
     buckets = tuple(sorted(buckets))
     barr = np.asarray(buckets, np.int64)
     accs = {}
+    emit_quals = with_quals  # resolved from the first batch (FASTA has none)
 
     def acc_for(width: int) -> _BucketAcc:
         acc = accs.get(width)
         if acc is None:
-            acc = accs[width] = _BucketAcc(width, batch_size, with_quals)
+            acc = accs[width] = _BucketAcc(width, batch_size, emit_quals)
         return acc
 
     for batch in fast_read_batches(path, batch_size=batch_size, max_len=None):
+        if batch.quals is None:
+            # FASTA source: never fabricate a zero quality plane
+            emit_quals = False
         n = batch.num_reads
         lens = np.asarray(batch.lengths[:n])
+        if max_len is not None and n and int(lens.max()) > max_len:
+            over = int((lens > max_len).sum())
+            raise ValueError(
+                f"{over} read(s) exceed max_len={max_len}; pass a larger max_len"
+            )
         b_idx = np.searchsorted(barr, lens)
         for bi in np.unique(b_idx):
             rows = np.flatnonzero(b_idx == bi)
@@ -84,7 +95,6 @@ def bucketed_read_batches(
             else:
                 # dynamic bucket for reads beyond the largest configured one
                 width = int(-(-int(lens[rows].max()) // 128) * 128)
-                rows = rows[np.searchsorted(barr, lens[rows]) >= len(buckets)]
             acc = acc_for(width)
             # the source batch may be narrower than the bucket (widths round
             # to 128, buckets are powers of two); the remainder stays zero

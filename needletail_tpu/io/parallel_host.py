@@ -29,6 +29,8 @@ _BATCH = "batch"
 
 
 def _worker(path, start, end, batch_size, max_len, with_quals, q) -> None:
+    import pickle
+
     from .fast_batch import fast_read_batches_range
 
     try:
@@ -39,10 +41,13 @@ def _worker(path, start, end, batch_size, max_len, with_quals, q) -> None:
             q.put((_BATCH, (b.seqs, b.lengths, b.quals)))
         q.put((_DONE, None))
     except BaseException as exc:  # propagate to the consumer
+        # mp.Queue pickles in a feeder thread, so an unpicklable exception
+        # would vanish silently — verify picklability here and degrade
         try:
-            q.put((_ERR, exc))
-        except Exception:  # unpicklable exception: degrade to an IO error
-            q.put((_ERR, ParseError.from_io(OSError(repr(exc)))))
+            pickle.dumps(exc)
+        except Exception:
+            exc = ParseError.from_io(OSError(repr(exc)))
+        q.put((_ERR, exc))
 
 
 def parallel_read_batches(
@@ -93,11 +98,26 @@ def parallel_read_batches(
     ]
     for p in procs:
         p.start()
+    import queue as _queue
+
     live = len(procs)
     error = None
     try:
         while live:
-            kind, payload = q.get()
+            try:
+                kind, payload = q.get(timeout=10.0)
+            except _queue.Empty:
+                # watchdog: a worker killed without its sentinel (OOM,
+                # segfault in native code) must not wedge the consumer
+                dead = [p for p in procs if p.exitcode not in (None, 0)]
+                if dead:
+                    error = RuntimeError(
+                        f"framing worker died with exit code {dead[0].exitcode}"
+                    )
+                    break
+                if all(p.exitcode is not None for p in procs) and q.empty():
+                    break  # everyone exited cleanly; sentinels consumed
+                continue
             if kind == _DONE:
                 live -= 1
             elif kind == _ERR:

@@ -14,7 +14,6 @@ one containing its first byte after re-sync.
 
 from __future__ import annotations
 
-import io
 import os
 from pathlib import Path
 from typing import Iterator, List, Optional, Tuple, Union

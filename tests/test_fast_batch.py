@@ -285,3 +285,29 @@ class TestParallelHostFraming:
 
         with pytest.raises(ValueError):
             list(parallel_read_batches(str(data_dir / "test.fa.gz"), workers=2))
+
+
+class TestBucketedEdgeCases:
+    def test_fasta_has_no_fabricated_quals(self, tmp_path):
+        from needletail_tpu.io.bucketed import bucketed_read_batches
+
+        p = tmp_path / "x.fa"
+        p.write_bytes(b">a\nACGTACGT\n>b\nGG\n")
+        batches = list(bucketed_read_batches(str(p), batch_size=4))
+        assert batches and all(b.quals is None for b in batches)
+
+    def test_quality_cutoff_on_fasta_still_raises_when_bucketed(self, tmp_path):
+        from needletail_tpu.device.pipeline import count_file
+
+        p = tmp_path / "x.fa"
+        p.write_bytes(b">a\nACGTACGT\n")
+        with pytest.raises(ValueError, match="qualities"):
+            count_file(str(p), k=4, quality_cutoff=20, bucketed=True)
+
+    def test_explicit_max_len_contract(self, tmp_path):
+        from needletail_tpu.io.bucketed import bucketed_read_batches
+
+        p = tmp_path / "x.fa"
+        p.write_bytes(b">a\n" + b"A" * 300 + b"\n")
+        with pytest.raises(ValueError, match="max_len"):
+            list(bucketed_read_batches(str(p), batch_size=4, max_len=128))
