@@ -14,7 +14,7 @@ def _run(*argv):
         [sys.executable, "-m", "needletail_tpu.cli", *argv],
         capture_output=True,
         cwd=str(REPO_ROOT),
-        timeout=300,
+        timeout=540,
     )
     assert proc.returncode == 0, proc.stderr.decode(errors="replace")
     return proc.stdout.decode(), proc.stderr.decode()

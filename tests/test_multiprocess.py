@@ -50,7 +50,7 @@ def test_two_process_hash_pipeline_matches_oracle(tmp_path):
     ]
     logs = []
     for p in procs:
-        stdout, _ = p.communicate(timeout=220)
+        stdout, _ = p.communicate(timeout=420)
         logs.append(stdout.decode(errors="replace"))
     assert all(p.returncode == 0 for p in procs), "\n".join(logs)
 

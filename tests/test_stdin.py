@@ -29,7 +29,7 @@ def _run(stdin_bytes: bytes) -> str:
             **os.environ,
             "PYTHONPATH": str(REPO_ROOT) + os.pathsep + os.environ.get("PYTHONPATH", ""),
         },
-        timeout=120,
+        timeout=300,
     )
     assert proc.returncode == 0, proc.stderr.decode(errors="replace")
     return proc.stdout.decode()
@@ -66,6 +66,6 @@ def test_error_via_stdin():
             **os.environ,
             "PYTHONPATH": str(REPO_ROOT) + os.pathsep + os.environ.get("PYTHONPATH", ""),
         },
-        timeout=120,
+        timeout=300,
     )
     assert proc.returncode != 0
