@@ -28,6 +28,7 @@ __all__ = [
     "base_count",
     "count_file",
     "hash_count_file",
+    "minimizer_spectrum_file",
     "readme_pipeline",
     "multi_k_tally",
     "pack_target",
@@ -270,6 +271,49 @@ def hash_count_file(
     total = limbs_to_int(tallies[0], tallies[1])
     fwd = limbs_to_int(tallies[2], tallies[3])
     return n_bases, total, fwd, np.asarray(table)
+
+
+def minimizer_spectrum_file(
+    path,
+    k: int,
+    w: int,
+    batch_size: int = 4096,
+    max_len: Optional[int] = None,
+    normalized: bool = True,
+    sparse_format: str = "arrays",
+) -> Tuple[int, Union[Dict[int, int], Tuple[np.ndarray, np.ndarray]]]:
+    """(w, k) minimizer spectrum of a FASTX file: counts of each canonical
+    k-mer value that wins at least one w-window (the sketch-level analogue
+    of the reference's ``minimizer`` fns, ref sequence.rs:139-152 /
+    bitkmer.rs:146-162, lifted to whole-file scale).
+
+    Counts are per *winning window* (a minimizer spanning several windows
+    counts once per window), matching the usual (w, k)-sketch density.
+    Returns ``(n_bases, (keys_u64, counts))`` (or a dict with
+    ``sparse_format="dict"``).
+    """
+    import jax
+
+    from . import minimizers as _minimizers
+
+    @jax.jit
+    def _keys(seqs, lengths):
+        win = _minimizers.window_minimizers(seqs, lengths, k, w, normalized=normalized)
+        return _count.mask_keys(win)
+
+    sparse = _count.SparseSpectrumAccumulator()
+    n_bases = 0
+    for batch in read_batches(
+        path, batch_size=batch_size, max_len=max_len, prefetch=True
+    ):
+        n_bases += batch.num_bases
+        if batch.max_len < k + w - 1:
+            continue
+        sparse.add(*_keys(jnp.asarray(batch.seqs), jnp.asarray(batch.lengths)))
+    keys, counts = sparse.finish()
+    if sparse_format == "dict":
+        return n_bases, _count.spectrum_arrays_to_dict(keys, counts)
+    return n_bases, (keys, counts)
 
 
 def readme_pipeline(path, k: int = 4, target: bytes = b"AAAA") -> Tuple[int, int]:

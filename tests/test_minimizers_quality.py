@@ -113,3 +113,36 @@ class TestQuality:
         s, l, q = batch_of([b"ACGT"], [b"IIII"])
         mq = np.asarray(mean_quality(q, l, jnp.int32(33)))
         assert mq[0] == pytest.approx(40.0)
+
+
+class TestMinimizerSpectrumFile:
+    def test_matches_batch_oracle(self, tmp_path):
+        import collections
+
+        from needletail_tpu.device import count as dcount
+        from needletail_tpu.device import minimizers as dmin
+        from needletail_tpu.device.pipeline import minimizer_spectrum_file
+        from needletail_tpu.io.fast_batch import fast_read_batches
+
+        rng = np.random.default_rng(6)
+        p = tmp_path / "m.fq"
+        with open(p, "wb") as f:
+            for i in range(30):
+                ln = int(rng.integers(5, 80))
+                seq = rng.choice(np.frombuffer(b"ACGTN", np.uint8), ln).tobytes()
+                f.write(b"@r%d\n" % i + seq + b"\n+\n" + b"I" * ln + b"\n")
+        k, w = 7, 5
+        # oracle: window_minimizers per batch, host counting
+        host = collections.Counter()
+        for b in fast_read_batches(str(p), batch_size=8):
+            if b.max_len < k + w - 1:
+                continue
+            win = dmin.window_minimizers(
+                jnp.asarray(b.seqs), jnp.asarray(b.lengths), k, w
+            )
+            hi = np.asarray(win.hi)[np.asarray(win.valid)]
+            lo = np.asarray(win.lo)[np.asarray(win.valid)]
+            for h, l in zip(hi, lo):
+                host[(int(h) << 32) | int(l)] += 1
+        n_bases, (keys, counts) = minimizer_spectrum_file(str(p), k=k, w=w, batch_size=8)
+        assert dict(zip(keys.tolist(), counts.tolist())) == dict(host)
