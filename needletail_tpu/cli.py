@@ -117,6 +117,27 @@ def _cmd_hash_count(args) -> int:
     return 0
 
 
+def _cmd_minimizers(args) -> int:
+    import numpy as np
+
+    from .device.pipeline import minimizer_spectrum_file
+
+    n_bases, (keys, counts) = minimizer_spectrum_file(
+        args.path, k=args.k, w=args.w, batch_size=args.batch_size
+    )
+    print(
+        f"# {n_bases} bases, {len(keys)} distinct ({args.w},{args.k})-minimizers, "
+        f"{int(counts.sum())} winning windows",
+        file=sys.stderr,
+    )
+    if args.output:
+        np.savez_compressed(args.output, keys=keys, counts=counts, k=args.k, w=args.w)
+        print(f"# spectrum written to {args.output}", file=sys.stderr)
+    if args.top:
+        _top_kmers(keys, counts, args.k, args.top)
+    return 0
+
+
 def _cmd_spectrum(args) -> int:
     from .device.tiling import genome_spectrum
 
@@ -171,6 +192,15 @@ def main(argv=None) -> int:
     p.add_argument("--host-workers", type=int, default=1)
     p.add_argument("-o", "--output", help="write table .npz")
     p.set_defaults(fn=_cmd_hash_count)
+
+    p = sub.add_parser("minimizers", help="(w,k) minimizer spectrum (device)")
+    p.add_argument("path")
+    p.add_argument("-k", type=int, required=True)
+    p.add_argument("-w", type=int, required=True, help="windows per sketch position")
+    p.add_argument("--top", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=4096)
+    p.add_argument("-o", "--output", help="write spectrum .npz")
+    p.set_defaults(fn=_cmd_minimizers)
 
     p = sub.add_parser("spectrum", help="whole-genome spectrum via halo tiling")
     p.add_argument("path")
