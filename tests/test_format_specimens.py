@@ -76,3 +76,38 @@ def test_specimen_fastq_valid(filename):
 def test_specimen_fastq_invalid(filename):
     with pytest.raises(ParseError):
         _parse_all(f"tests/specimen/FASTQ/{filename}")
+
+
+class TestBatchedPathOnSpecimens:
+    """The native batched framer must agree with the streaming reader on
+    every valid specimen: same record count, same newline-stripped
+    sequences in order."""
+
+    @staticmethod
+    def _stream_seqs(path):
+        reader = parse_fastx_file(path)
+        out = []
+        while (rec := reader.next()) is not None:
+            out.append(bytes(rec.seq()))
+        return out
+
+    @staticmethod
+    def _batched_seqs(path):
+        from needletail_tpu.io.fast_batch import fast_read_batches
+
+        out = []
+        for b in fast_read_batches(path, batch_size=7):
+            for i in range(b.num_reads):
+                ln = int(b.lengths[i])
+                out.append(bytes(b.seqs[i, :ln]))
+        return out
+
+    @pytest.mark.parametrize("filename", list(_fasta_cases()))
+    def test_fasta_specimens(self, filename):
+        path = f"tests/specimen/FASTA/{filename}"
+        assert self._batched_seqs(path) == self._stream_seqs(path)
+
+    @pytest.mark.parametrize("filename", list(_fastq_valid_cases()))
+    def test_fastq_specimens(self, filename):
+        path = f"tests/specimen/FASTQ/{filename}"
+        assert self._batched_seqs(path) == self._stream_seqs(path)
