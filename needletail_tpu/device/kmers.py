@@ -22,7 +22,7 @@ orientation (ref bitkmer.rs:136-143).
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ mask — compaction on fixed shapes is a host-side concern.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

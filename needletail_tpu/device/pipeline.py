@@ -10,13 +10,12 @@ complement, canonical k-mers, tally.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Iterable, Optional, Tuple, Union
+from typing import Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..batch import ReadBatch
 from ..io.fast_batch import fast_read_batches as read_batches
 from ..bitkmer import bytes_to_bitmer
 from . import count as _count

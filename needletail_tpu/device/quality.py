@@ -12,13 +12,10 @@ host-side masking.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
 from .kmers import KmerWindows, canonical_kmers, pack_kmers
-from .ops import normalize as device_normalize
 from .ops import quality_mask
 
 __all__ = ["quality_mask_batch", "masked_canonical_kmers", "mean_quality"]
