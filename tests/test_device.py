@@ -345,3 +345,36 @@ class TestQualityAwareCounting:
 
         with pytest.raises(ValueError, match="qualities"):
             count_file(str(data_dir / "test.fa"), k=4, quality_cutoff=20)
+
+
+class TestRandomizedDeviceHostParity:
+    """Randomized full-alphabet (IUPAC, gaps, u/U, lowercase) cross-check:
+    device canonical windows vs the host normalize+bitkmer oracle."""
+
+    def test_sweep(self):
+        import collections
+
+        from needletail_tpu import sequence as hseq
+
+        rng = np.random.default_rng(123)
+        for _ in range(25):
+            b = int(rng.integers(1, 8))
+            l = int(rng.integers(1, 70))
+            k = int(rng.integers(1, 32))
+            if l < k:
+                continue
+            seqs = rng.choice(list(b"ACGTNacgtun.-"), size=(b, l)).astype(np.uint8)
+            lengths = rng.integers(0, l + 1, b).astype(np.int32)
+            win = dkmers.canonical_kmers(jnp.asarray(seqs), jnp.asarray(lengths), k)
+            host = collections.Counter()
+            for r in range(b):
+                raw = seqs[r, : lengths[r]].tobytes()
+                s = hseq.normalize(raw, False)
+                if s is None:
+                    s = raw
+                for (_p, (v, _k), _rc) in hb.bit_kmers(s, k, canonical_form=True):
+                    host[v] += 1
+            hi = np.asarray(win.hi)[np.asarray(win.valid)].astype(np.uint64)
+            lo = np.asarray(win.lo)[np.asarray(win.valid)].astype(np.uint64)
+            dev = collections.Counter(((hi << np.uint64(32)) | lo).tolist())
+            assert dev == host, (b, l, k)
