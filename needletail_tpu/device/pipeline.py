@@ -87,6 +87,7 @@ def count_file(
     bucketed: bool = False,
     quality_cutoff: Optional[int] = None,
     phred_offset: int = 33,
+    host_workers: int = 1,
 ) -> Tuple[int, Union[np.ndarray, Dict[int, int], Tuple[np.ndarray, np.ndarray]]]:
     """Stream a FASTX file through the device k-mer counter.
 
@@ -134,6 +135,16 @@ def count_file(
         from ..io.bucketed import bucketed_read_batches
 
         batches = bucketed_read_batches(path, batch_size=batch_size, max_len=max_len)
+    elif host_workers > 1:
+        from ..io.parallel_host import parallel_read_batches
+
+        batches = parallel_read_batches(
+            path,
+            workers=host_workers,
+            batch_size=batch_size,
+            max_len=max_len,
+            with_quals=quality_cutoff is not None,
+        )
     else:
         batches = read_batches(
             path, batch_size=batch_size, max_len=max_len, prefetch=True

@@ -378,3 +378,13 @@ class TestRandomizedDeviceHostParity:
             lo = np.asarray(win.lo)[np.asarray(win.valid)].astype(np.uint64)
             dev = collections.Counter(((hi << np.uint64(32)) | lo).tolist())
             assert dev == host, (b, l, k)
+
+
+def test_count_file_host_workers_parity(data_dir):
+    from needletail_tpu.device.pipeline import count_file
+
+    path = str(data_dir / "PRJNA271013_head.fq")
+    nb1, s1 = count_file(path, k=8, batch_size=512)
+    nb2, s2 = count_file(path, k=8, batch_size=512, host_workers=2)
+    assert nb1 == nb2
+    assert np.array_equal(s1, s2)
