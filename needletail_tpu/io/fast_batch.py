@@ -92,12 +92,16 @@ def _record_error(buf: np.ndarray, start: int, err: int, base_line: int) -> Pars
 class _FastqBatcher:
     """Stream -> padded batches using the native scanner."""
 
-    def __init__(self, stream, batch_size: int, max_len: Optional[int], with_quals: bool):
+    def __init__(
+        self, stream, batch_size: int, max_len: Optional[int], with_quals: bool,
+        with_ids: bool = False,
+    ):
         self._stream = stream
         self._bs = batch_size
         self._max_len = max_len
         self._auto = max_len is None  # widen instead of erroring on overflow
         self._with_quals = with_quals
+        self._with_ids = with_ids
         self._count_base = 0  # records scanned in prior chunks (line accounting)
 
     def _alloc(self):
@@ -114,6 +118,7 @@ class _FastqBatcher:
         w_len = 0  # valid bytes in window
         eof = False
         seqs = quals = lengths = None
+        ids: list = []
         fill = 0
         need = _CHUNK  # grows when a single record exceeds the window
         recs_buf = np.empty(((2 * _CHUNK) // 6 + 16, 5), dtype=np.int64)
@@ -180,11 +185,18 @@ class _FastqBatcher:
                         f"{overflow} read(s) exceed max_len={self._max_len}; "
                         "pass a larger max_len"
                     )
+                if self._with_ids:
+                    for j in range(take):
+                        raw = pending[
+                            int(chunk_recs[j, 0]) + 1 : int(chunk_recs[j, 1]) - 1
+                        ].tobytes()
+                        ids.append(raw[:-1] if raw.endswith(b"\r") else raw)
                 fill += take
                 idx += take
                 if fill == self._bs:
-                    yield ReadBatch(seqs=seqs, lengths=lengths, quals=quals, ids=[])
+                    yield ReadBatch(seqs=seqs, lengths=lengths, quals=quals, ids=ids)
                     seqs = quals = lengths = None
+                    ids = []
                     fill = 0
 
             if err != native.ERR_OK:
@@ -194,9 +206,10 @@ class _FastqBatcher:
                 if seqs is not None and fill > 0:
                     yield ReadBatch(
                         seqs=seqs[:fill], lengths=lengths[:fill],
-                        quals=quals[:fill] if quals is not None else None, ids=[],
+                        quals=quals[:fill] if quals is not None else None, ids=ids,
                     )
                     seqs = quals = lengths = None
+                    ids = []
                 base_line = 1 + 4 * (self._count_base + n)
                 raise _record_error(pending, err_rec, err, base_line)
 
@@ -220,15 +233,20 @@ class _FastqBatcher:
                         yield ReadBatch(
                             seqs=seqs[:fill], lengths=lengths[:fill],
                             quals=quals[:fill] if quals is not None else None,
-                            ids=[],
+                            ids=ids,
                         )
                         seqs = quals = lengths = None
+                        ids = []
                     raise
                 if row is not None:
                     if seqs is None:
                         seqs, quals, lengths = self._alloc()
                         fill = 0
                     sb, qb = row
+                    if self._with_ids:
+                        tb = window[:w_len].tobytes()
+                        nl = tb.find(b"\n")
+                        ids.append(trim_cr(tb[1:nl]) if nl > 0 else b"")
                     if len(sb) > self._max_len:
                         if not self._auto:
                             raise ValueError(
@@ -249,7 +267,7 @@ class _FastqBatcher:
         if seqs is not None and fill > 0:
             yield ReadBatch(
                 seqs=seqs[:fill], lengths=lengths[:fill],
-                quals=quals[:fill] if quals is not None else None, ids=[],
+                quals=quals[:fill] if quals is not None else None, ids=ids,
             )
 
     def _handle_tail(self, tail_arr: np.ndarray):
@@ -293,11 +311,15 @@ class _FastaBatcher:
     validation errors; the truncated-EOF cases are delegated to the
     streaming FastaReader on the tail bytes (with line-number adjustment)."""
 
-    def __init__(self, stream, batch_size: int, max_len: Optional[int]):
+    def __init__(
+        self, stream, batch_size: int, max_len: Optional[int],
+        with_ids: bool = False,
+    ):
         self._stream = stream
         self._bs = batch_size
         self._max_len = max_len
         self._auto = max_len is None  # widen instead of erroring on overflow
+        self._with_ids = with_ids
         self._lines_done = 0
 
     def _alloc(self):
@@ -310,6 +332,7 @@ class _FastaBatcher:
         w_len = 0
         eof = False
         seqs = lengths = None
+        ids: list = []
         fill = 0
         need = _CHUNK
         recs_buf = np.empty(((2 * _CHUNK) // 4 + 16, 3), dtype=np.int64)
@@ -376,11 +399,18 @@ class _FastaBatcher:
                         "pass a larger max_len or use device.tiling for "
                         "whole-genome records"
                     )
+                if self._with_ids:
+                    for j in range(take):
+                        raw = pending[
+                            int(chunk_recs[j, 0]) + 1 : int(chunk_recs[j, 1])
+                        ].tobytes()
+                        ids.append(raw[:-1] if raw.endswith(b"\r") else raw)
                 fill += take
                 idx += take
                 if fill == self._bs:
-                    yield ReadBatch(seqs=seqs, lengths=lengths, quals=None, ids=[])
+                    yield ReadBatch(seqs=seqs, lengths=lengths, quals=None, ids=ids)
                     seqs = lengths = None
+                    ids = []
                     fill = 0
 
             if consumed:
@@ -403,6 +433,8 @@ class _FastaBatcher:
                         if seqs is None:
                             seqs, lengths = self._alloc()
                             fill = 0
+                        if self._with_ids:
+                            ids.append(bytes(rec.id()))
                         if len(s) > self._max_len:
                             if not self._auto:
                                 raise ValueError(
@@ -415,14 +447,16 @@ class _FastaBatcher:
                         fill += 1
                         if fill == self._bs:
                             yield ReadBatch(seqs=seqs, lengths=lengths,
-                                            quals=None, ids=[])
+                                            quals=None, ids=ids)
                             seqs = lengths = None
+                            ids = []
                             fill = 0
                 except ParseError as exc:
                     if seqs is not None and fill > 0:
                         yield ReadBatch(seqs=seqs[:fill], lengths=lengths[:fill],
-                                        quals=None, ids=[])
+                                        quals=None, ids=ids)
                         seqs = lengths = None
+                        ids = []
                     raise ParseError(
                         exc.msg,
                         exc.kind,
@@ -437,7 +471,7 @@ class _FastaBatcher:
 
         if seqs is not None and fill > 0:
             yield ReadBatch(
-                seqs=seqs[:fill], lengths=lengths[:fill], quals=None, ids=[]
+                seqs=seqs[:fill], lengths=lengths[:fill], quals=None, ids=ids
             )
 
 
@@ -481,6 +515,7 @@ def fast_read_batches_range(
     batch_size: int = 8192,
     max_len: Optional[int] = None,
     with_quals: bool = True,
+    with_ids: bool = False,
 ) -> Iterator[ReadBatch]:
     """Native-framer batches over one record-aligned byte range of an
     UNCOMPRESSED file (compressed streams cannot be range-split)."""
@@ -496,16 +531,18 @@ def fast_read_batches_range(
     first = magic[:1]
     stream = RangeStream(path, start, end)
     if first == b"@" and native.available():
-        yield from _FastqBatcher(stream, batch_size, max_len, with_quals)
+        yield from _FastqBatcher(stream, batch_size, max_len, with_quals, with_ids)
     elif first == b">" and native.available():
-        yield from _FastaBatcher(stream, batch_size, max_len)
+        yield from _FastaBatcher(stream, batch_size, max_len, with_ids)
     elif first == b">":
         yield from BatchReader(
-            FastaReader(stream), batch_size=batch_size, max_len=max_len, keep_ids=False
+            FastaReader(stream), batch_size=batch_size, max_len=max_len,
+            keep_ids=with_ids,
         )
     elif first == b"@":
         yield from BatchReader(
-            FastqReader(stream), batch_size=batch_size, max_len=max_len, keep_ids=False
+            FastqReader(stream), batch_size=batch_size, max_len=max_len,
+            keep_ids=with_ids,
         )
     else:
         raise ParseError.new_unknown_format(first[0] if first else 0)
@@ -517,6 +554,7 @@ def fast_read_batches(
     max_len: Optional[int] = None,
     with_quals: bool = True,
     prefetch: bool = False,
+    with_ids: bool = False,
 ) -> Iterator[ReadBatch]:
     """Stream a FASTX file as padded batches at native-framer speed.
 
@@ -525,8 +563,8 @@ def fast_read_batches(
 
     FASTQ and FASTA both use the native fast path when the C framer is
     available; otherwise the pure-Python ``BatchReader`` produces the same
-    output.  Batches carry no ids (use the streaming readers when ids are
-    needed).
+    output.  ``with_ids=True`` carries raw header bytes per read (opt-in:
+    id extraction costs per-record Python work).
     """
     try:
         handle = open(path, "rb")
@@ -541,10 +579,10 @@ def fast_read_batches(
         # computes concurrently
         stream = PrefetchReader(stream)
     if first_byte == 0x40 and native.available():  # '@' FASTQ
-        yield from _FastqBatcher(stream, batch_size, max_len, with_quals)
+        yield from _FastqBatcher(stream, batch_size, max_len, with_quals, with_ids)
         return
     if first_byte == 0x3E and native.available():  # '>' FASTA
-        yield from _FastaBatcher(stream, batch_size, max_len)
+        yield from _FastaBatcher(stream, batch_size, max_len, with_ids)
         return
     if first_byte == 0x3E:
         reader = FastaReader(stream)
@@ -553,5 +591,5 @@ def fast_read_batches(
     else:
         raise ParseError.new_unknown_format(first_byte)
     yield from BatchReader(
-        reader, batch_size=batch_size, max_len=max_len, keep_ids=False
+        reader, batch_size=batch_size, max_len=max_len, keep_ids=with_ids
     )

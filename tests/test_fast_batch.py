@@ -311,3 +311,44 @@ class TestBucketedEdgeCases:
         p.write_bytes(b">a\n" + b"A" * 300 + b"\n")
         with pytest.raises(ValueError, match="max_len"):
             list(bucketed_read_batches(str(p), batch_size=4, max_len=128))
+
+
+class TestBatchIds:
+    """Opt-in id extraction on the fast path must match the streaming
+    readers' record ids (including the EOF-tail records)."""
+
+    @staticmethod
+    def _stream_ids(path):
+        from needletail_tpu.parser import parse_fastx_file
+
+        reader = parse_fastx_file(path)
+        out = []
+        while (rec := reader.next()) is not None:
+            out.append(bytes(rec.id()))
+        return out
+
+    @staticmethod
+    def _batched_ids(path, **kw):
+        out = []
+        for b in fast_read_batches(path, with_ids=True, **kw):
+            assert len(b.ids) == b.num_reads
+            out.extend(bytes(i) for i in b.ids)
+        return out
+
+    def test_fastq_ids(self, data_dir):
+        p = str(data_dir / "PRJNA271013_head.fq")
+        assert self._batched_ids(p, batch_size=64) == self._stream_ids(p)
+
+    def test_fasta_ids(self, data_dir):
+        p = str(data_dir / "28S.fasta")
+        assert self._batched_ids(p, batch_size=7) == self._stream_ids(p)
+
+    def test_fastq_tail_record_id(self, tmp_path):
+        # final record misses its trailing newline -> tail path
+        p = tmp_path / "t.fq"
+        p.write_bytes(b"@r1 extra\nACGT\n+\nIIII\n@r2\nGG\n+\nII")
+        assert self._batched_ids(str(p), batch_size=8) == [b"r1 extra", b"r2"]
+
+    def test_default_off(self, data_dir):
+        for b in fast_read_batches(str(data_dir / "28S.fasta"), batch_size=64):
+            assert b.ids == []
