@@ -352,3 +352,28 @@ class TestBatchIds:
     def test_default_off(self, data_dir):
         for b in fast_read_batches(str(data_dir / "28S.fasta"), batch_size=64):
             assert b.ids == []
+
+
+def test_window_boundary_straddle(tmp_path):
+    """Multi-MB records force window growth and straddle the 4 MB scan
+    boundary; the batched path must still match the streaming reader
+    byte-for-byte (ids + seqs)."""
+    from needletail_tpu.parser import parse_fastx_file
+
+    rng = np.random.default_rng(42)
+    p = tmp_path / "straddle.fq"
+    with open(p, "wb") as f:
+        sizes = [100, 3_000_000, 50, 2_000_000, 7, 0] + [137] * 500
+        for i, ln in enumerate(sizes):
+            seq = rng.choice(np.frombuffer(b"ACGTN", np.uint8), ln).tobytes()
+            f.write(b"@r%d x\n" % i + seq + b"\n+\n" + b"I" * ln + b"\n")
+    sdata = []
+    r = parse_fastx_file(str(p))
+    while (rec := r.next()) is not None:
+        sdata.append((bytes(rec.id()), bytes(rec.seq())))
+    bdata = []
+    for b in fast_read_batches(str(p), batch_size=64, with_ids=True):
+        for j in range(b.num_reads):
+            ln = int(b.lengths[j])
+            bdata.append((bytes(b.ids[j]), bytes(b.seqs[j, :ln])))
+    assert sdata == bdata
