@@ -28,6 +28,7 @@ __all__ = [
     "count_file",
     "hash_count_file",
     "minimizer_spectrum_file",
+    "quality_filter_file",
     "readme_pipeline",
     "multi_k_tally",
     "pack_target",
@@ -324,6 +325,54 @@ def minimizer_spectrum_file(
     if sparse_format == "dict":
         return n_bases, _count.spectrum_arrays_to_dict(keys, counts)
     return n_bases, (keys, counts)
+
+
+def quality_filter_file(
+    in_path,
+    out_path,
+    min_mean_quality: float,
+    phred_offset: int = 33,
+    batch_size: int = 4096,
+    max_len: Optional[int] = None,
+) -> Tuple[int, int]:
+    """Filter a FASTQ file by per-read mean Phred score on device.
+
+    Reads stream through the fast framer (with ids), mean qualities
+    compute on device (``device.quality.mean_quality``), and surviving
+    records write back out with the reference round-trip writer.  Returns
+    ``(n_reads_in, n_reads_kept)``.
+    """
+    import jax
+
+    from ..parser.record import write_fastq
+    from .quality import mean_quality
+
+    @jax.jit
+    def _means(quals, lengths):
+        return mean_quality(quals, lengths, jnp.int32(phred_offset))
+
+    n_in = n_kept = 0
+    with open(out_path, "wb") as out:
+        for batch in read_batches(
+            in_path, batch_size=batch_size, max_len=max_len, with_ids=True
+        ):
+            if batch.quals is None:
+                raise ValueError("quality filtering needs FASTQ input")
+            n = batch.num_reads
+            n_in += n
+            means = np.asarray(
+                _means(jnp.asarray(batch.quals), jnp.asarray(batch.lengths))
+            )[:n]
+            for i in np.flatnonzero(means >= min_mean_quality):
+                ln = int(batch.lengths[i])
+                write_fastq(
+                    batch.ids[i],
+                    batch.seqs[i, :ln].tobytes(),
+                    batch.quals[i, :ln].tobytes(),
+                    out,
+                )
+                n_kept += 1
+    return n_in, n_kept
 
 
 def readme_pipeline(path, k: int = 4, target: bytes = b"AAAA") -> Tuple[int, int]:

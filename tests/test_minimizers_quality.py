@@ -146,3 +146,34 @@ class TestMinimizerSpectrumFile:
                 host[(int(h) << 32) | int(l)] += 1
         n_bases, (keys, counts) = minimizer_spectrum_file(str(p), k=k, w=w, batch_size=8)
         assert dict(zip(keys.tolist(), counts.tolist())) == dict(host)
+
+
+class TestQualityFilterFile:
+    def test_filters_by_mean_quality(self, tmp_path):
+        from needletail_tpu.device.pipeline import quality_filter_file
+        from needletail_tpu.parser import parse_fastx_file
+
+        p = tmp_path / "in.fq"
+        # read a: all 'I' (Q40); read b: all '#' (Q2); read c: mixed
+        p.write_bytes(
+            b"@a desc\nACGT\n+\nIIII\n"
+            b"@b\nGGGG\n+\n####\n"
+            b"@c\nACAC\n+\nII##\n"
+        )
+        out = tmp_path / "out.fq"
+        n_in, n_kept = quality_filter_file(str(p), str(out), min_mean_quality=20.0)
+        assert (n_in, n_kept) == (3, 2)  # a (40) and c (21) survive
+        recs = []
+        r = parse_fastx_file(str(out))
+        while (rec := r.next()) is not None:
+            recs.append((bytes(rec.id()), bytes(rec.seq()), bytes(rec.qual())))
+        assert recs == [
+            (b"a desc", b"ACGT", b"IIII"),
+            (b"c", b"ACAC", b"II##"),
+        ]
+
+    def test_rejects_fasta(self, tmp_path, data_dir):
+        from needletail_tpu.device.pipeline import quality_filter_file
+
+        with pytest.raises(ValueError, match="FASTQ"):
+            quality_filter_file(str(data_dir / "test.fa"), str(tmp_path / "o.fq"), 10)
