@@ -117,6 +117,16 @@ def _cmd_hash_count(args) -> int:
     return 0
 
 
+def _cmd_filter(args) -> int:
+    from .device.pipeline import quality_filter_file
+
+    n_in, n_kept = quality_filter_file(
+        args.path, args.output, args.min_quality, batch_size=args.batch_size
+    )
+    print(json.dumps({"reads_in": n_in, "reads_kept": n_kept}))
+    return 0
+
+
 def _cmd_minimizers(args) -> int:
     import numpy as np
 
@@ -192,6 +202,13 @@ def main(argv=None) -> int:
     p.add_argument("--host-workers", type=int, default=1)
     p.add_argument("-o", "--output", help="write table .npz")
     p.set_defaults(fn=_cmd_hash_count)
+
+    p = sub.add_parser("filter", help="drop reads below a mean Phred score")
+    p.add_argument("path")
+    p.add_argument("output")
+    p.add_argument("--min-quality", type=float, required=True)
+    p.add_argument("--batch-size", type=int, default=4096)
+    p.set_defaults(fn=_cmd_filter)
 
     p = sub.add_parser("minimizers", help="(w,k) minimizer spectrum (device)")
     p.add_argument("path")
