@@ -76,7 +76,9 @@ def bucketed_read_batches(
             acc = accs[width] = _BucketAcc(width, batch_size, emit_quals)
         return acc
 
-    for batch in fast_read_batches(path, batch_size=batch_size, max_len=None):
+    for batch in fast_read_batches(
+        path, batch_size=batch_size, max_len=None, with_quals=with_quals
+    ):
         if batch.quals is None:
             # FASTA source: never fabricate a zero quality plane
             emit_quals = False

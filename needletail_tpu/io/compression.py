@@ -36,6 +36,29 @@ ZST_MAGIC = b"(\xb5"
 _MAGICS = {GZ_MAGIC: "gzip", BZ_MAGIC: "bzip2", XZ_MAGIC: "xz", ZST_MAGIC: "zstd"}
 
 
+def _decompression_errors() -> tuple:
+    """Every exception a mid-stream decode failure can raise.
+
+    gzip/bz2 raise OSError subclasses, but lzma raises LZMAError, zlib
+    raises zlib.error, and zstandard raises ZstdError — all plain
+    Exceptions.  Readers catch this tuple so corrupt streams surface as
+    ParseError(Io) per the documented taxonomy.
+    """
+    import zlib
+
+    errs = [OSError, EOFError, lzma.LZMAError, zlib.error]
+    try:
+        import zstandard
+
+        errs.append(zstandard.ZstdError)
+    except ImportError:  # pragma: no cover
+        pass
+    return tuple(errs)
+
+
+DECOMPRESSION_ERRORS = _decompression_errors()
+
+
 class ChainedReader(io.RawIOBase):
     """A readable stream that yields ``prefix`` then the underlying stream —
     the equivalent of the reference's ``Cursor::chain`` un-consume trick
@@ -132,10 +155,15 @@ def open_uncompressed(stream: IO[bytes]) -> Tuple[IO[bytes], int]:
         first = decoded.read(1)
     except ParseError:
         raise
-    except (OSError, EOFError, lzma.LZMAError) as exc:
-        # A bad/empty compressed stream behaves like the reference's
-        # read_exact failure -> EmptyFile on clean EOF, Io otherwise.
+    except EOFError as exc:
+        # stream ended before one decompressed byte: EmptyFile, like the
+        # reference's first-byte read hitting EOF (ref mod.rs:98-146)
         raise ParseError.new_empty_file() from exc
+    except DECOMPRESSION_ERRORS as exc:
+        # corrupt data is an Io error, not an empty file
+        raise ParseError.from_io(
+            exc if isinstance(exc, OSError) else OSError(str(exc))
+        ) from exc
     if not first:
         raise ParseError.new_empty_file()
     return ChainedReader(first, decoded), first[0]

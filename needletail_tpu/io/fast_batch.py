@@ -27,7 +27,11 @@ from ..batch import BatchReader, ReadBatch
 from ..errors import ErrorPosition, Format, ParseError
 from ..parser import FastaReader, FastqReader
 from ..parser.utils import trim_cr
-from .compression import open_uncompressed, sniff_compression
+from .compression import (
+    DECOMPRESSION_ERRORS,
+    open_uncompressed,
+    sniff_compression,
+)
 from .prefetch import PrefetchReader
 from . import native
 
@@ -54,7 +58,7 @@ def _tail_error_pos(
     rec_id = None
     if parse_id:
         nl = tail.find(b"\n")
-        if nl > 1:
+        if nl >= 1:  # '@\n' yields an empty id, matching the streaming reader
             raw = trim_cr(tail[1:nl])
             rec_id = raw.split(b" ")[0].decode("utf-8", errors="replace")
     return ErrorPosition(line=base_line + line_offset, id=rec_id)
@@ -65,7 +69,7 @@ def _record_error(buf: np.ndarray, start: int, err: int, base_line: int) -> Pars
     data = buf[start:].tobytes()
     nl1 = data.find(b"\n")
     rec_id = None
-    if nl1 > 1:
+    if nl1 >= 1:  # empty headers still carry an (empty) id, like the reader
         rec_id = (
             trim_cr(data[1:nl1]).split(b" ")[0].decode("utf-8", errors="replace")
         )
@@ -133,7 +137,7 @@ class _FastqBatcher:
                     got = self._stream.readinto(
                         memoryview(window)[w_len : w_len + _CHUNK]
                     )
-                except (OSError, EOFError) as exc:
+                except DECOMPRESSION_ERRORS as exc:
                     raise ParseError.from_io(
                         exc if isinstance(exc, OSError) else OSError(str(exc))
                     ) from exc
@@ -190,7 +194,7 @@ class _FastqBatcher:
                         raw = pending[
                             int(chunk_recs[j, 0]) + 1 : int(chunk_recs[j, 1]) - 1
                         ].tobytes()
-                        ids.append(raw[:-1] if raw.endswith(b"\r") else raw)
+                        ids.append(trim_cr(raw))
                 fill += take
                 idx += take
                 if fill == self._bs:
@@ -348,7 +352,7 @@ class _FastaBatcher:
                     got = self._stream.readinto(
                         memoryview(window)[w_len : w_len + _CHUNK]
                     )
-                except (OSError, EOFError) as exc:
+                except DECOMPRESSION_ERRORS as exc:
                     raise ParseError.from_io(
                         exc if isinstance(exc, OSError) else OSError(str(exc))
                     ) from exc
@@ -370,7 +374,7 @@ class _FastaBatcher:
             cap = pending.size // 4 + 16  # min record is ">\n\n" = 4ish bytes
             if recs_buf.shape[0] < cap:
                 recs_buf = np.empty((cap, 3), dtype=np.int64)
-            recs, n, consumed = native.scan_fasta(pending, cap)
+            recs, n, consumed = native.scan_fasta(pending, cap, out=recs_buf)
 
             # upper bound incl. internal newlines, rounded to 128
             longest = int((recs[:, 2] - recs[:, 1] - 1).max()) if n else 0
@@ -404,7 +408,7 @@ class _FastaBatcher:
                         raw = pending[
                             int(chunk_recs[j, 0]) + 1 : int(chunk_recs[j, 1])
                         ].tobytes()
-                        ids.append(raw[:-1] if raw.endswith(b"\r") else raw)
+                        ids.append(trim_cr(raw))
                 fill += take
                 idx += take
                 if fill == self._bs:
@@ -475,6 +479,15 @@ class _FastaBatcher:
             )
 
 
+def _strip_quals_unless(batches, with_quals: bool):
+    """The pure-Python BatchReader always materializes qualities; drop them
+    when the caller asked for none so both paths yield identical batches."""
+    for b in batches:
+        if not with_quals:
+            b.quals = None
+        yield b
+
+
 class RangeStream(io.RawIOBase):
     """Reads exactly ``[start, end)`` of a file (record-aligned ranges come
     from ``parallel.distributed.split_fastx_ranges``)."""
@@ -540,9 +553,12 @@ def fast_read_batches_range(
             keep_ids=with_ids,
         )
     elif first == b"@":
-        yield from BatchReader(
-            FastqReader(stream), batch_size=batch_size, max_len=max_len,
-            keep_ids=with_ids,
+        yield from _strip_quals_unless(
+            BatchReader(
+                FastqReader(stream), batch_size=batch_size, max_len=max_len,
+                keep_ids=with_ids,
+            ),
+            with_quals,
         )
     else:
         raise ParseError.new_unknown_format(first[0] if first else 0)
@@ -590,6 +606,7 @@ def fast_read_batches(
         reader = FastqReader(stream)
     else:
         raise ParseError.new_unknown_format(first_byte)
-    yield from BatchReader(
-        reader, batch_size=batch_size, max_len=max_len, keep_ids=with_ids
+    yield from _strip_quals_unless(
+        BatchReader(reader, batch_size=batch_size, max_len=max_len, keep_ids=with_ids),
+        with_quals,
     )

@@ -112,10 +112,17 @@ def scan_fastq(
     return recs[:n], int(n), int(consumed.value), int(err.value), int(err_rec.value)
 
 
-def scan_fasta(buf: np.ndarray, cap: int) -> Tuple[np.ndarray, int, int]:
-    """Scan complete FASTA records. Returns (recs[n,3], n, consumed)."""
+def scan_fasta(
+    buf: np.ndarray, cap: int, out: Optional[np.ndarray] = None
+) -> Tuple[np.ndarray, int, int]:
+    """Scan complete FASTA records. Returns (recs[n,3], n, consumed).
+    Pass ``out`` (int64 [>=cap, 3]) to reuse an allocation across calls."""
     lib = get_lib()
-    recs = np.empty((cap, 3), dtype=np.int64)
+    recs = (
+        out
+        if out is not None and out.shape[0] >= cap
+        else np.empty((cap, 3), dtype=np.int64)
+    )
     consumed = ctypes.c_int64(0)
     n = lib.nt_scan_fasta(
         _u8ptr(buf),

@@ -28,18 +28,30 @@ class PrefetchReader(io.RawIOBase):
         self._off = 0
         self._eof = False
         self._chunk = chunk
+        self._stopped = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def _worker(self) -> None:
         try:
-            while True:
+            while not self._stopped.is_set():
                 data = self._stream.read(self._chunk)
-                self._queue.put(data)
+                # bounded put with a timeout so close() can unblock us even
+                # if the consumer abandoned the stream with a full queue
+                while not self._stopped.is_set():
+                    try:
+                        self._queue.put(data, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
                 if not data:
                     return
         except Exception as exc:  # delivered to the consumer
-            self._queue.put(exc)
+            if not self._stopped.is_set():
+                try:
+                    self._queue.put(exc, timeout=0.2)
+                except queue.Full:
+                    pass
 
     def readable(self) -> bool:  # pragma: no cover
         return True
@@ -92,6 +104,16 @@ class PrefetchReader(io.RawIOBase):
         return got
 
     def close(self) -> None:
+        # stop the worker (it may be blocked on a full queue), drain, join —
+        # otherwise an abandoned stream leaks the thread and ~chunk*depth
+        # bytes of buffered data for the life of the process
+        self._stopped.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5.0)
         try:
             self._stream.close()
         finally:

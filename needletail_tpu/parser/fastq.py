@@ -23,6 +23,7 @@ import io
 from pathlib import Path
 from typing import IO, Optional, Union
 
+from ..io.compression import DECOMPRESSION_ERRORS
 from ..errors import ErrorPosition, Format, ParseError
 from .record import SequenceRecord
 from .utils import CHUNK, FastxReader, LineEnding, Position, find_line_ending, trim_cr
@@ -71,7 +72,7 @@ class FastqReader(FastxReader):
             return 0
         try:
             data = self._stream.read(self._chunk)
-        except (OSError, EOFError) as exc:
+        except DECOMPRESSION_ERRORS as exc:
             self._finished = True
             raise ParseError.from_io(
                 exc if isinstance(exc, OSError) else OSError(str(exc))

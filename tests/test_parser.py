@@ -367,3 +367,66 @@ def test_multi_member_gzip(tmp_path):
     p.write_bytes(gzip.compress(b">a\nACGT\n") + gzip.compress(b">b\nGGCC\n"))
     recs = [(r.id, r.seq) for r in nt.parse_fastx_file(str(p))]
     assert recs == [("a", "ACGT"), ("b", "GGCC")]
+
+
+class TestDecompressionErrorTaxonomy:
+    """Mid-stream decode corruption must surface as ParseError(Io) for every
+    codec, not the codec's raw exception type."""
+
+    @pytest.mark.parametrize("codec", ["gzip", "xz", "bz2", "zstd"])
+    def test_midstream_corruption(self, codec, tmp_path):
+        import bz2 as _bz2
+        import gzip as _gzip
+        import lzma as _lzma
+
+        from needletail_tpu.errors import ParseError, ParseErrorKind
+        from needletail_tpu.parser import parse_fastx_file as parse_low
+
+        payload = b">a\n" + b"ACGT" * 5000 + b"\n"
+        if codec == "gzip":
+            data = _gzip.compress(payload)
+        elif codec == "xz":
+            data = _lzma.compress(payload)
+        elif codec == "bz2":
+            data = _bz2.compress(payload)
+        else:
+            zstd = pytest.importorskip("zstandard")
+            data = zstd.ZstdCompressor().compress(payload)
+        # corrupt the middle of the stream (keep the magic intact)
+        bad = bytearray(data)
+        mid = len(bad) // 2
+        for i in range(mid, min(mid + 16, len(bad))):
+            bad[i] ^= 0xFF
+        p = tmp_path / f"c.{codec}"
+        p.write_bytes(bytes(bad))
+        with pytest.raises(ParseError) as ei:
+            reader = parse_low(str(p))
+            while reader.next() is not None:
+                pass
+        assert ei.value.kind == ParseErrorKind.IO
+
+
+def test_empty_header_error_id_parity(tmp_path):
+    """'@\\n...' (empty header) must report the same ErrorPosition.id from
+    the streaming reader and the batched path (empty string, not None)."""
+    import io as _io
+
+    from needletail_tpu.io.fast_batch import fast_read_batches
+    from needletail_tpu.parser import FastqReader
+
+    payload = b"@\nACGT\nX\nIIII\n"
+    try:
+        r = FastqReader(_io.BytesIO(payload))
+        while r.next() is not None:
+            pass
+        raise AssertionError("expected ParseError")
+    except ParseError as e:
+        stream_id = e.position.id
+    p = tmp_path / "e.fq"
+    p.write_bytes(payload)
+    try:
+        for _ in fast_read_batches(str(p)):
+            pass
+        raise AssertionError("expected ParseError")
+    except ParseError as e:
+        assert e.position.id == stream_id
