@@ -62,9 +62,11 @@ class ReadBatch:
         max_len: Optional[int] = None,
         pad_reads_to: int = 1,
         pad_len_to: int = 128,
+        keep_ids: bool = True,
     ) -> "ReadBatch":
         """Build a batch from framed records (uses the newline-stripped
-        ``seq()``; quality lines are carried when every record has one)."""
+        ``seq()``; quality lines are carried when every record has one).
+        Zero records yield a genuinely empty batch (num_reads == 0)."""
         seq_bytes = [r.seq() for r in records]
         quals = [r.qual() for r in records]
         has_qual = all(q is not None for q in quals) and len(records) > 0
@@ -72,7 +74,7 @@ class ReadBatch:
         longest = int(lengths.max()) if len(seq_bytes) else 0
         if max_len is None:
             max_len = _round_up(max(longest, 1), pad_len_to)
-        n = _round_up(max(len(seq_bytes), 1), pad_reads_to)
+        n = _round_up(len(seq_bytes), pad_reads_to) if seq_bytes else 0
 
         seqs = np.zeros((n, max_len), dtype=np.uint8)
         for i, s in enumerate(seq_bytes):
@@ -94,7 +96,7 @@ class ReadBatch:
             seqs=seqs,
             lengths=full_lengths,
             quals=qarr,
-            ids=[r.id() for r in records],
+            ids=[r.id() for r in records] if keep_ids else [],
         )
 
     def pad_reads_to(self, n: int) -> "ReadBatch":
@@ -146,15 +148,13 @@ class BatchReader:
                 records.append(rec)
             if not records:
                 return
-            batch = ReadBatch.from_records(
+            yield ReadBatch.from_records(
                 records,
                 max_len=self._max_len,
                 pad_reads_to=self._batch_size if len(records) == self._batch_size else 1,
                 pad_len_to=self._pad_len_to,
+                keep_ids=self._keep_ids,
             )
-            if not self._keep_ids:
-                batch.ids = []
-            yield batch
 
 
 def read_batches(

@@ -53,6 +53,11 @@ def pack_kmers(seq: BytesLike, k: int) -> Tuple[np.ndarray, np.ndarray]:
     window starting at position ``i`` and ``valid[i]`` is True iff all k bases
     were unambiguous ACGT.  Invalid windows hold unspecified values.
     """
+    if not 1 <= k <= 31:
+        # the reference's rc mask math practically caps k at 31
+        # (SURVEY §2 C8b); beyond 32 the uint64 shift-accumulate would
+        # silently truncate, so fail loudly like the device path
+        raise ValueError(f"k must be in [1, 31], got {k}")
     arr = _as_np(seq)
     n = arr.size
     if k <= 0 or n < k:

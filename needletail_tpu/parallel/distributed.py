@@ -137,6 +137,10 @@ def read_range(path: Union[str, Path], start: int, end: int) -> FastxReader:
     """Streaming reader over one record-aligned byte range of ``path``."""
     with open(path, "rb") as f:
         first = f.read(1)
+    if first not in (b">", b"@"):
+        # same up-front validation as split_fastx_ranges — a compressed or
+        # non-FASTX file must not silently become a misparsing FastqReader
+        raise ParseError.new_unknown_format(first[0] if first else 0)
     stream = _RangeStream(path, start, end)
     if first == b">":
         return FastaReader(stream)

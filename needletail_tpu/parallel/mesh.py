@@ -20,10 +20,11 @@ __all__ = ["make_mesh", "mesh_shape_for"]
 
 def mesh_shape_for(n_devices: int) -> Tuple[int, int]:
     """Pick a (data, table) factorization: table gets the smaller power-of-two
-    factor (<= 4) so most parallelism serves read throughput."""
+    factor (<= 4 and never more than data) so most parallelism serves read
+    throughput — table columns replicate extraction in the dense design."""
     table = 1
     remaining = n_devices
-    while table < 4 and remaining % 2 == 0:
+    while table < 4 and remaining % 2 == 0 and remaining // 2 >= table * 2:
         table *= 2
         remaining //= 2
     return remaining, table

@@ -39,6 +39,20 @@ __all__ = [
 ]
 
 
+def _check_dense_k(k: int) -> None:
+    """The dense sharded table keys on ``win.lo`` alone, which is only the
+    full k-mer for k <= 15 (k = 16 fills all 32 bits and goes negative as
+    int32; k > 16 splits into (hi, lo) and would alias).  Practical dense
+    tables stop at MAX_DENSE_K anyway."""
+    from ..device.count import MAX_DENSE_K
+
+    if not 1 <= k <= MAX_DENSE_K:
+        raise ValueError(
+            f"dense sharded spectrum needs k in [1, {MAX_DENSE_K}], got {k}; "
+            "use make_hash_update_step for larger k"
+        )
+
+
 def _local_partial_spectrum(seqs, lengths, k: int, canonical: bool, normalized: bool):
     """Per-device body: count the keys this table column owns."""
     n_table = jax.lax.axis_size("table")
@@ -68,6 +82,7 @@ def sharded_spectrum(
 
     ``seqs``/``lengths`` lead dims must divide the data axis size.
     """
+    _check_dense_k(k)
     fn = jax.jit(
         jax.shard_map(
             partial(
@@ -112,6 +127,7 @@ class CountState:
 
 def init_count_state(mesh: Mesh, k: int) -> CountState:
     """Zero state with the table laid out across the ``table`` axis."""
+    _check_dense_k(k)
     table = jax.device_put(
         jnp.zeros((4**k,), dtype=jnp.int32), NamedSharding(mesh, P("table"))
     )
@@ -126,18 +142,27 @@ def init_count_state(mesh: Mesh, k: int) -> CountState:
     )
 
 
-def make_update_step(mesh: Mesh, k: int, canonical: bool = True, normalized: bool = True):
+def make_update_step(
+    mesh: Mesh,
+    k: int,
+    canonical: bool = True,
+    normalized: bool = True,
+    donate: bool = True,
+):
     """Build the jitted streaming step: (state, batch) -> state.
 
     This is the framework's "training step": shard the incoming batch over
     ``data``, accumulate into the table shards over ``table``.
+    ``donate=False`` keeps the input state alive (at the cost of a table
+    copy per step) for callers that inspect or checkpoint it afterwards.
     """
+    _check_dense_k(k)
 
     data_sharding = NamedSharding(mesh, P("data", None))
     len_sharding = NamedSharding(mesh, P("data"))
     table_sharding = NamedSharding(mesh, P("table"))
 
-    @partial(jax.jit, donate_argnums=(0,))
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: CountState, seqs: jax.Array, lengths: jax.Array) -> CountState:
         spec = jax.shard_map(
             partial(
@@ -153,10 +178,13 @@ def make_update_step(mesh: Mesh, k: int, canonical: bool = True, normalized: boo
         nb_lo, nb_hi = _acc64(
             state.n_bases_lo, state.n_bases_hi, jnp.sum(lengths.astype(jnp.int32))
         )
+        # count only rows carrying bases so zero-padded rows (pad_reads_to)
+        # don't inflate the tally; note this also skips legitimately empty
+        # records — the base tally is always exact
         nr_lo, nr_hi = _acc64(
             state.n_reads_lo,
             state.n_reads_hi,
-            jnp.asarray(seqs.shape[0], dtype=jnp.int32),
+            jnp.sum((lengths > 0).astype(jnp.int32)),
         )
         return CountState(
             table=state.table + spec,
@@ -175,11 +203,21 @@ def make_update_step(mesh: Mesh, k: int, canonical: bool = True, normalized: boo
     return step, place_batch, table_sharding
 
 
+_UPDATE_STEP_CACHE: dict = {}
+
+
 def update_count_state(
     mesh: Mesh, state: CountState, seqs, lengths, k: int
 ) -> CountState:
-    """One-off convenience wrapper over ``make_update_step``."""
-    step, place, _ = make_update_step(mesh, k)
+    """One-off convenience wrapper over ``make_update_step``.
+
+    Non-donating (the caller's state stays readable afterwards) and cached
+    per (mesh, k) so repeated calls don't rebuild/recompile the step.
+    """
+    key = (mesh, k)
+    if key not in _UPDATE_STEP_CACHE:
+        _UPDATE_STEP_CACHE[key] = make_update_step(mesh, k, donate=False)
+    step, place, _ = _UPDATE_STEP_CACHE[key]
     s, l = place(jnp.asarray(seqs), jnp.asarray(lengths))
     return step(state, s, l)
 

@@ -160,6 +160,11 @@ def minimizer(seq: BytesLike, length: int) -> bytes:
     """Lexicographically smallest length-``length`` substring of ``seq`` or its
     reverse complement (ref sequence.rs:139-152)."""
     raw = bytes(_as_np(seq).tobytes())
+    if not 1 <= length <= len(raw):
+        # the reference panics on the out-of-bounds slice &seq[..length]
+        raise ValueError(
+            f"minimizer length {length} out of range for a {len(raw)}-byte sequence"
+        )
     rc = reverse_complement(raw)
     minmer = raw[:length]
     for i in range(len(raw) - length + 1):

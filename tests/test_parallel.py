@@ -30,8 +30,10 @@ def random_batch(b=16, l=64, seed=0, alphabet=b"ACGTN"):
 
 
 def test_mesh_shape_heuristic():
-    assert mesh_shape_for(8) == (2, 4)
+    assert mesh_shape_for(8) == (4, 2)
     assert mesh_shape_for(16) == (4, 4)
+    assert mesh_shape_for(4) == (2, 2)
+    assert mesh_shape_for(2) == (2, 1)
     assert mesh_shape_for(1) == (1, 1)
     assert mesh_shape_for(6) == (3, 2)
 
