@@ -38,6 +38,12 @@ def _enable_jax_compile_cache() -> None:
 
         if jax.config.jax_compilation_cache_dir:
             return
+        # CPU-only sessions skip the cache: XLA:CPU AOT results encode the
+        # compile machine's ISA features and can SIGILL on a different
+        # host, and CPU compiles are fast anyway.  The ~30s compiles the
+        # cache exists for (big lax.sort programs) are TPU-side.
+        if (jax.config.jax_platforms or "").strip() == "cpu":
+            return
         cache_dir = _os.path.join(
             _os.path.expanduser("~"), ".cache", "needletail_tpu", "jax"
         )
