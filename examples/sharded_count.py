@@ -44,7 +44,7 @@ def main() -> None:
     total = state.total  # syncs
     elapsed = time.perf_counter() - t0
 
-    table = np.asarray(jax.jit(lambda t: t, out_shardings=None)(state.table))
+    table = state.table  # int64 numpy (gathers the limb shards)
     print(
         f"{len(devices)} devices ({dict(mesh.shape)}): {n_bases} bases, "
         f"{total} canonical {args.k}-mers ({state.fwd} forward) "

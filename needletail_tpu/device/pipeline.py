@@ -108,10 +108,20 @@ def count_file(
     count composition (ref sequence.rs:280-308), fused into the same
     compiled program via the window validity mask.
     """
+    if bucketed and host_workers > 1:
+        raise ValueError(
+            "bucketed=True and host_workers>1 are mutually exclusive: "
+            "bucketed framing is single-process (pass one or the other)"
+        )
     if dense is None:
         dense = k <= _count.MAX_DENSE_K
+    from ..utils.limbs import acc64
+
     n_bases = 0
-    dense_total = None  # stays on device; accumulation is async-dispatched
+    # uint32 limb pairs (see utils.limbs): per-batch increments are int32,
+    # the running table is exact to 2^64 per bin (the reference counts in
+    # host usize; int32 bins would wrap silently past 2^31)
+    dense_limbs = None  # stays on device; accumulation is async-dispatched
     sparse = _count.SparseSpectrumAccumulator()
 
     def _windows(seqs, lengths, quals):
@@ -124,9 +134,10 @@ def count_file(
         fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
         return fn(seqs, lengths, k, normalized=normalized)
 
-    @partial(jax.jit, donate_argnums=(0,), static_argnums=())
-    def _accumulate(table, seqs, lengths, quals):
-        return table + _count.dense_spectrum(_windows(seqs, lengths, quals), k)
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnums=())
+    def _accumulate(table_lo, table_hi, seqs, lengths, quals):
+        spec = _count.dense_spectrum(_windows(seqs, lengths, quals), k)
+        return acc64(table_lo, table_hi, spec)
 
     @jax.jit
     def _keys(seqs, lengths, quals):
@@ -164,16 +175,21 @@ def count_file(
             quals = jnp.asarray(batch.quals)
         n_bases += batch.num_bases
         if dense:
-            if dense_total is None:
-                dense_total = jnp.zeros(4**k, dtype=jnp.int32)
-            dense_total = _accumulate(dense_total, seqs, lengths, quals)
+            if dense_limbs is None:
+                dense_limbs = (
+                    jnp.zeros(4**k, dtype=jnp.uint32),
+                    jnp.zeros(4**k, dtype=jnp.uint32),
+                )
+            dense_limbs = _accumulate(*dense_limbs, seqs, lengths, quals)
         else:
             sparse.add(*_keys(seqs, lengths, quals))
     if dense:
+        if dense_limbs is None:
+            return n_bases, np.zeros(4**k, np.int64)
+        lo, hi = dense_limbs
         return n_bases, (
-            np.asarray(dense_total)
-            if dense_total is not None
-            else np.zeros(4**k, np.int64)
+            np.asarray(lo).astype(np.int64)
+            + (np.asarray(hi).astype(np.int64) << 32)
         )
     keys, counts = sparse.finish()
     if sparse_format == "arrays":
@@ -224,8 +240,10 @@ def hash_count_file(
     keys -> int4 MXU histogram, accumulated on device.
 
     Returns ``(n_bases, total_windows, forward_windows, table)`` where
-    ``table`` is the int32 ``[2^table_bits]`` hash spectrum (collisions
-    accumulate; use :func:`count_file` for exact per-k-mer counts).
+    ``table`` is the int64 ``[2^table_bits]`` hash spectrum (collisions
+    accumulate; use :func:`count_file` for exact per-k-mer counts).  Bins
+    accumulate on device as uint32 limb pairs, exact past 2^31 even for
+    skewed hash distributions.
 
     ``host_workers > 1`` frames uncompressed input with that many worker
     processes (``io.parallel_host``) — one framing core cannot feed a chip.
@@ -239,19 +257,19 @@ def hash_count_file(
 
     from ..utils.limbs import acc64, limbs_to_int
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step(table, tallies, seqs, lengths):
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step(table_lo, table_hi, tallies, seqs, lengths):
         keys, t, f = canonical_hash_keys(
             seqs, lengths, k, table_bits=table_bits, normalized=normalized
         )
         t_lo, t_hi = acc64(tallies[0], tallies[1], t)
         f_lo, f_hi = acc64(tallies[2], tallies[3], f)
-        return (
-            table + mxu_histogram16(keys, None)[: 1 << table_bits],
-            jnp.stack([t_lo, t_hi, f_lo, f_hi]),
-        )
+        inc = mxu_histogram16(keys, None)[: 1 << table_bits]
+        lo, hi = acc64(table_lo, table_hi, inc)
+        return lo, hi, jnp.stack([t_lo, t_hi, f_lo, f_hi])
 
-    table = jnp.zeros((1 << table_bits,), jnp.int32)
+    table_lo = jnp.zeros((1 << table_bits,), jnp.uint32)
+    table_hi = jnp.zeros((1 << table_bits,), jnp.uint32)
     tallies = jnp.zeros((4,), jnp.uint32)  # (total_lo, total_hi, fwd_lo, fwd_hi)
     n_bases = 0
     if host_workers > 1:
@@ -275,13 +293,16 @@ def hash_count_file(
         if batch.max_len < k:
             continue
         b = batch if batch.num_reads == batch_size else batch.pad_reads_to(batch_size)
-        table, tallies = step(
-            table, tallies, jnp.asarray(b.seqs), jnp.asarray(b.lengths)
+        table_lo, table_hi, tallies = step(
+            table_lo, table_hi, tallies, jnp.asarray(b.seqs), jnp.asarray(b.lengths)
         )
     tallies = np.asarray(tallies)
     total = limbs_to_int(tallies[0], tallies[1])
     fwd = limbs_to_int(tallies[2], tallies[3])
-    return n_bases, total, fwd, np.asarray(table)
+    table = np.asarray(table_lo).astype(np.int64) + (
+        np.asarray(table_hi).astype(np.int64) << 32
+    )
+    return n_bases, total, fwd, table
 
 
 def minimizer_spectrum_file(

@@ -60,7 +60,17 @@ class PrefetchReader(io.RawIOBase):
         """Load the next chunk into the buffer; False at EOF."""
         if self._eof:
             return False
-        item = self._queue.get()
+        # Poll with a timeout so a read() racing (or issued after) close()
+        # wakes up and errors instead of blocking forever on a queue the
+        # stopped worker will never feed again.
+        while True:
+            if self._stopped.is_set():
+                raise ValueError("read of closed PrefetchReader")
+            try:
+                item = self._queue.get(timeout=0.2)
+                break
+            except queue.Empty:
+                continue
         if isinstance(item, Exception):
             self._eof = True
             raise item

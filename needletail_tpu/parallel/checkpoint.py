@@ -56,11 +56,16 @@ class CountCheckpoint:
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
 
-        table = jnp.asarray(self.table)
+        t64 = np.asarray(self.table).astype(np.int64, copy=False)
+        lo = jnp.asarray((t64 & 0xFFFFFFFF).astype(np.uint32))
+        hi = jnp.asarray((t64 >> 32).astype(np.uint32))
         if mesh is not None:
-            table = jax.device_put(table, NamedSharding(mesh, P("table")))
+            sharding = NamedSharding(mesh, P("table"))
+            lo = jax.device_put(lo, sharding)
+            hi = jax.device_put(hi, sharding)
         return CountState(
-            table=table,
+            table_lo=lo,
+            table_hi=hi,
             n_bases_lo=jnp.asarray(self.n_bases & 0xFFFFFFFF, jnp.uint32),
             n_bases_hi=jnp.asarray(self.n_bases >> 32, jnp.uint32),
             n_reads_lo=jnp.asarray(self.n_reads & 0xFFFFFFFF, jnp.uint32),
@@ -132,13 +137,18 @@ def load_hash_state(
     from jax.sharding import PartitionSpec as P
 
     with np.load(path, allow_pickle=False) as z:
-        table = jnp.asarray(z["table"])
+        t64 = np.asarray(z["table"]).astype(np.int64, copy=False)
+        lo = jnp.asarray((t64 & 0xFFFFFFFF).astype(np.uint32))
+        hi = jnp.asarray((t64 >> 32).astype(np.uint32))
         if mesh is not None:
-            table = jax.device_put(table, NamedSharding(mesh, P("data")))
+            sharding = NamedSharding(mesh, P("data"))
+            lo = jax.device_put(lo, sharding)
+            hi = jax.device_put(hi, sharding)
         total = int(z["total"])
         fwd = int(z["fwd"])
         state = HashCountState(
-            table=table,
+            table_lo=lo,
+            table_hi=hi,
             total_lo=jnp.asarray(total & 0xFFFFFFFF, jnp.uint32),
             total_hi=jnp.asarray(total >> 32, jnp.uint32),
             fwd_lo=jnp.asarray(fwd & 0xFFFFFFFF, jnp.uint32),

@@ -103,18 +103,40 @@ from ..utils.limbs import acc64 as _acc64
 from ..utils.limbs import limbs_to_int as _limbs_to_int
 
 
+def _limb_table_to_int64(lo, hi) -> "np.ndarray":
+    """Combine uint32 limb-pair table shards into one int64 numpy array.
+
+    Syncs device→host; only valid when the limbs are addressable (single
+    process, or after a gather in multi-process jobs)."""
+    import numpy as np
+
+    return np.asarray(lo).astype(np.int64) + (
+        np.asarray(hi).astype(np.int64) << 32
+    )
+
+
 @jax.tree_util.register_dataclass
 @dataclass
 class CountState:
-    """Streaming count-table state: the global spectrum (sharded over
-    ``table``) plus running base/read tallies (replicated, uint32 limb
-    pairs — see ``_acc64``; read them via ``.n_bases``/``.n_reads``)."""
+    """Streaming count-table state: the global spectrum as uint32 limb
+    pairs (sharded over ``table``; exact past the int32 per-bin ceiling —
+    per-step increments are int32, limbs carry via ``_acc64``) plus
+    running base/read tallies (replicated limb pairs; read them via
+    ``.n_bases``/``.n_reads``).  ``.table`` combines the limbs into an
+    int64 numpy array (syncs; in multi-process jobs gather the limbs
+    first — they are the raw fields)."""
 
-    table: jax.Array  # int32 [4^k], sharded P('table')
+    table_lo: jax.Array  # uint32 [4^k], sharded P('table')
+    table_hi: jax.Array  # uint32 [4^k], sharded P('table')
     n_bases_lo: jax.Array
     n_bases_hi: jax.Array
     n_reads_lo: jax.Array
     n_reads_hi: jax.Array
+
+    @property
+    def table(self) -> "np.ndarray":
+        """int64 [4^k] numpy view of the count table (syncs)."""
+        return _limb_table_to_int64(self.table_lo, self.table_hi)
 
     @property
     def n_bases(self) -> int:
@@ -128,13 +150,12 @@ class CountState:
 def init_count_state(mesh: Mesh, k: int) -> CountState:
     """Zero state with the table laid out across the ``table`` axis."""
     _check_dense_k(k)
-    table = jax.device_put(
-        jnp.zeros((4**k,), dtype=jnp.int32), NamedSharding(mesh, P("table"))
-    )
+    sharding = NamedSharding(mesh, P("table"))
     # distinct buffers: the update step donates the whole state pytree and
     # aliased buffers cannot be donated twice
     return CountState(
-        table=table,
+        table_lo=jax.device_put(jnp.zeros((4**k,), dtype=jnp.uint32), sharding),
+        table_hi=jax.device_put(jnp.zeros((4**k,), dtype=jnp.uint32), sharding),
         n_bases_lo=jnp.zeros((), dtype=jnp.uint32),
         n_bases_hi=jnp.zeros((), dtype=jnp.uint32),
         n_reads_lo=jnp.zeros((), dtype=jnp.uint32),
@@ -186,8 +207,12 @@ def make_update_step(
             state.n_reads_hi,
             jnp.sum((lengths > 0).astype(jnp.int32)),
         )
+        # elementwise limb accumulate: per-step bin increments are int32
+        # (bounded by batch lanes), the running table is exact to 2^64
+        t_lo, t_hi = _acc64(state.table_lo, state.table_hi, spec)
         return CountState(
-            table=state.table + spec,
+            table_lo=t_lo,
+            table_hi=t_hi,
             n_bases_lo=nb_lo,
             n_bases_hi=nb_hi,
             n_reads_lo=nr_lo,
@@ -203,7 +228,11 @@ def make_update_step(
     return step, place_batch, table_sharding
 
 
-_UPDATE_STEP_CACHE: dict = {}
+# Bounded (mesh, k) -> step cache: evicts least-recently-used entries so
+# long-lived processes that churn through many Mesh objects don't pin every
+# mesh + compiled executable forever.
+_UPDATE_STEP_CACHE: "dict" = {}
+_UPDATE_STEP_CACHE_MAX = 8
 
 
 def update_count_state(
@@ -215,7 +244,11 @@ def update_count_state(
     per (mesh, k) so repeated calls don't rebuild/recompile the step.
     """
     key = (mesh, k)
-    if key not in _UPDATE_STEP_CACHE:
+    if key in _UPDATE_STEP_CACHE:
+        _UPDATE_STEP_CACHE[key] = _UPDATE_STEP_CACHE.pop(key)  # mark recent
+    else:
+        while len(_UPDATE_STEP_CACHE) >= _UPDATE_STEP_CACHE_MAX:
+            _UPDATE_STEP_CACHE.pop(next(iter(_UPDATE_STEP_CACHE)))
         _UPDATE_STEP_CACHE[key] = make_update_step(mesh, k, donate=False)
     step, place, _ = _UPDATE_STEP_CACHE[key]
     s, l = place(jnp.asarray(seqs), jnp.asarray(lengths))
@@ -248,14 +281,22 @@ def update_count_state(
 class HashCountState:
     """Streaming hash-spectrum state: [2^table_bits] global table sharded
     over ``data`` (each chip owns a contiguous bin range after the
-    reduce-scatter) plus replicated tallies (uint32 limb pairs, exact past
-    2^31 windows; read via ``.total``/``.fwd``)."""
+    reduce-scatter) plus replicated tallies.  Table and tallies are uint32
+    limb pairs — exact past the int32 ceiling even for skewed hash bins
+    (e.g. homopolymer-dominated corpora); read via ``.table``/``.total``/
+    ``.fwd``."""
 
-    table: jax.Array  # int32 [2^table_bits], sharded P('data')
+    table_lo: jax.Array  # uint32 [2^table_bits], sharded P('data')
+    table_hi: jax.Array  # uint32 [2^table_bits], sharded P('data')
     total_lo: jax.Array
     total_hi: jax.Array
     fwd_lo: jax.Array
     fwd_hi: jax.Array
+
+    @property
+    def table(self) -> "np.ndarray":
+        """int64 [2^table_bits] numpy view of the hash table (syncs)."""
+        return _limb_table_to_int64(self.table_lo, self.table_hi)
 
     @property
     def total(self) -> int:
@@ -300,7 +341,7 @@ def make_hash_update_step(
     len_sharding = NamedSharding(mesh, P("data"))
     table_sharding = NamedSharding(mesh, P("data"))
 
-    def _local(table_shard, seqs, lengths):
+    def _local(table_lo_shard, table_hi_shard, seqs, lengths):
         keys, total, fwd = canonical_hash_keys(
             seqs, lengths, k, table_bits=table_bits,
             normalized=normalized, block_rows=block_rows,
@@ -308,9 +349,13 @@ def make_hash_update_step(
         # hashes are already masked to table_bits, so bins >= 2^table_bits
         # of the 2^16-bin kernel stay zero and the slice below is exact
         local = mxu_histogram16(keys, None)[:n_bins]
+        # the ICI reduce-scatter stays int32 (per-step increments are
+        # bounded by batch lanes); limbs carry locally after the merge
         upd = jax.lax.psum_scatter(local, "data", scatter_dimension=0, tiled=True)
+        lo, hi = _acc64(table_lo_shard, table_hi_shard, upd)
         return (
-            table_shard + upd,
+            lo,
+            hi,
             jax.lax.psum(total, "data"),
             jax.lax.psum(fwd, "data"),
         )
@@ -318,8 +363,8 @@ def make_hash_update_step(
     local_fn = jax.shard_map(
         _local,
         mesh=mesh,
-        in_specs=(P("data"), P("data", None), P("data")),
-        out_specs=(P("data"), P(), P()),
+        in_specs=(P("data"), P("data"), P("data", None), P("data")),
+        out_specs=(P("data"), P("data"), P(), P()),
         # pallas_call outputs carry no varying-mesh-axes metadata, so the
         # vma check cannot see that the kernel outputs vary over 'data'
         check_vma=False,
@@ -327,16 +372,24 @@ def make_hash_update_step(
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: HashCountState, seqs, lengths) -> HashCountState:
-        table, total, fwd = local_fn(state.table, seqs, lengths)
+        lo, hi, total, fwd = local_fn(
+            state.table_lo, state.table_hi, seqs, lengths
+        )
         t_lo, t_hi = _acc64(state.total_lo, state.total_hi, total)
         f_lo, f_hi = _acc64(state.fwd_lo, state.fwd_hi, fwd)
         return HashCountState(
-            table=table, total_lo=t_lo, total_hi=t_hi, fwd_lo=f_lo, fwd_hi=f_hi
+            table_lo=lo,
+            table_hi=hi,
+            total_lo=t_lo,
+            total_hi=t_hi,
+            fwd_lo=f_lo,
+            fwd_hi=f_hi,
         )
 
     def init() -> HashCountState:
         return HashCountState(
-            table=jax.device_put(jnp.zeros((n_bins,), jnp.int32), table_sharding),
+            table_lo=jax.device_put(jnp.zeros((n_bins,), jnp.uint32), table_sharding),
+            table_hi=jax.device_put(jnp.zeros((n_bins,), jnp.uint32), table_sharding),
             total_lo=jnp.zeros((), jnp.uint32),
             total_hi=jnp.zeros((), jnp.uint32),
             fwd_lo=jnp.zeros((), jnp.uint32),

@@ -64,14 +64,19 @@ def main() -> None:
     gl = jax.make_array_from_process_local_data(len_sharding, lengths)
 
     state = step(init(), gs, gl)
-    # all-gather the data-sharded table so process 0 can dump it whole
-    full = jax.jit(
-        lambda t: t, out_shardings=NamedSharding(mesh, P())
-    )(state.table)
+    # all-gather the data-sharded limb tables so process 0 can dump the
+    # combined int64 table whole
+    full_lo, full_hi = jax.jit(
+        lambda lo, hi: (lo, hi),
+        out_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P())),
+    )(state.table_lo, state.table_hi)
+    table = np.asarray(jax.device_get(full_lo)).astype(np.int64) + (
+        np.asarray(jax.device_get(full_hi)).astype(np.int64) << 32
+    )
     if pid == 0:
         np.savez(
             out,
-            table=np.asarray(jax.device_get(full)),
+            table=table,
             total=int(state.total),
             fwd=int(state.fwd),
             local_records=i,
