@@ -22,6 +22,12 @@ def main() -> None:
     ap.add_argument("path")
     ap.add_argument("--k", type=int, default=21)
     ap.add_argument("--batch-size", type=int, default=8192)
+    ap.add_argument(
+        "--exact",
+        action="store_true",
+        help="exact per-k-mer spectrum (per-chip sorts + host merge) "
+        "instead of the collision-accumulating hash table",
+    )
     args = ap.parse_args()
 
     import jax
@@ -31,6 +37,22 @@ def main() -> None:
     from needletail_tpu.parallel import make_hash_update_step, make_mesh
 
     devices = jax.devices()
+
+    if args.exact:
+        from needletail_tpu.parallel import sharded_count_file
+
+        mesh = make_mesh(devices, data=len(devices), table=1)
+        t0 = time.perf_counter()
+        n_bases, (keys, counts) = sharded_count_file(
+            args.path, args.k, mesh=mesh, batch_size=args.batch_size
+        )
+        elapsed = time.perf_counter() - t0
+        print(
+            f"{len(devices)} devices (exact): {n_bases} bases, "
+            f"{int(counts.sum())} canonical {args.k}-mers, "
+            f"{len(keys)} distinct, in {elapsed:.2f}s"
+        )
+        return
     mesh = make_mesh(devices, data=len(devices), table=1)
     init, step, place = make_hash_update_step(mesh, args.k)
     state = init()

@@ -7,6 +7,7 @@ count table is sharded by key range over the ``table`` axis, and per-shard
 tables merge with ``psum`` over ICI.
 """
 
+from .exact import ShardedSpectrumAccumulator, sharded_count_file
 from .mesh import make_mesh, mesh_shape_for
 from .sharded import (
     CountState,
@@ -26,4 +27,6 @@ __all__ = [
     "sharded_spectrum",
     "HashCountState",
     "make_hash_update_step",
+    "ShardedSpectrumAccumulator",
+    "sharded_count_file",
 ]

@@ -1,0 +1,272 @@
+"""Distributed EXACT k-mer spectra for any k <= 31 over a ``data`` mesh.
+
+The dense sharded table (``sharded.py``) stops at small k and the hash
+pipeline is collision-lossy; this module is the multi-chip version of the
+single-device sorted-spectrum path (``device/count.py``): every chip owns a
+disjoint read shard, buffers its masked (hi, lo) key planes in a fixed
+device buffer, resolves each ~buffer-full with ONE per-chip lexicographic
+``lax.sort`` + run-length count (inside ``shard_map`` — no collectives, the
+sorts run in parallel across chips), and the host tree-merges the per-chip
+sorted runs with ``merge_sorted_spectra``.
+
+Exactness: each window's key lives in exactly one chip's plane, local run
+counts are exact, and the host merge sums duplicates across chips — so the
+final (keys, counts) equals the reference's host hash-map bit-for-bit (the
+same invariant the single-device ``count_file`` sparse path locks; ref
+benches/benchmark.rs:43-44 vectors).
+
+No reference equivalent (needletail is single-threaded); mandated by
+BASELINE.json "exact count-table equality vs needletail" at pod scale.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..device import count as _count
+from ..device import kmers as _kmers
+
+__all__ = ["ShardedSpectrumAccumulator", "sharded_count_file"]
+
+_SENTINEL = 0xFFFFFFFF
+
+# default per-chip key-plane buffer: 2^23 lanes * 8 B = 64 MiB/chip
+DEFAULT_SHARD_LANES = 1 << 23
+
+
+def _require_data_mesh(mesh: Mesh) -> int:
+    if "data" not in mesh.shape:
+        raise ValueError("exact spectrum needs a mesh with a 'data' axis")
+    if "table" in mesh.shape and mesh.shape["table"] != 1:
+        # a table axis would replicate the read shard across its columns and
+        # double-count every key plane
+        raise ValueError(
+            "exact spectrum shards keys over 'data' only; use table=1 "
+            f"(got table={mesh.shape['table']})"
+        )
+    return mesh.shape["data"]
+
+
+class ShardedSpectrumAccumulator:
+    """Streaming exact spectrum over a ``data`` mesh.
+
+    ``add(seqs, lengths)`` ingests one batch (rows divisible by the data
+    axis; use ``place()`` or pass host arrays — they are device_put with
+    the right sharding).  ``finish()`` returns ``(keys_u64, counts_i64)``
+    sorted by key, exact for any 1 <= k <= 31.
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        k: int,
+        canonical: bool = True,
+        normalized: bool = True,
+        shard_lanes: int = DEFAULT_SHARD_LANES,
+        quality_cutoff: Optional[int] = None,
+        phred_offset: int = 33,
+    ) -> None:
+        if not 1 <= k <= 31:
+            raise ValueError(f"k must be in [1, 31], got {k}")
+        self._mesh = mesh
+        self._n_data = _require_data_mesh(mesh)
+        self._k = k
+        self._cap = int(shard_lanes)
+        self._offset = 0  # lanes used per shard (uniform across shards)
+        self._keys = np.zeros(0, np.uint64)
+        self._counts = np.zeros(0, np.int64)
+        self._canonical = canonical
+        self._normalized = normalized
+        self._quality_cutoff = quality_cutoff
+        self._phred_offset = phred_offset
+
+        buf_sharding = NamedSharding(mesh, P("data"))
+        self._data_sharding = NamedSharding(mesh, P("data", None))
+        self._len_sharding = NamedSharding(mesh, P("data"))
+        fill = jnp.full((self._n_data * self._cap,), _SENTINEL, jnp.uint32)
+        self._buf_hi = jax.device_put(fill, buf_sharding)
+        self._buf_lo = jax.device_put(fill, buf_sharding)
+
+        k_ = k
+
+        def _append(buf_hi, buf_lo, offset, seqs, lengths, quals):
+            """Per-shard body: extract this shard's masked keys, write them
+            at [offset, offset + lanes) of this shard's buffer slice."""
+            if quals is not None:
+                from ..device.ops import quality_mask
+
+                seqs = quality_mask(
+                    seqs, quals, jnp.int32(phred_offset + (quality_cutoff or 0))
+                )
+            fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
+            win = fn(seqs, lengths, k_, normalized=normalized)
+            hi, lo = _count.mask_keys(win)
+            new_hi = jax.lax.dynamic_update_slice(buf_hi, hi, (offset,))
+            new_lo = jax.lax.dynamic_update_slice(buf_lo, lo, (offset,))
+            return new_hi, new_lo
+
+        with_quals = quality_cutoff is not None
+        in_specs = (
+            P("data"),
+            P("data"),
+            P(),
+            P("data", None),
+            P("data"),
+            P("data", None) if with_quals else None,
+        )
+        if not with_quals:
+            def _append2(bh, bl, off, s, l):
+                return _append(bh, bl, off, s, l, None)
+            body, in_specs = _append2, in_specs[:5]
+        else:
+            body = _append
+
+        self._append = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=in_specs,
+                out_specs=(P("data"), P("data")),
+            ),
+            donate_argnums=(0, 1),
+        )
+
+        def _resolve(buf_hi, buf_lo):
+            """Per-shard sort + run-length count (no collectives)."""
+            return _count.unique_counts(buf_hi, buf_lo)
+
+        self._resolve = jax.jit(
+            jax.shard_map(
+                _resolve,
+                mesh=mesh,
+                in_specs=(P("data"), P("data")),
+                out_specs=(P("data"), P("data"), P("data")),
+            ),
+            donate_argnums=(0, 1),
+        )
+
+    def place(self, seqs, lengths):
+        """Shard a host batch over the data axis."""
+        return (
+            jax.device_put(jnp.asarray(seqs), self._data_sharding),
+            jax.device_put(jnp.asarray(lengths), self._len_sharding),
+        )
+
+    def lanes_for(self, batch_rows: int, max_len: int) -> int:
+        """Per-shard key lanes one (batch_rows, max_len) batch produces."""
+        w = max(max_len - self._k + 1, 0)
+        return (batch_rows // self._n_data) * w
+
+    def add(self, seqs, lengths, quals=None) -> None:
+        seqs = jnp.asarray(seqs)
+        lengths = jnp.asarray(lengths)
+        b, l = seqs.shape
+        if b % self._n_data:
+            raise ValueError(
+                f"batch rows {b} must divide the data axis {self._n_data} "
+                "(pad with Batch.pad_reads_to)"
+            )
+        if l < self._k:
+            return
+        lanes = self.lanes_for(b, l)
+        if lanes > self._cap:
+            raise ValueError(
+                f"one batch produces {lanes} lanes/shard > buffer {self._cap}; "
+                "raise shard_lanes or shrink the batch"
+            )
+        if self._offset + lanes > self._cap:
+            self._flush()
+        args = [self._buf_hi, self._buf_lo, jnp.int32(self._offset)]
+        placed = self.place(seqs, lengths)
+        args.extend(placed)
+        if self._quality_cutoff is not None:
+            if quals is None:
+                raise ValueError("quality_cutoff needs FASTQ qualities")
+            args.append(
+                jax.device_put(jnp.asarray(quals), self._data_sharding)
+            )
+        self._buf_hi, self._buf_lo = self._append(*args)
+        self._offset += lanes
+
+    def _flush(self) -> None:
+        if self._offset == 0:
+            return
+        hi_s, lo_s, counts = self._resolve(self._buf_hi, self._buf_lo)
+        hi_s = np.asarray(hi_s).reshape(self._n_data, self._cap)
+        lo_s = np.asarray(lo_s).reshape(self._n_data, self._cap)
+        counts = np.asarray(counts).reshape(self._n_data, self._cap)
+        for d in range(self._n_data):
+            keys, cnts = _count.compact_spectrum(hi_s[d], lo_s[d], counts[d])
+            self._keys, self._counts = _count.merge_sorted_spectra(
+                self._keys, self._counts, keys, cnts
+            )
+        buf_sharding = NamedSharding(self._mesh, P("data"))
+        fill = jnp.full((self._n_data * self._cap,), _SENTINEL, jnp.uint32)
+        self._buf_hi = jax.device_put(fill, buf_sharding)
+        self._buf_lo = jax.device_put(fill, buf_sharding)
+        self._offset = 0
+
+    def finish(self) -> Tuple[np.ndarray, np.ndarray]:
+        self._flush()
+        return self._keys, self._counts
+
+
+def sharded_count_file(
+    path,
+    k: int,
+    mesh: Mesh,
+    batch_size: int = 4096,
+    max_len: Optional[int] = None,
+    canonical: bool = True,
+    normalized: bool = True,
+    shard_lanes: int = DEFAULT_SHARD_LANES,
+    host_workers: int = 1,
+) -> Tuple[int, Tuple[np.ndarray, np.ndarray]]:
+    """Exact (keys_u64, counts) spectrum of a FASTX file over a data mesh.
+
+    The multi-chip twin of ``device.pipeline.count_file``'s sparse path:
+    same framer, same key semantics, per-chip sorts, host merge.  Returns
+    ``(n_bases, (keys, counts))`` with keys ascending.
+    """
+    from ..io.fast_batch import fast_read_batches
+
+    acc = ShardedSpectrumAccumulator(
+        mesh,
+        k,
+        canonical=canonical,
+        normalized=normalized,
+        shard_lanes=shard_lanes,
+    )
+    n_bases = 0
+    if host_workers > 1:
+        from ..io.parallel_host import parallel_read_batches
+
+        batches = parallel_read_batches(
+            path,
+            workers=host_workers,
+            batch_size=batch_size,
+            max_len=max_len,
+            with_quals=False,
+        )
+    else:
+        batches = fast_read_batches(
+            path, batch_size=batch_size, max_len=max_len
+        )
+    for batch in batches:
+        n_bases += batch.num_bases
+        if batch.max_len < k:
+            continue
+        b = (
+            batch
+            if batch.num_reads == batch_size
+            else batch.pad_reads_to(batch_size)
+        )
+        acc.add(b.seqs, b.lengths)
+    return n_bases, acc.finish()

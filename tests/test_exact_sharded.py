@@ -1,0 +1,138 @@
+"""Distributed exact spectrum (parallel/exact.py) vs the host oracle.
+
+BASELINE "exact count-table equality vs needletail" at mesh scale: the
+8-virtual-device sorted-run path must reproduce the reference's canonical
+k-mer counts bit-for-bit for any k <= 31.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from needletail_tpu.parallel import (
+    ShardedSpectrumAccumulator,
+    make_mesh,
+    sharded_count_file,
+)
+
+
+def host_oracle_spectrum(path, k):
+    """Reference-semantics host spectrum {packed_kmer: count}."""
+    import needletail_tpu.sequence as seqops
+    from needletail_tpu.bitkmer import bytes_to_bitmer
+    from needletail_tpu.kmer import canonical_kmers
+    from needletail_tpu.parser import parse_fastx_file
+
+    out = {}
+    r = parse_fastx_file(str(path))
+    while (rec := r.next()) is not None:
+        norm = seqops.normalize(bytes(rec.seq()), False) or bytes(rec.seq())
+        rc = seqops.reverse_complement(norm)
+        for (_, kmer, _) in canonical_kmers(norm, rc, k):
+            v, _ = bytes_to_bitmer(kmer)
+            out[v] = out.get(v, 0) + 1
+    return out
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(data=8, table=1)
+
+
+def _spectrum_dict(keys, counts):
+    return {int(k): int(c) for k, c in zip(keys, counts)}
+
+
+def test_exact_k21_vs_host_oracle(mesh, data_dir):
+    path = data_dir / "PRJNA271013_head.fq"
+    n_bases, (keys, counts) = sharded_count_file(
+        str(path), k=21, mesh=mesh, batch_size=512, shard_lanes=1 << 16
+    )
+    assert n_bases == 250000
+    oracle = host_oracle_spectrum(path, 21)
+    got = _spectrum_dict(keys, counts)
+    assert got == oracle
+    assert sum(oracle.values()) == counts.sum()
+
+
+def test_exact_k31_fasta(mesh, data_dir):
+    path = data_dir / "28S.fasta"
+    n_bases, (keys, counts) = sharded_count_file(
+        str(path), k=31, mesh=mesh, batch_size=64
+    )
+    assert n_bases == 738580
+    # the reference's own benchmark vectors (ref benches/benchmark.rs:43-44)
+    assert int(counts.sum()) == 718007
+    oracle = host_oracle_spectrum(path, 31)
+    assert _spectrum_dict(keys, counts) == oracle
+
+
+def test_matches_single_device_count_file(mesh, data_dir):
+    from needletail_tpu.device.pipeline import count_file
+
+    path = str(data_dir / "PRJNA271013_head.fq")
+    _, (keys_m, counts_m) = sharded_count_file(
+        path, k=17, mesh=mesh, batch_size=256
+    )
+    _, (keys_s, counts_s) = count_file(
+        path, k=17, dense=False, sparse_format="arrays", batch_size=256
+    )
+    assert np.array_equal(keys_m, keys_s)
+    assert np.array_equal(counts_m, counts_s)
+
+
+def test_small_buffer_forces_multiple_flushes(mesh, data_dir):
+    """A shard buffer far smaller than the corpus exercises the
+    flush + host-merge path repeatedly."""
+    path = data_dir / "PRJNA271013_head.fq"
+    # batch 128 rows x (125-9+1) windows / 8 shards = 1872 lanes/add
+    n_bases, (keys, counts) = sharded_count_file(
+        str(path), k=9, mesh=mesh, batch_size=128, shard_lanes=4096
+    )
+    oracle = host_oracle_spectrum(path, 9)
+    assert _spectrum_dict(keys, counts) == oracle
+
+
+def test_quality_cutoff_matches_count_file(mesh, data_dir):
+    from needletail_tpu.device.pipeline import count_file
+    from needletail_tpu.io.fast_batch import fast_read_batches
+
+    path = str(data_dir / "PRJNA271013_head.fq")
+    acc = ShardedSpectrumAccumulator(
+        mesh, k=15, quality_cutoff=20, shard_lanes=1 << 16
+    )
+    n_bases = 0
+    for batch in fast_read_batches(path, batch_size=256):
+        n_bases += batch.num_bases
+        b = batch if batch.num_reads == 256 else batch.pad_reads_to(256)
+        acc.add(b.seqs, b.lengths, b.quals)
+    keys, counts = acc.finish()
+    _, (keys_s, counts_s) = count_file(
+        path,
+        k=15,
+        dense=False,
+        sparse_format="arrays",
+        quality_cutoff=20,
+        batch_size=256,
+    )
+    assert np.array_equal(keys, keys_s)
+    assert np.array_equal(counts, counts_s)
+
+
+def test_rejects_bad_mesh():
+    bad = make_mesh(data=2, table=4)
+    with pytest.raises(ValueError, match="table=1"):
+        ShardedSpectrumAccumulator(bad, k=9)
+
+
+def test_rejects_indivisible_rows(mesh):
+    acc = ShardedSpectrumAccumulator(mesh, k=4, shard_lanes=1 << 12)
+    with pytest.raises(ValueError, match="divide"):
+        acc.add(np.full((3, 8), 65, np.uint8), np.full(3, 8, np.int32))
+
+
+def test_rejects_oversize_batch(mesh):
+    acc = ShardedSpectrumAccumulator(mesh, k=4, shard_lanes=8)
+    with pytest.raises(ValueError, match="lanes"):
+        acc.add(np.full((8, 64), 65, np.uint8), np.full(8, 64, np.int32))
