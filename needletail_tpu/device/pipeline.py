@@ -88,7 +88,8 @@ def count_file(
     bucketed: bool = False,
     quality_cutoff: Optional[int] = None,
     phred_offset: int = 33,
-    host_workers: int = 1,
+    host_workers: Optional[int] = None,
+    spill_dir: Optional[str] = None,
 ) -> Tuple[int, Union[np.ndarray, Dict[int, int], Tuple[np.ndarray, np.ndarray]]]:
     """Stream a FASTX file through the device k-mer counter.
 
@@ -108,7 +109,7 @@ def count_file(
     count composition (ref sequence.rs:280-308), fused into the same
     compiled program via the window validity mask.
     """
-    if bucketed and host_workers > 1:
+    if bucketed and host_workers is not None and host_workers > 1:
         raise ValueError(
             "bucketed=True and host_workers>1 are mutually exclusive: "
             "bucketed framing is single-process (pass one or the other)"
@@ -147,19 +148,10 @@ def count_file(
         from ..io.bucketed import bucketed_read_batches
 
         batches = bucketed_read_batches(path, batch_size=batch_size, max_len=max_len)
-    elif host_workers > 1:
-        from ..io.parallel_host import parallel_read_batches
-
-        batches = parallel_read_batches(
-            path,
-            workers=host_workers,
-            batch_size=batch_size,
-            max_len=max_len,
-            with_quals=quality_cutoff is not None,
-        )
     else:
-        batches = read_batches(
-            path, batch_size=batch_size, max_len=max_len, prefetch=True
+        batches, _ = _make_batch_source(
+            path, batch_size, max_len, host_workers,
+            with_quals=quality_cutoff is not None, spill_dir=spill_dir,
         )
     for batch in batches:
         if batch.max_len < k:
@@ -226,6 +218,49 @@ def multi_k_tally(
     return run(seqs, lengths, tuple(ks), canonical, normalized)
 
 
+def _make_batch_source(
+    path,
+    batch_size: int,
+    max_len: Optional[int],
+    host_workers: Optional[int],
+    with_quals: bool,
+    spill_dir: Optional[str] = None,
+):
+    """Shared e2e input front: auto-sized multi-worker framing with
+    transparent parallel decompression.
+
+    ``host_workers=None`` auto-sizes from the CPU count; compressed input
+    with >1 worker spills to an uncompressed temp file first (BGZF decodes
+    block-parallel, other codecs stream) so byte-range framing applies.
+    Returns a generator; the spill file (if any) is removed when the
+    generator is exhausted or closed.
+    """
+    from ..io.compression import sniff_compression
+    from ..io.parallel_host import auto_host_workers, parallel_read_batches
+
+    if host_workers is None:
+        host_workers = auto_host_workers()
+    if host_workers <= 1:
+        return read_batches(
+            path, batch_size=batch_size, max_len=max_len,
+            with_quals=with_quals, prefetch=True,
+        ), host_workers
+
+    def gen():
+        from ..io.spill import spilled_input
+
+        with spilled_input(path, dir=spill_dir, threads=host_workers) as plain:
+            yield from parallel_read_batches(
+                plain,
+                workers=host_workers,
+                batch_size=batch_size,
+                max_len=max_len,
+                with_quals=with_quals,
+            )
+
+    return gen(), host_workers
+
+
 def hash_count_file(
     path,
     k: int,
@@ -233,7 +268,9 @@ def hash_count_file(
     batch_size: int = 65536,
     max_len: Optional[int] = None,
     normalized: bool = True,
-    host_workers: int = 1,
+    host_workers: Optional[int] = None,
+    spill_dir: Optional[str] = None,
+    double_buffer: bool = True,
 ) -> Tuple[int, int, int, np.ndarray]:
     """Stream a FASTX file through the fused Pallas hash-counting pipeline
     (the headline bench path): canonical k-mer extraction -> -1-masked hash
@@ -245,8 +282,10 @@ def hash_count_file(
     accumulate on device as uint32 limb pairs, exact past 2^31 even for
     skewed hash distributions.
 
-    ``host_workers > 1`` frames uncompressed input with that many worker
-    processes (``io.parallel_host``) — one framing core cannot feed a chip.
+    The e2e input front (``host_workers=None`` = one framing process per
+    spare core; compressed input spills through parallel/streamed decode;
+    ``double_buffer`` frames + uploads the next batch while the device
+    runs) exists because one framing core cannot feed a chip.
     """
     import jax
 
@@ -272,29 +311,35 @@ def hash_count_file(
     table_hi = jnp.zeros((1 << table_bits,), jnp.uint32)
     tallies = jnp.zeros((4,), jnp.uint32)  # (total_lo, total_hi, fwd_lo, fwd_hi)
     n_bases = 0
-    if host_workers > 1:
-        from ..io.parallel_host import parallel_read_batches
+    batches, _ = _make_batch_source(
+        path, batch_size, max_len, host_workers,
+        # the hash pipeline never reads qualities; don't ship them
+        # through the worker IPC queue
+        with_quals=False, spill_dir=spill_dir,
+    )
 
-        batches = parallel_read_batches(
-            path,
-            workers=host_workers,
-            batch_size=batch_size,
-            max_len=max_len,
-            # the hash pipeline never reads qualities; don't ship them
-            # through the worker IPC queue
-            with_quals=False,
-        )
-    else:
-        batches = read_batches(
-            path, batch_size=batch_size, max_len=max_len, prefetch=True
-        )
-    for batch in batches:
-        n_bases += batch.num_bases
+    def _place(batch):
         if batch.max_len < k:
+            return batch.num_bases, None, None
+        b = (
+            batch
+            if batch.num_reads == batch_size
+            else batch.pad_reads_to(batch_size)
+        )
+        return batch.num_bases, jnp.asarray(b.seqs), jnp.asarray(b.lengths)
+
+    if double_buffer:
+        from ..io.feed import device_feed
+
+        placed = device_feed(batches, _place)
+    else:
+        placed = (_place(b) for b in batches)
+    for nb, seqs, lengths in placed:
+        n_bases += nb
+        if seqs is None:
             continue
-        b = batch if batch.num_reads == batch_size else batch.pad_reads_to(batch_size)
         table_lo, table_hi, tallies = step(
-            table_lo, table_hi, tallies, jnp.asarray(b.seqs), jnp.asarray(b.lengths)
+            table_lo, table_hi, tallies, seqs, lengths
         )
     tallies = np.asarray(tallies)
     total = limbs_to_int(tallies[0], tallies[1])

@@ -11,6 +11,11 @@ from .compression import (
     wrap_decompressor,
 )
 
+from .bgzf import BGZFReader, is_bgzf, write_bgzf
+from .feed import device_feed
+from .spill import decompress_to_spill, spilled_input
+
+
 def __getattr__(name):
     # lazy: bucketed -> fast_batch -> parser -> io.compression would be a
     # circular import at package-init time
@@ -24,6 +29,12 @@ def __getattr__(name):
 __all__ = [
     "bucketed_read_batches",
     "DEFAULT_BUCKETS",
+    "BGZFReader",
+    "is_bgzf",
+    "write_bgzf",
+    "device_feed",
+    "decompress_to_spill",
+    "spilled_input",
     "GZ_MAGIC",
     "BZ_MAGIC",
     "XZ_MAGIC",

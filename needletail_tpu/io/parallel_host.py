@@ -21,7 +21,16 @@ from typing import Iterator, Optional, Union
 from ..batch import ReadBatch
 from ..errors import ParseError
 
-__all__ = ["parallel_read_batches"]
+__all__ = ["parallel_read_batches", "auto_host_workers"]
+
+
+def auto_host_workers() -> int:
+    """Default framing parallelism: all cores but one (the consumer thread
+    runs device dispatch + merges), capped at 16 — beyond that the batch
+    queue, not framing, binds.  Always >= 1."""
+    import os
+
+    return max(1, min((os.cpu_count() or 1) - 1, 16))
 
 _DONE = "done"
 _ERR = "err"

@@ -1,0 +1,115 @@
+"""Decompress-to-spill: turn compressed input into range-splittable files.
+
+Monolithic gzip/bzip2/xz/zstd streams cannot be byte-range split (each
+byte depends on the whole prefix), so multi-worker framing can't consume
+them directly.  The spill path decodes ONCE to an uncompressed temp file
+— in parallel when the input is BGZF, serially otherwise — after which
+``split_fastx_ranges`` + per-worker native framing proceed exactly as for
+plain files.  The serial decode is the codec's own speed limit; everything
+downstream of the spill parallelizes.
+
+The reference's decoders are likewise single-stream (ref mod.rs:95-147);
+this module exists for the BASELINE aggregate-ingest target, not parity.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from pathlib import Path
+from typing import Optional, Union
+
+from ..errors import ParseError
+from .bgzf import BGZFReader, is_bgzf
+from .compression import (
+    DECOMPRESSION_ERRORS,
+    sniff_compression,
+    wrap_decompressor,
+)
+
+__all__ = ["decompress_to_spill", "spilled_input"]
+
+_COPY_CHUNK = 8 << 20
+
+
+def decompress_to_spill(
+    path: Union[str, Path],
+    dir: Optional[str] = None,
+    threads: Optional[int] = None,
+) -> str:
+    """Decode ``path`` into an uncompressed temp file; returns its path.
+
+    BGZF inputs decode block-parallel on ``threads`` workers; other codecs
+    stream through their single-threaded decoder.  The caller owns (and
+    should unlink) the returned file.  Raises ParseError(Io) on corrupt
+    streams, ValueError if the input is not compressed.
+    """
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    codec = sniff_compression(magic) if len(magic) == 2 else None
+    if codec is None:
+        raise ValueError(f"{path} is not compressed; no spill needed")
+
+    if codec == "gzip" and is_bgzf(path):
+        reader = BGZFReader(path, threads=threads)
+    else:
+        reader = wrap_decompressor(codec, open(path, "rb"))
+
+    fd, spill_path = tempfile.mkstemp(
+        suffix=".fastx", prefix="ntspill-", dir=dir
+    )
+    try:
+        with os.fdopen(fd, "wb") as out:
+            shutil.copyfileobj(reader, out, _COPY_CHUNK)
+    except DECOMPRESSION_ERRORS as exc:
+        os.unlink(spill_path)
+        raise ParseError.from_io(
+            exc if isinstance(exc, OSError) else OSError(str(exc))
+        ) from exc
+    except BaseException:
+        os.unlink(spill_path)
+        raise
+    finally:
+        reader.close()
+    return spill_path
+
+
+class spilled_input:
+    """Context manager: yields a range-splittable path for any input.
+
+    Uncompressed files pass through untouched; compressed files spill to a
+    temp file that is removed on exit.
+
+        with spilled_input(path, threads=8) as plain_path:
+            parallel_read_batches(plain_path, workers=8, ...)
+    """
+
+    def __init__(
+        self,
+        path: Union[str, Path],
+        dir: Optional[str] = None,
+        threads: Optional[int] = None,
+    ) -> None:
+        self._path = str(path)
+        self._dir = dir
+        self._threads = threads
+        self._spill: Optional[str] = None
+
+    def __enter__(self) -> str:
+        with open(self._path, "rb") as f:
+            magic = f.read(2)
+        if len(magic) == 2 and sniff_compression(magic):
+            self._spill = decompress_to_spill(
+                self._path, dir=self._dir, threads=self._threads
+            )
+            return self._spill
+        return self._path
+
+    def __exit__(self, *exc) -> None:
+        if self._spill is not None:
+            try:
+                os.unlink(self._spill)
+            except OSError:
+                pass
+            self._spill = None

@@ -227,15 +227,17 @@ def sharded_count_file(
     canonical: bool = True,
     normalized: bool = True,
     shard_lanes: int = DEFAULT_SHARD_LANES,
-    host_workers: int = 1,
+    host_workers: Optional[int] = None,
+    spill_dir: Optional[str] = None,
 ) -> Tuple[int, Tuple[np.ndarray, np.ndarray]]:
     """Exact (keys_u64, counts) spectrum of a FASTX file over a data mesh.
 
     The multi-chip twin of ``device.pipeline.count_file``'s sparse path:
     same framer, same key semantics, per-chip sorts, host merge.  Returns
-    ``(n_bases, (keys, counts))`` with keys ascending.
+    ``(n_bases, (keys, counts))`` with keys ascending.  Input front as in
+    ``count_file``: auto-sized framing workers + transparent spill decode.
     """
-    from ..io.fast_batch import fast_read_batches
+    from ..device.pipeline import _make_batch_source
 
     acc = ShardedSpectrumAccumulator(
         mesh,
@@ -245,20 +247,10 @@ def sharded_count_file(
         shard_lanes=shard_lanes,
     )
     n_bases = 0
-    if host_workers > 1:
-        from ..io.parallel_host import parallel_read_batches
-
-        batches = parallel_read_batches(
-            path,
-            workers=host_workers,
-            batch_size=batch_size,
-            max_len=max_len,
-            with_quals=False,
-        )
-    else:
-        batches = fast_read_batches(
-            path, batch_size=batch_size, max_len=max_len
-        )
+    batches, _ = _make_batch_source(
+        path, batch_size, max_len, host_workers,
+        with_quals=False, spill_dir=spill_dir,
+    )
     for batch in batches:
         n_bases += batch.num_bases
         if batch.max_len < k:
