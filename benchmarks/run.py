@@ -121,6 +121,42 @@ def bench_kmers_device_resident(reps):
     return dt / inner
 
 
+def bench_multi_k_marginal(reps):
+    """Marginal cost of extra k values in the single-pass multi-k tally:
+    compiled step time for ks=(21,) vs ks=(4,9,13,21,31) on one resident
+    batch.  The shared encode + ladder prefixes mean the 5-k pass costs
+    far less than 5 single-k passes; prints the ratio."""
+    import jax
+    import jax.numpy as jnp
+
+    from needletail_tpu.batch import read_batches
+    from needletail_tpu.device.pipeline import multi_k_tally
+
+    batch = next(iter(read_batches(FASTQ_FILE, batch_size=2000, max_len=128)))
+    seqs = jnp.asarray(batch.seqs)
+    lengths = jnp.asarray(batch.lengths)
+    inner = 10
+
+    def run_ks(ks):
+        def run():
+            for _ in range(inner):
+                out = multi_k_tally(seqs, lengths, ks)
+            return {k: int(v[0]) for k, v in out.items()}
+
+        run()  # warmup/compile
+        dt, out = timeit(run, reps)
+        return dt / inner, out
+
+    dt1, out1 = run_ks((21,))
+    dt5, out5 = run_ks((4, 9, 13, 21, 31))
+    assert out5[21] == out1[21]
+    print(
+        f"{'multi_k/1k -> 5k step ratio':45} {dt5/dt1:8.2f}x "
+        f"(vs 5.00x for separate passes)"
+    )
+    return dt5
+
+
 def bench_fastq_parse(reps):
     from needletail_tpu.parser import parse_fastx_file
 
@@ -173,6 +209,7 @@ def main() -> None:
         ("kmers/31mer canonical (host bitkmer)", bench_kmers_host_bit, GOLD_FASTA_BASES),
         ("kmers/31mer canonical (device)", bench_kmers_device, GOLD_FASTA_BASES),
         ("kmers/31mer canonical (device resident)", bench_kmers_device_resident, GOLD_FASTA_BASES),
+        ("multi_k/5-k single-pass tally (device)", bench_multi_k_marginal, GOLD_FASTQ_BASES),
         ("fastq/parse (streaming reader)", bench_fastq_parse, GOLD_FASTQ_BASES),
         ("fastq/parse (native batched)", bench_fastq_parse_native, GOLD_FASTQ_BASES),
         ("fasta/parse (streaming reader)", bench_fasta_parse, GOLD_FASTA_BASES),

@@ -26,6 +26,7 @@ __all__ = [
     "canonical_match_count",
     "base_count",
     "count_file",
+    "multi_k_count_file",
     "hash_count_file",
     "minimizer_spectrum_file",
     "quality_filter_file",
@@ -109,6 +110,27 @@ def count_file(
     count composition (ref sequence.rs:280-308), fused into the same
     compiled program via the window validity mask.
     """
+    if isinstance(k, (tuple, list, set, frozenset)):
+        # single-pass multi-k: count_file(path, k=(4, 21, 31)) shares the
+        # encode/ladder work across k values (see multi_k_count_file)
+        if bucketed or dense is not None:
+            raise ValueError(
+                "multi-k counting does not take bucketed/dense; call "
+                "multi_k_count_file directly for full control"
+            )
+        return multi_k_count_file(
+            path,
+            k,
+            canonical=canonical,
+            normalized=normalized,
+            batch_size=batch_size,
+            max_len=max_len,
+            sparse_format=sparse_format,
+            quality_cutoff=quality_cutoff,
+            phred_offset=phred_offset,
+            host_workers=host_workers,
+            spill_dir=spill_dir,
+        )
     if bucketed and host_workers is not None and host_workers > 1:
         raise ValueError(
             "bucketed=True and host_workers>1 are mutually exclusive: "
@@ -259,6 +281,113 @@ def _make_batch_source(
             )
 
     return gen(), host_workers
+
+
+def multi_k_count_file(
+    path,
+    ks,
+    canonical: bool = True,
+    normalized: bool = True,
+    batch_size: int = 512,
+    max_len: Optional[int] = None,
+    sparse_format: str = "arrays",
+    quality_cutoff: Optional[int] = None,
+    phred_offset: int = 33,
+    host_workers: Optional[int] = None,
+    spill_dir: Optional[str] = None,
+) -> Tuple[int, Dict[int, Union[np.ndarray, Dict[int, int], Tuple[np.ndarray, np.ndarray]]]]:
+    """Count several k values in ONE pass over the file (the north-star
+    "canonical 4..31-mer counting" shape, BASELINE.json).
+
+    Per batch, a single compiled program computes every k's windows — the
+    2-bit encode happens once and XLA CSEs the shared shift-ladder
+    prefixes across k — so the marginal cost of an extra k is far below a
+    full extra pass (see ``benchmarks/run.py --group multi_k``).
+
+    Returns ``(n_bases, {k: spectrum})`` where each spectrum matches what
+    ``count_file(path, k=k, ...)`` returns: dense int64 ``[4^k]`` for
+    k <= MAX_DENSE_K, else sparse ``(keys_u64, counts)`` (or a dict with
+    ``sparse_format="dict"``).
+    """
+    ks = tuple(sorted({int(k) for k in ks}))
+    if not ks:
+        raise ValueError("ks must be non-empty")
+    for k in ks:
+        if not 1 <= k <= 31:
+            raise ValueError(f"every k must be in [1, 31], got {k}")
+    from ..utils.limbs import acc64
+
+    dense_ks = tuple(k for k in ks if k <= _count.MAX_DENSE_K)
+    sparse_ks = tuple(k for k in ks if k > _count.MAX_DENSE_K)
+
+    def _windows(seqs, lengths, quals, k):
+        if quals is not None:
+            from .ops import quality_mask
+
+            seqs = quality_mask(
+                seqs, quals, jnp.int32(phred_offset + (quality_cutoff or 0))
+            )
+        fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
+        return fn(seqs, lengths, k, normalized=normalized)
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnames=("active",))
+    def _step(dense_limbs, seqs, lengths, quals, active):
+        new_dense = dict(dense_limbs)
+        sparse_keys = {}
+        for k in active:
+            win = _windows(seqs, lengths, quals, k)
+            if k <= _count.MAX_DENSE_K:
+                lo, hi = dense_limbs[k]
+                new_dense[k] = acc64(lo, hi, _count.dense_spectrum(win, k))
+            else:
+                sparse_keys[k] = _count.mask_keys(win)
+        return new_dense, sparse_keys
+
+    dense_limbs = {
+        k: (jnp.zeros(4**k, jnp.uint32), jnp.zeros(4**k, jnp.uint32))
+        for k in dense_ks
+    }
+    sparse_accs = {k: _count.SparseSpectrumAccumulator() for k in sparse_ks}
+    n_bases = 0
+    batches, _ = _make_batch_source(
+        path, batch_size, max_len, host_workers,
+        with_quals=quality_cutoff is not None, spill_dir=spill_dir,
+    )
+    for batch in batches:
+        n_bases += batch.num_bases
+        # only ks whose windows fit this batch shape run (static per shape)
+        active = tuple(k for k in ks if k <= batch.max_len)
+        if not active:
+            continue
+        quals = None
+        if quality_cutoff is not None:
+            if batch.quals is None:
+                raise ValueError("quality_cutoff needs FASTQ input with qualities")
+            quals = jnp.asarray(batch.quals)
+        dense_limbs, sparse_keys = _step(
+            dense_limbs,
+            jnp.asarray(batch.seqs),
+            jnp.asarray(batch.lengths),
+            quals,
+            active,
+        )
+        for k, (hi, lo) in sparse_keys.items():
+            sparse_accs[k].add(hi, lo)
+
+    out: Dict[int, object] = {}
+    for k in dense_ks:
+        lo, hi = dense_limbs[k]
+        out[k] = np.asarray(lo).astype(np.int64) + (
+            np.asarray(hi).astype(np.int64) << 32
+        )
+    for k in sparse_ks:
+        keys, counts = sparse_accs[k].finish()
+        out[k] = (
+            _count.spectrum_arrays_to_dict(keys, counts)
+            if sparse_format == "dict"
+            else (keys, counts)
+        )
+    return n_bases, out
 
 
 def hash_count_file(
