@@ -218,6 +218,79 @@ int64_t nt_fill_fasta_batch(const uint8_t* buf, const int64_t* recs,
     return overflow;
 }
 
+// Fill a padded id plane from scanned records: id bytes are the header
+// line minus its leading marker byte ('@'/'>') with a trailing '\r'
+// trimmed.  Works for both layouts: FASTQ recs (stride 5, header newline
+// at r[1]-1 => end_adjust 1) and FASTA recs (stride 3, header newline at
+// r[1] => end_adjust 0).  The caller sizes id_max to the chunk's longest
+// id, so truncation cannot occur; the return value counts truncated rows
+// defensively.
+int64_t nt_fill_ids(const uint8_t* buf, const int64_t* recs, int64_t n,
+                    int64_t stride, int64_t end_adjust, uint8_t* id_out,
+                    int32_t* id_lens, int64_t id_max) {
+    int64_t overflow = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t* r = recs + i * stride;
+        const uint8_t* b = buf + r[0] + 1;
+        const uint8_t* e = buf + r[1] - end_adjust;
+        int64_t len = trimmed_len(b, e);
+        if (len > id_max) {
+            ++overflow;
+            len = id_max;
+        }
+        if (len > 0) memcpy(id_out + i * id_max, b, static_cast<size_t>(len));
+        id_lens[i] = static_cast<int32_t>(len);
+    }
+    return overflow;
+}
+
+// Pack record ids '\n'-separated into one contiguous buffer (ids cannot
+// contain '\n'), so Python materializes the whole id list with a single
+// bytes.split — no per-record interpreter work.  Returns bytes written
+// (every id followed by one '\n'); the caller must size `out` to at least
+// sum(header line lengths) + n.
+int64_t nt_pack_ids(const uint8_t* buf, const int64_t* recs, int64_t n,
+                    int64_t stride, int64_t end_adjust, uint8_t* out) {
+    uint8_t* w = out;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t* r = recs + i * stride;
+        const uint8_t* b = buf + r[0] + 1;
+        const uint8_t* e = buf + r[1] - end_adjust;
+        int64_t len = trimmed_len(b, e);
+        if (len > 0) memcpy(w, b, static_cast<size_t>(len));
+        w += len;
+        *w++ = '\n';
+    }
+    return w - out;
+}
+
+// Longest newline/CR-stripped sequence length across scanned FASTA
+// records — sizes batch rows to true sequence length instead of the raw
+// span (which over-pads wrapped FASTA by the newline fraction).
+int64_t nt_fasta_max_len(const uint8_t* buf, const int64_t* recs, int64_t n) {
+    int64_t best = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t* r = recs + i * 3;
+        const uint8_t* p = buf + r[1] + 1;
+        const uint8_t* end = buf + r[2];
+        if (p > end) continue;
+        int64_t len = end - p;
+        const uint8_t* q = p;
+        while ((q = find_nl(q, end)) != nullptr) {
+            --len;
+            ++q;
+        }
+        q = p;
+        while ((q = static_cast<const uint8_t*>(
+                    memchr(q, '\r', static_cast<size_t>(end - q)))) != nullptr) {
+            --len;
+            ++q;
+        }
+        if (len > best) best = len;
+    }
+    return best;
+}
+
 // Count newlines in [buf, buf+len) — utility for line accounting.
 int64_t nt_count_newlines(const uint8_t* buf, int64_t len) {
     int64_t count = 0;

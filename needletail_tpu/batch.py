@@ -22,11 +22,72 @@ import numpy as np
 
 from .parser import FastxReader, SequenceRecord, parse_fastx_file
 
-__all__ = ["ReadBatch", "BatchReader", "read_batches"]
+__all__ = ["ReadBatch", "BatchReader", "read_batches", "LazyIds"]
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+class LazyIds:
+    """Sequence of record ids backed by one '\n'-separated packed blob.
+
+    Building a Python ``bytes`` object per record costs more than framing
+    the record; this wraps the C framer's packed id buffer and only
+    materializes the ids a consumer actually touches (``ids[i]`` slices
+    the blob; full iteration does a single C-level ``split``).  Compares
+    equal to the equivalent ``list[bytes]``.
+    """
+
+    __slots__ = ("_blob", "_bounds", "_list")
+
+    def __init__(self, blob: bytes, n: Optional[int] = None) -> None:
+        self._blob = blob
+        self._list: Optional[List[bytes]] = None
+        if blob:
+            nl = np.flatnonzero(
+                np.frombuffer(blob, dtype=np.uint8) == 0x0A
+            ).astype(np.int64)
+            self._bounds = np.concatenate([np.zeros(1, np.int64), nl + 1])
+        else:
+            self._bounds = np.zeros(1, np.int64)
+        if n is not None and len(self) != n:
+            raise ValueError(f"blob holds {len(self)} ids, expected {n}")
+
+    def _as_list(self) -> List[bytes]:
+        if self._list is None:
+            self._list = self._blob.split(b"\n")[:-1] if self._blob else []
+        return self._list
+
+    def __len__(self) -> int:
+        return self._bounds.shape[0] - 1
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return self._as_list()[i]
+        n = len(self)
+        if i < 0:
+            i += n
+        if not 0 <= i < n:
+            raise IndexError(i)
+        return self._blob[int(self._bounds[i]) : int(self._bounds[i + 1]) - 1]
+
+    def __iter__(self):
+        return iter(self._as_list())
+
+    def __eq__(self, other):
+        if isinstance(other, LazyIds):
+            return self._as_list() == other._as_list()
+        if isinstance(other, (list, tuple)):
+            return self._as_list() == list(other)
+        return NotImplemented
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return f"LazyIds(n={len(self)})"
+
+    def __reduce__(self):
+        # pickles as the compact blob (worker -> consumer IPC)
+        return (LazyIds, (self._blob,))
 
 
 @dataclass

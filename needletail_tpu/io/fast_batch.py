@@ -40,8 +40,130 @@ __all__ = ["fast_read_batches"]
 _CHUNK = 4 << 20
 
 
+class _StreamWindow:
+    """Growable readinto window over a stream (compressed/pipe input).
+
+    ``fill(need)`` returns a view holding at least ``need`` valid bytes
+    (less only at EOF); ``consume(n)`` memmoves the unscanned remainder to
+    the front.  ``eof`` is True once the stream is exhausted (the returned
+    view then holds every remaining byte)."""
+
+    def __init__(self, stream) -> None:
+        self._stream = stream
+        self._buf = np.empty(2 * _CHUNK, dtype=np.uint8)
+        self._len = 0
+        self.eof = False
+
+    def fill(self, need: int) -> np.ndarray:
+        while not self.eof and self._len < need:
+            if self._buf.size - self._len < _CHUNK:
+                grown = np.empty(self._buf.size * 2, dtype=np.uint8)
+                grown[: self._len] = self._buf[: self._len]
+                self._buf = grown
+            try:
+                got = self._stream.readinto(
+                    memoryview(self._buf)[self._len : self._len + _CHUNK]
+                )
+            except DECOMPRESSION_ERRORS as exc:
+                raise ParseError.from_io(
+                    exc if isinstance(exc, OSError) else OSError(str(exc))
+                ) from exc
+            if not got:
+                self.eof = True
+                break
+            self._len += got
+        return self._buf[: self._len]
+
+    def consume(self, n: int) -> None:
+        if n:
+            remaining = self._len - n
+            self._buf[:remaining] = self._buf[n : self._len]
+            self._len = remaining
+
+    def remaining(self) -> np.ndarray:
+        return self._buf[: self._len]
+
+
+class _MmapWindow:
+    """Zero-copy window over an uncompressed file (VERDICT-6 mmap path):
+    the scanner and batch fillers read straight from the page cache —
+    no readinto copy, no memmove.  ``[start, end)`` bounds support the
+    byte-range workers."""
+
+    def __init__(self, path, start: int = 0, end: Optional[int] = None) -> None:
+        import mmap as _mmap
+
+        self._f = open(path, "rb")
+        self._mm = _mmap.mmap(self._f.fileno(), 0, access=_mmap.ACCESS_READ)
+        self._arr = np.frombuffer(self._mm, dtype=np.uint8)
+        self._pos = start
+        self._end = self._arr.size if end is None else min(end, self._arr.size)
+        self.eof = self._pos >= self._end
+
+    def fill(self, need: int) -> np.ndarray:
+        stop = min(self._pos + max(need, 2 * _CHUNK), self._end)
+        self.eof = stop >= self._end
+        return self._arr[self._pos : stop]
+
+    def consume(self, n: int) -> None:
+        # eof stays as the last fill() set it: it means "that window
+        # reached the end of input", which consuming a prefix cannot undo
+        self._pos += n
+
+    def remaining(self) -> np.ndarray:
+        return self._arr[self._pos : self._end]
+
+    def close(self) -> None:
+        # views into the map keep it alive via refcounts; numpy arrays from
+        # np.frombuffer hold the mmap object, so an explicit close is only
+        # safe once iteration is done — the batchers never call it early
+        try:
+            self._arr = None
+            self._mm.close()
+        finally:
+            self._f.close()
+
+
+def _as_window(source):
+    """Accept either a window provider or a plain readable stream."""
+    return source if hasattr(source, "fill") else _StreamWindow(source)
+
+
 def _round128(n: int) -> int:
     return ((max(n, 1) + 127) // 128) * 128
+
+
+class _IdAccum:
+    """Accumulates packed '\n'-separated id blobs for one output batch;
+    ``take()`` seals them into a LazyIds without per-record objects."""
+
+    __slots__ = ("_parts", "_n")
+
+    def __init__(self) -> None:
+        self._parts: list = []
+        self._n = 0
+
+    def add_packed(self, blob: bytes, n: int) -> None:
+        if n:
+            self._parts.append(blob)
+            self._n += n
+
+    def add_one(self, id_bytes: bytes) -> None:
+        self._parts.append(id_bytes + b"\n")
+        self._n += 1
+
+    def take(self):
+        from ..batch import LazyIds
+
+        return LazyIds(b"".join(self._parts), self._n)
+
+
+def _new_ids(with_ids: bool):
+    return _IdAccum() if with_ids else []
+
+
+def _take_ids(ids):
+    return ids.take() if isinstance(ids, _IdAccum) else ids
 
 
 def _widen(arr: np.ndarray, new_ml: int) -> np.ndarray:
@@ -97,10 +219,10 @@ class _FastqBatcher:
     """Stream -> padded batches using the native scanner."""
 
     def __init__(
-        self, stream, batch_size: int, max_len: Optional[int], with_quals: bool,
+        self, source, batch_size: int, max_len: Optional[int], with_quals: bool,
         with_ids: bool = False,
     ):
-        self._stream = stream
+        self._win = _as_window(source)
         self._bs = batch_size
         self._max_len = max_len
         self._auto = max_len is None  # widen instead of erroring on overflow
@@ -116,38 +238,18 @@ class _FastqBatcher:
         return seqs, quals, lengths
 
     def __iter__(self) -> Iterator[ReadBatch]:
-        # window buffer: leftover bytes are memmoved to the front and new data
-        # is read directly into the tail (no per-chunk np.concatenate)
-        window = np.empty(2 * _CHUNK, dtype=np.uint8)
-        w_len = 0  # valid bytes in window
-        eof = False
+        # window provider: stream windows memmove leftovers to the front;
+        # mmap windows are zero-copy views over the page cache
+        win = self._win
         seqs = quals = lengths = None
-        ids: list = []
+        ids = _new_ids(self._with_ids)
         fill = 0
         need = _CHUNK  # grows when a single record exceeds the window
         recs_buf = np.empty(((2 * _CHUNK) // 6 + 16, 5), dtype=np.int64)
 
         while True:
-            while not eof and w_len < need:
-                if window.size - w_len < _CHUNK:
-                    grown = np.empty(window.size * 2, dtype=np.uint8)
-                    grown[:w_len] = window[:w_len]
-                    window = grown
-                try:
-                    got = self._stream.readinto(
-                        memoryview(window)[w_len : w_len + _CHUNK]
-                    )
-                except DECOMPRESSION_ERRORS as exc:
-                    raise ParseError.from_io(
-                        exc if isinstance(exc, OSError) else OSError(str(exc))
-                    ) from exc
-                if not got:
-                    eof = True
-                    break
-                w_len += got
-
-            pending = window[:w_len]
-            if w_len == 0 and eof:
+            pending = win.fill(need)
+            if pending.size == 0 and win.eof:
                 break
 
             cap = pending.size // 6 + 16  # min record is 6 bytes
@@ -190,17 +292,13 @@ class _FastqBatcher:
                         "pass a larger max_len"
                     )
                 if self._with_ids:
-                    for j in range(take):
-                        raw = pending[
-                            int(chunk_recs[j, 0]) + 1 : int(chunk_recs[j, 1]) - 1
-                        ].tobytes()
-                        ids.append(trim_cr(raw))
+                    ids.add_packed(*native.extract_ids_packed(pending, chunk_recs, fastq=True))
                 fill += take
                 idx += take
                 if fill == self._bs:
-                    yield ReadBatch(seqs=seqs, lengths=lengths, quals=quals, ids=ids)
+                    yield ReadBatch(seqs=seqs, lengths=lengths, quals=quals, ids=_take_ids(ids))
                     seqs = quals = lengths = None
-                    ids = []
+                    ids = _new_ids(self._with_ids)
                     fill = 0
 
             if err != native.ERR_OK:
@@ -210,37 +308,34 @@ class _FastqBatcher:
                 if seqs is not None and fill > 0:
                     yield ReadBatch(
                         seqs=seqs[:fill], lengths=lengths[:fill],
-                        quals=quals[:fill] if quals is not None else None, ids=ids,
+                        quals=quals[:fill] if quals is not None else None, ids=_take_ids(ids),
                     )
                     seqs = quals = lengths = None
-                    ids = []
+                    ids = _new_ids(self._with_ids)
                 base_line = 1 + 4 * (self._count_base + n)
                 raise _record_error(pending, err_rec, err, base_line)
 
             self._count_base += n
-            # memmove the unconsumed tail to the window front
-            if consumed:
-                remaining = w_len - consumed
-                window[:remaining] = window[consumed:w_len]
-                w_len = remaining
+            win.consume(consumed)
 
-            if not eof:
+            if not win.eof:
                 # ensure forward progress even when one record > window
-                need = _CHUNK if n > 0 else w_len + _CHUNK
+                need = _CHUNK if n > 0 else pending.size + _CHUNK
                 continue
 
-            if w_len > 0:
+            tail_arr = win.remaining()
+            if tail_arr.size > 0:
                 try:
-                    row = self._handle_tail(window[:w_len])
+                    row = self._handle_tail(tail_arr)
                 except ParseError:
                     if seqs is not None and fill > 0:
                         yield ReadBatch(
                             seqs=seqs[:fill], lengths=lengths[:fill],
                             quals=quals[:fill] if quals is not None else None,
-                            ids=ids,
+                            ids=_take_ids(ids),
                         )
                         seqs = quals = lengths = None
-                        ids = []
+                        ids = _new_ids(self._with_ids)
                     raise
                 if row is not None:
                     if seqs is None:
@@ -248,9 +343,9 @@ class _FastqBatcher:
                         fill = 0
                     sb, qb = row
                     if self._with_ids:
-                        tb = window[:w_len].tobytes()
+                        tb = tail_arr.tobytes()
                         nl = tb.find(b"\n")
-                        ids.append(trim_cr(tb[1:nl]) if nl > 0 else b"")
+                        ids.add_one(trim_cr(tb[1:nl]) if nl > 0 else b"")
                     if len(sb) > self._max_len:
                         if not self._auto:
                             raise ValueError(
@@ -265,13 +360,12 @@ class _FastqBatcher:
                         quals[fill, : len(qb)] = np.frombuffer(qb, dtype=np.uint8)
                     lengths[fill] = len(sb)
                     fill += 1
-                w_len = 0
             break
 
         if seqs is not None and fill > 0:
             yield ReadBatch(
                 seqs=seqs[:fill], lengths=lengths[:fill],
-                quals=quals[:fill] if quals is not None else None, ids=ids,
+                quals=quals[:fill] if quals is not None else None, ids=_take_ids(ids),
             )
 
     def _handle_tail(self, tail_arr: np.ndarray):
@@ -316,10 +410,10 @@ class _FastaBatcher:
     streaming FastaReader on the tail bytes (with line-number adjustment)."""
 
     def __init__(
-        self, stream, batch_size: int, max_len: Optional[int],
+        self, source, batch_size: int, max_len: Optional[int],
         with_ids: bool = False,
     ):
-        self._stream = stream
+        self._win = _as_window(source)
         self._bs = batch_size
         self._max_len = max_len
         self._auto = max_len is None  # widen instead of erroring on overflow
@@ -332,37 +426,17 @@ class _FastaBatcher:
         return seqs, lengths
 
     def __iter__(self) -> Iterator[ReadBatch]:
-        window = np.empty(2 * _CHUNK, dtype=np.uint8)
-        w_len = 0
-        eof = False
+        win = self._win
         seqs = lengths = None
-        ids: list = []
+        ids = _new_ids(self._with_ids)
         fill = 0
         need = _CHUNK
         recs_buf = np.empty(((2 * _CHUNK) // 4 + 16, 3), dtype=np.int64)
         started = False
 
         while True:
-            while not eof and w_len < need:
-                if window.size - w_len < _CHUNK:
-                    grown = np.empty(window.size * 2, dtype=np.uint8)
-                    grown[:w_len] = window[:w_len]
-                    window = grown
-                try:
-                    got = self._stream.readinto(
-                        memoryview(window)[w_len : w_len + _CHUNK]
-                    )
-                except DECOMPRESSION_ERRORS as exc:
-                    raise ParseError.from_io(
-                        exc if isinstance(exc, OSError) else OSError(str(exc))
-                    ) from exc
-                if not got:
-                    eof = True
-                    break
-                w_len += got
-
-            pending = window[:w_len]
-            if w_len == 0 and eof:
+            pending = win.fill(need)
+            if pending.size == 0 and win.eof:
                 break
             if not started:
                 if pending[0] != 0x3E:  # '>' (dispatch normally catches this)
@@ -376,8 +450,9 @@ class _FastaBatcher:
                 recs_buf = np.empty((cap, 3), dtype=np.int64)
             recs, n, consumed = native.scan_fasta(pending, cap, out=recs_buf)
 
-            # upper bound incl. internal newlines, rounded to 128
-            longest = int((recs[:, 2] - recs[:, 1] - 1).max()) if n else 0
+            # exact longest stripped length (raw spans over-pad wrapped
+            # FASTA by the newline fraction), rounded to 128
+            longest = native.fasta_max_len(pending, recs) if n else 0
             if self._max_len is None:
                 self._max_len = _round128(longest)
             elif self._auto and longest > self._max_len:
@@ -404,33 +479,28 @@ class _FastaBatcher:
                         "whole-genome records"
                     )
                 if self._with_ids:
-                    for j in range(take):
-                        raw = pending[
-                            int(chunk_recs[j, 0]) + 1 : int(chunk_recs[j, 1])
-                        ].tobytes()
-                        ids.append(trim_cr(raw))
+                    ids.add_packed(*native.extract_ids_packed(pending, chunk_recs, fastq=False))
                 fill += take
                 idx += take
                 if fill == self._bs:
-                    yield ReadBatch(seqs=seqs, lengths=lengths, quals=None, ids=ids)
+                    yield ReadBatch(seqs=seqs, lengths=lengths, quals=None, ids=_take_ids(ids))
                     seqs = lengths = None
-                    ids = []
+                    ids = _new_ids(self._with_ids)
                     fill = 0
 
             if consumed:
                 self._lines_done += native.count_newlines(pending[:consumed])
-                remaining = w_len - consumed
-                window[:remaining] = window[consumed:w_len]
-                w_len = remaining
+                win.consume(consumed)
 
-            if not eof:
-                need = _CHUNK if n > 0 else w_len + _CHUNK
+            if not win.eof:
+                need = _CHUNK if n > 0 else pending.size + _CHUNK
                 continue
 
-            if w_len > 0:
+            tail_arr = win.remaining()
+            if tail_arr.size > 0:
                 # delegate the final (possibly truncated) record to the
                 # reference-exact streaming reader, offsetting line numbers
-                reader = FastaReader(bytes(window[:w_len]))
+                reader = FastaReader(bytes(tail_arr))
                 try:
                     while (rec := reader.next()) is not None:
                         s = rec.seq()
@@ -438,7 +508,7 @@ class _FastaBatcher:
                             seqs, lengths = self._alloc()
                             fill = 0
                         if self._with_ids:
-                            ids.append(bytes(rec.id()))
+                            ids.add_one(bytes(rec.id()))
                         if len(s) > self._max_len:
                             if not self._auto:
                                 raise ValueError(
@@ -451,16 +521,16 @@ class _FastaBatcher:
                         fill += 1
                         if fill == self._bs:
                             yield ReadBatch(seqs=seqs, lengths=lengths,
-                                            quals=None, ids=ids)
+                                            quals=None, ids=_take_ids(ids))
                             seqs = lengths = None
-                            ids = []
+                            ids = _new_ids(self._with_ids)
                             fill = 0
                 except ParseError as exc:
                     if seqs is not None and fill > 0:
                         yield ReadBatch(seqs=seqs[:fill], lengths=lengths[:fill],
-                                        quals=None, ids=ids)
+                                        quals=None, ids=_take_ids(ids))
                         seqs = lengths = None
-                        ids = []
+                        ids = _new_ids(self._with_ids)
                     raise ParseError(
                         exc.msg,
                         exc.kind,
@@ -470,12 +540,12 @@ class _FastaBatcher:
                         ),
                         exc.format,
                     ) from None
-                w_len = 0
             break
 
         if seqs is not None and fill > 0:
             yield ReadBatch(
-                seqs=seqs[:fill], lengths=lengths[:fill], quals=None, ids=ids
+                seqs=seqs[:fill], lengths=lengths[:fill], quals=None,
+                ids=_take_ids(ids),
             )
 
 
@@ -542,7 +612,14 @@ def fast_read_batches_range(
     if start >= end:
         return
     first = magic[:1]
-    stream = RangeStream(path, start, end)
+    stream = None
+    if first in (b"@", b">") and native.available():
+        try:
+            stream = _MmapWindow(path, start, end)  # zero-copy framing
+        except (OSError, ValueError):
+            stream = None
+    if stream is None:
+        stream = RangeStream(path, start, end)
     if first == b"@" and native.available():
         yield from _FastqBatcher(stream, batch_size, max_len, with_quals, with_ids)
     elif first == b">" and native.available():
@@ -588,6 +665,28 @@ def fast_read_batches(
         handle.seek(0)
     except OSError as exc:
         raise ParseError.from_io(exc) from exc
+    if (
+        len(magic) == 2
+        and not sniff_compression(magic)
+        and magic[:1] in (b"@", b">")
+        and native.available()
+    ):
+        # uncompressed regular file on the native path: mmap zero-copy
+        # framing (falls back to the stream window for pipes/specials)
+        win = None
+        try:
+            win = _MmapWindow(path)
+        except (OSError, ValueError):
+            win = None
+        if win is not None:
+            handle.close()
+            if magic[:1] == b"@":
+                yield from _FastqBatcher(
+                    win, batch_size, max_len, with_quals, with_ids
+                )
+            else:
+                yield from _FastaBatcher(win, batch_size, max_len, with_ids)
+            return
     stream, first_byte = open_uncompressed(handle)
     if prefetch and len(magic) == 2 and sniff_compression(magic):
         # overlap decompression with downstream (device) work; measured

@@ -31,7 +31,19 @@ ERR_INVALID_SEPARATOR = 2
 ERR_UNEQUAL_LENGTHS = 3
 
 
+def _wheel_library() -> Optional[Path]:
+    """Shared object compiled into an installed wheel by setup.py
+    (``needletail_tpu/_ntframer*.so``); None in a source checkout."""
+    pkg_dir = Path(__file__).resolve().parent.parent
+    for cand in sorted(pkg_dir.glob("_ntframer*")):
+        if cand.suffix in (".so", ".dylib", ".pyd") or ".so." in cand.name:
+            return cand
+    return None
+
+
 def _build() -> bool:
+    if not (_CSRC / "framer.cpp").exists():
+        return False
     if _SO.exists() and _SO.stat().st_mtime >= (_CSRC / "framer.cpp").stat().st_mtime:
         return True
     try:
@@ -58,9 +70,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _tried = True
         if os.environ.get("NEEDLETAIL_TPU_NO_NATIVE"):
             return None
-        if not _build():
-            return None
-        lib = ctypes.CDLL(str(_SO))
+        so = _wheel_library()
+        if so is None:
+            if not _build():
+                return None
+            so = _SO
+        lib = ctypes.CDLL(str(so))
         i64 = ctypes.c_int64
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i64p = ctypes.POINTER(ctypes.c_int64)
@@ -75,6 +90,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.nt_fill_fasta_batch.argtypes = [u8p, i64p, i64, u8p, i32p, i64]
         lib.nt_count_newlines.restype = i64
         lib.nt_count_newlines.argtypes = [u8p, i64]
+        lib.nt_fill_ids.restype = i64
+        lib.nt_fill_ids.argtypes = [u8p, i64p, i64, i64, i64, u8p, i32p, i64]
+        lib.nt_pack_ids.restype = i64
+        lib.nt_pack_ids.argtypes = [u8p, i64p, i64, i64, i64, u8p]
+        lib.nt_fasta_max_len.restype = i64
+        lib.nt_fasta_max_len.argtypes = [u8p, i64p, i64]
         _lib = lib
         return _lib
 
@@ -190,3 +211,48 @@ def fill_fasta_batch(
 def count_newlines(buf: np.ndarray) -> int:
     lib = get_lib()
     return int(lib.nt_count_newlines(_u8ptr(buf), buf.size))
+
+
+def fasta_max_len(buf: np.ndarray, recs: np.ndarray) -> int:
+    """Longest stripped sequence length among scanned FASTA records."""
+    lib = get_lib()
+    return int(
+        lib.nt_fasta_max_len(
+            _u8ptr(buf),
+            recs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            recs.shape[0],
+        )
+    )
+
+
+def extract_ids_packed(
+    buf: np.ndarray, recs: np.ndarray, fastq: bool
+) -> Tuple[bytes, int]:
+    """Record ids for scanned records as one '\n'-separated packed blob
+    (header line minus its marker byte, '\r'-trimmed; ids cannot contain
+    '\n').  Returns ``(blob, n)`` — no per-record Python objects; see
+    ``needletail_tpu.batch.LazyIds`` for on-demand materialization."""
+    lib = get_lib()
+    n = recs.shape[0]
+    if n == 0:
+        return b"", 0
+    stride = recs.shape[1]
+    end_adjust = 1 if fastq else 0
+    cap = int((recs[:, 1] - recs[:, 0]).sum()) + n
+    out = np.empty(cap, dtype=np.uint8)
+    written = lib.nt_pack_ids(
+        _u8ptr(buf),
+        recs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        stride,
+        end_adjust,
+        _u8ptr(out),
+    )
+    return out[:written].tobytes(), n
+
+
+def extract_ids(buf: np.ndarray, recs: np.ndarray, fastq: bool) -> list:
+    """Record ids as a materialized list of bytes (one C pack + one
+    ``bytes.split``); prefer ``extract_ids_packed`` on hot paths."""
+    blob, n = extract_ids_packed(buf, recs, fastq)
+    return blob.split(b"\n")[:-1] if n else []

@@ -377,3 +377,69 @@ def test_window_boundary_straddle(tmp_path):
             ln = int(b.lengths[j])
             bdata.append((bytes(b.ids[j]), bytes(b.seqs[j, :ln])))
     assert sdata == bdata
+
+
+class TestLazyIdsAndMmap:
+    def test_lazy_ids_protocol(self, tmp_path):
+        from needletail_tpu.batch import LazyIds
+
+        p = tmp_path / "r.fq"
+        p.write_bytes(b"@a x\nAC\n+\nII\n@b\nGG\n+\nII\n@c\nTT\n+\nII\n")
+        (b,) = list(fast_read_batches(p, batch_size=8, with_ids=True))
+        assert isinstance(b.ids, LazyIds)
+        assert len(b.ids) == 3
+        assert b.ids[0] == b"a x" and b.ids[-1] == b"c"
+        assert list(b.ids) == [b"a x", b"b", b"c"]
+        assert b.ids == [b"a x", b"b", b"c"]
+        assert b.ids[1:] == [b"b", b"c"]
+        with pytest.raises(IndexError):
+            b.ids[3]
+
+    def test_lazy_ids_crlf_and_empty(self, tmp_path):
+        p = tmp_path / "r.fq"
+        p.write_bytes(b"@a\r\nAC\r\n+\r\nII\r\n@\nGG\n+\nII\n")
+        (b,) = list(fast_read_batches(p, batch_size=8, with_ids=True))
+        assert list(b.ids) == [b"a", b""]
+
+    def test_mmap_range_framing_matches_stream(self, data_dir, tmp_path):
+        """Byte-range framing (now mmap-backed) still equals whole-file."""
+        from needletail_tpu.io.fast_batch import fast_read_batches_range
+        from needletail_tpu.parallel.distributed import split_fastx_ranges
+
+        path = str(data_dir / "PRJNA271013_head.fq")
+        whole = []
+        for b in fast_read_batches(path, batch_size=512, with_ids=True):
+            for j in range(b.num_reads):
+                ln = int(b.lengths[j])
+                whole.append((bytes(b.ids[j]), b.seqs[j, :ln].tobytes()))
+        ranged = []
+        for start, end in split_fastx_ranges(path, 3):
+            for b in fast_read_batches_range(
+                path, start, end, batch_size=512, with_ids=True
+            ):
+                for j in range(b.num_reads):
+                    ln = int(b.lengths[j])
+                    ranged.append((bytes(b.ids[j]), b.seqs[j, :ln].tobytes()))
+        assert whole == ranged
+
+    def test_pad_reads_to_with_lazy_ids(self, tmp_path):
+        p = tmp_path / "r.fq"
+        p.write_bytes(b"@a\nAC\n+\nII\n@b\nGG\n+\nII\n")
+        (b,) = list(fast_read_batches(p, batch_size=8, with_ids=True))
+        padded = b.pad_reads_to(8)
+        assert list(padded.ids) == [b"a", b"b"]
+
+
+def test_wrapped_fasta_no_newline_overpadding(tmp_path):
+    """Batch width must track true sequence length, not the raw span with
+    newlines (round-2 regression: 10-char-wrapped records over-padded by
+    ~10%)."""
+    seq = b"ACGT" * 2500  # 10,000 bases
+    wrapped = b"\n".join(seq[i : i + 10] for i in range(0, len(seq), 10))
+    p = tmp_path / "wrap.fa"
+    p.write_bytes(b">a\n" + wrapped + b"\n>b\n" + wrapped + b"\n")
+    batches = list(fast_read_batches(p, batch_size=8))
+    assert all(b.max_len == 10112 for b in batches)  # round128(10000)
+    for b in batches:
+        assert (b.lengths[: b.num_reads] == 10000).all()
+        assert bytes(b.seqs[0, :10000]) == seq
