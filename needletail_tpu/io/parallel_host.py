@@ -37,7 +37,7 @@ _ERR = "err"
 _BATCH = "batch"
 
 
-def _worker(path, start, end, batch_size, max_len, with_quals, q) -> None:
+def _worker(path, start, end, batch_size, max_len, with_quals, with_ids, q) -> None:
     import pickle
 
     from .fast_batch import fast_read_batches_range
@@ -45,9 +45,9 @@ def _worker(path, start, end, batch_size, max_len, with_quals, q) -> None:
     try:
         for b in fast_read_batches_range(
             path, start, end, batch_size=batch_size, max_len=max_len,
-            with_quals=with_quals,
+            with_quals=with_quals, with_ids=with_ids,
         ):
-            q.put((_BATCH, (b.seqs, b.lengths, b.quals)))
+            q.put((_BATCH, (b.seqs, b.lengths, b.quals, b.ids)))
         q.put((_DONE, None))
     except BaseException as exc:  # propagate to the consumer
         # mp.Queue pickles in a feeder thread, so an unpicklable exception
@@ -56,7 +56,47 @@ def _worker(path, start, end, batch_size, max_len, with_quals, q) -> None:
             pickle.dumps(exc)
         except Exception:
             exc = ParseError.from_io(OSError(repr(exc)))
-        q.put((_ERR, exc))
+        # ship the range start so the consumer can re-base the error's
+        # line number from range-relative to file-global (ref
+        # errors.rs:10-24 position fidelity)
+        q.put((_ERR, (exc, start)))
+
+
+def _count_newlines_before(path, stop: int) -> int:
+    """Newlines in file[0:stop] — only runs on the (rare) error path, so
+    a plain chunked read + bytes.count is fine."""
+    remaining = stop
+    count = 0
+    with open(path, "rb") as f:
+        while remaining > 0:
+            chunk = f.read(min(remaining, 8 << 20))
+            if not chunk:
+                break
+            count += chunk.count(b"\n")
+            remaining -= len(chunk)
+    return count
+
+
+def _rebase_error(path, exc, range_start: int):
+    """Rewrite a worker ParseError's line number to be file-global."""
+    if (
+        not isinstance(exc, ParseError)
+        or range_start <= 0
+        or exc.position is None
+        or exc.position.line is None
+    ):
+        return exc
+    lines_before = _count_newlines_before(path, range_start)
+    from ..errors import ErrorPosition
+
+    return ParseError(
+        exc.msg,
+        exc.kind,
+        ErrorPosition(
+            line=exc.position.line + lines_before, id=exc.position.id
+        ),
+        exc.format,
+    )
 
 
 def parallel_read_batches(
@@ -65,18 +105,23 @@ def parallel_read_batches(
     batch_size: int = 8192,
     max_len: Optional[int] = None,
     with_quals: bool = True,
+    with_ids: bool = False,
 ) -> Iterator[ReadBatch]:
     """Frame an uncompressed FASTX file with ``workers`` processes.
 
     Falls back to the single-process fast path for ``workers <= 1``.
     Compressed inputs cannot be range-split; use ``fast_read_batches``
-    (optionally with ``prefetch=True``) for those.
+    (optionally with ``prefetch=True``) for those.  Errors surface with
+    FILE-global line numbers and record ids, identical to the
+    single-stream reader; ``with_ids=True`` ships record ids (as packed
+    LazyIds) through the worker queue.
     """
     from .fast_batch import fast_read_batches
 
     if workers <= 1:
         yield from fast_read_batches(
-            str(path), batch_size=batch_size, max_len=max_len, with_quals=with_quals
+            str(path), batch_size=batch_size, max_len=max_len,
+            with_quals=with_quals, with_ids=with_ids,
         )
         return
 
@@ -100,7 +145,8 @@ def parallel_read_batches(
     procs = [
         ctx.Process(
             target=_worker,
-            args=(str(path), start, end, batch_size, max_len, with_quals, q),
+            args=(str(path), start, end, batch_size, max_len, with_quals,
+                  with_ids, q),
             daemon=True,
         )
         for start, end in ranges
@@ -130,11 +176,12 @@ def parallel_read_batches(
             if kind == _DONE:
                 live -= 1
             elif kind == _ERR:
-                error = payload
+                exc, range_start = payload
+                error = _rebase_error(str(path), exc, range_start)
                 break
             else:
-                seqs, lengths, quals = payload
-                yield ReadBatch(seqs=seqs, lengths=lengths, quals=quals, ids=[])
+                seqs, lengths, quals, ids = payload
+                yield ReadBatch(seqs=seqs, lengths=lengths, quals=quals, ids=ids)
     finally:
         for p in procs:
             p.terminate()

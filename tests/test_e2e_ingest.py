@@ -227,3 +227,82 @@ class TestE2EParity:
         nb2, s2 = count_file(corpus["gz"], k=7, host_workers=2)
         assert nb1 == nb2
         assert np.array_equal(s1, s2)
+
+
+class TestParallelErrorPositions:
+    """Worker errors must carry FILE-global line numbers + ids (VERDICT-7;
+    ref errors.rs:10-24 position fidelity)."""
+
+    def _make_bad_file(self, tmp_path, n_good=3000):
+        # valid records, then an unequal-length record deep in the file so
+        # it lands in a later worker's byte range
+        parts = [b"@r%d\nACGTACGT\n+\nIIIIIIII\n" % i for i in range(n_good)]
+        parts.append(b"@badrec oops\nACGTACGT\n+\nIII\n")
+        parts.extend(b"@s%d\nACGT\n+\nIIII\n" % i for i in range(50))
+        p = tmp_path / "bad.fq"
+        p.write_bytes(b"".join(parts))
+        return p
+
+    def _stream_error(self, path):
+        from needletail_tpu.errors import ParseError
+        from needletail_tpu.parser import parse_fastx_file
+
+        r = parse_fastx_file(str(path))
+        try:
+            while r.next() is not None:
+                pass
+        except ParseError as exc:
+            return exc
+        raise AssertionError("expected a ParseError")
+
+    def _parallel_error(self, path, workers):
+        from needletail_tpu.errors import ParseError
+        from needletail_tpu.io.parallel_host import parallel_read_batches
+
+        try:
+            for _ in parallel_read_batches(path, workers=workers, batch_size=256):
+                pass
+        except ParseError as exc:
+            return exc
+        raise AssertionError("expected a ParseError")
+
+    def test_error_position_matches_single_stream(self, tmp_path):
+        p = self._make_bad_file(tmp_path)
+        ref = self._stream_error(p)
+        got = self._parallel_error(p, workers=3)
+        assert got.kind == ref.kind
+        assert got.position.id == ref.position.id == "badrec"
+        assert got.position.line == ref.position.line
+
+    def test_error_in_first_range_unchanged(self, tmp_path):
+        parts = [b"@r0\nACGT\n+\nII\n"]  # unequal lengths immediately
+        parts.extend(b"@s%d\nACGT\n+\nIIII\n" % i for i in range(2000))
+        p = tmp_path / "bad0.fq"
+        p.write_bytes(b"".join(parts))
+        ref = self._stream_error(p)
+        got = self._parallel_error(str(p), workers=3)
+        assert (got.kind, got.position.line, got.position.id) == (
+            ref.kind, ref.position.line, ref.position.id,
+        )
+
+    def test_parallel_ids_shipped(self, tmp_path):
+        from needletail_tpu.io.fast_batch import fast_read_batches
+        from needletail_tpu.io.parallel_host import parallel_read_batches
+
+        p = tmp_path / "ok.fq"
+        p.write_bytes(
+            b"".join(b"@name%d extra\nACGT\n+\nIIII\n" % i for i in range(5000))
+        )
+        want = sorted(
+            bytes(i)
+            for b in fast_read_batches(str(p), batch_size=512, with_ids=True)
+            for i in b.ids
+        )
+        got = sorted(
+            bytes(i)
+            for b in parallel_read_batches(
+                str(p), workers=3, batch_size=512, with_ids=True
+            )
+            for i in b.ids
+        )
+        assert got == want
