@@ -28,6 +28,12 @@ def main() -> None:
         help="exact per-k-mer spectrum (per-chip sorts + host merge) "
         "instead of the collision-accumulating hash table",
     )
+    ap.add_argument(
+        "--bucketed",
+        action="store_true",
+        help="length-bucketed framing: one compiled step per bucket "
+        "width so pad lanes track real bases on mixed-length corpora",
+    )
     args = ap.parse_args()
 
     import jax
@@ -57,10 +63,21 @@ def main() -> None:
     init, step, place = make_hash_update_step(mesh, args.k)
     state = init()
 
+    if args.bucketed:
+        from needletail_tpu.io.bucketed import bucketed_read_batches
+
+        batches = bucketed_read_batches(
+            args.path, batch_size=args.batch_size, with_quals=False
+        )
+    else:
+        batches = fast_read_batches(args.path, batch_size=args.batch_size)
+
     n_bases = 0
     t0 = time.perf_counter()
-    for batch in fast_read_batches(args.path, batch_size=args.batch_size):
+    for batch in batches:
         n_bases += batch.num_bases
+        if batch.max_len < args.k:
+            continue  # no window fits; bases still counted
         b = batch if batch.num_reads == args.batch_size else batch.pad_reads_to(args.batch_size)
         state = step(state, *place(jnp.asarray(b.seqs), jnp.asarray(b.lengths)))
     total = state.total  # syncs

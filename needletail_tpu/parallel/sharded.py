@@ -3,17 +3,19 @@
 Design (BASELINE.json north star; no reference equivalent — needletail is
 single-threaded):
 
-  * Reads are sharded over the ``data`` mesh axis: in_spec ``P('data', None)``.
-  * The dense ``4^k`` count table is sharded by contiguous key range over the
-    ``table`` axis: device column ``t`` owns keys ``[t*S, (t+1)*S)`` where
-    ``S = 4^k / n_table``.
-  * Each device extracts canonical k-mers from its read shard, scatter-adds
-    only the keys it owns into its local slice (hash/range partitioning — the
-    all-to-all is implicit because every table column sees the same data
-    shard), then a ``psum`` over ``data`` merges the partial tables.
+  * Reads are sharded over the WHOLE mesh (flattened ``(data, table)``
+    axes) so every device extracts a distinct read shard — extraction is
+    never replicated across table columns.
+  * Each device histograms its windows into a full local ``[4^k]`` table,
+    then counts route to their owners with one ``psum_scatter`` over the
+    ``table`` axis (column ``t`` owns the contiguous key range
+    ``[t*S, (t+1)*S)``, ``S = 4^k / n_table``) followed by a ``psum``
+    over ``data`` — both ride ICI.
+  * The streaming state keeps the table sharded ``P('table')`` as uint32
+    limb pairs (exact past int32 per bin).
 
-Exactness: integer scatter-adds are order-independent, so the sharded result
-equals the single-device spectrum bit-for-bit.
+Exactness: integer adds commute, so the sharded result equals the
+single-device spectrum bit-for-bit.
 """
 
 from __future__ import annotations
@@ -54,20 +56,20 @@ def _check_dense_k(k: int) -> None:
 
 
 def _local_partial_spectrum(seqs, lengths, k: int, canonical: bool, normalized: bool):
-    """Per-device body: count the keys this table column owns."""
-    n_table = jax.lax.axis_size("table")
-    my_t = jax.lax.axis_index("table")
-    slice_size = (4**k) // n_table
+    """Per-device body: extract THIS device's read shard once (reads are
+    sharded over the flattened (data, table) axes — no replicated
+    extraction across table columns), histogram into a full local [4^k]
+    table, then route counts to their owners: a reduce-scatter over
+    ``table`` hands column t its key range, and a psum over ``data``
+    merges the data rows.  Integer adds commute, so the result is exact
+    and identical to the single-device spectrum."""
     fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
     win = fn(seqs, lengths, k, normalized=normalized)
-    keys = win.lo.reshape(-1).astype(jnp.int32)
-    local_idx = keys - my_t * slice_size
-    owned = (local_idx >= 0) & (local_idx < slice_size) & win.valid.reshape(-1)
-    local_idx = jnp.where(owned, local_idx, 0)
-    weights = owned.astype(jnp.int32)
-    local = jnp.zeros((slice_size,), dtype=jnp.int32).at[local_idx].add(weights)
-    # merge partial tables across the data axis (ICI all-reduce)
-    return jax.lax.psum(local, axis_name="data")
+    keys = jnp.where(win.valid, win.lo.astype(jnp.int32), 0).reshape(-1)
+    weights = win.valid.astype(jnp.int32).reshape(-1)
+    local = jnp.zeros((4**k,), dtype=jnp.int32).at[keys].add(weights)
+    part = jax.lax.psum_scatter(local, "table", scatter_dimension=0, tiled=True)
+    return jax.lax.psum(part, axis_name="data")
 
 
 def sharded_spectrum(
@@ -80,7 +82,8 @@ def sharded_spectrum(
 ) -> jax.Array:
     """Global dense spectrum [4^k], sharded over the ``table`` axis.
 
-    ``seqs``/``lengths`` lead dims must divide the data axis size.
+    ``seqs``/``lengths`` lead dims must divide data*table (reads shard
+    over the whole mesh so extraction never replicates).
     """
     _check_dense_k(k)
     fn = jax.jit(
@@ -92,7 +95,7 @@ def sharded_spectrum(
                 normalized=normalized,
             ),
             mesh=mesh,
-            in_specs=(P("data", None), P("data")),
+            in_specs=(P(("data", "table"), None), P(("data", "table"))),
             out_specs=P("table"),
         )
     )
@@ -179,8 +182,10 @@ def make_update_step(
     """
     _check_dense_k(k)
 
-    data_sharding = NamedSharding(mesh, P("data", None))
-    len_sharding = NamedSharding(mesh, P("data"))
+    # reads shard over the WHOLE mesh (extraction runs once per device,
+    # never replicated across table columns); the table stays P('table')
+    data_sharding = NamedSharding(mesh, P(("data", "table"), None))
+    len_sharding = NamedSharding(mesh, P(("data", "table")))
     table_sharding = NamedSharding(mesh, P("table"))
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
@@ -193,7 +198,7 @@ def make_update_step(
                 normalized=normalized,
             ),
             mesh=mesh,
-            in_specs=(P("data", None), P("data")),
+            in_specs=(P(("data", "table"), None), P(("data", "table"))),
             out_specs=P("table"),
         )(seqs, lengths)
         nb_lo, nb_hi = _acc64(

@@ -161,3 +161,44 @@ def test_hash_state_checkpoint_roundtrip(tmp_path):
     resumed = step(loaded, *place(jnp.asarray(seqs), jnp.asarray(lengths)))
     twice = step(state, *place(jnp.asarray(seqs), jnp.asarray(lengths)))
     assert np.array_equal(np.asarray(resumed.table), np.asarray(twice.table))
+
+
+def test_bucketed_sharded_hash_matches_unbucketed(tmp_path):
+    """Bucketed framing (one compiled step per bucket width) through the
+    sharded hash pipeline yields the identical table (SURVEY section 7
+    hard part 4 x the mesh pipeline)."""
+    import numpy as _np
+
+    from needletail_tpu.io.bucketed import bucketed_read_batches
+    from needletail_tpu.io.fast_batch import fast_read_batches
+    from needletail_tpu.parallel import make_hash_update_step, make_mesh
+
+    rng = _np.random.default_rng(11)
+    p = tmp_path / "mixed.fq"
+    with open(p, "wb") as f:
+        for i in range(600):
+            ln = int(rng.choice([36, 100, 150, 300]))
+            seq = rng.choice(_np.frombuffer(b"ACGTN", _np.uint8), ln).tobytes()
+            f.write(b"@r%d\n" % i + seq + b"\n+\n" + b"I" * ln + b"\n")
+
+    mesh = make_mesh(data=8, table=1)
+    k, bs = 21, 64
+
+    def run(batches):
+        init, step, place = make_hash_update_step(mesh, k, block_rows=8)
+        state = init()
+        n_bases = 0
+        for batch in batches:
+            n_bases += batch.num_bases
+            if batch.max_len < k:
+                continue
+            b = batch if batch.num_reads == bs else batch.pad_reads_to(bs)
+            s, l = place(jnp.asarray(b.seqs), jnp.asarray(b.lengths))
+            state = step(state, s, l)
+        return n_bases, int(state.total), int(state.fwd), np.asarray(state.table)
+
+    flat = run(fast_read_batches(str(p), batch_size=bs))
+    buck = run(bucketed_read_batches(str(p), batch_size=bs, with_quals=False))
+    assert flat[0] == buck[0]
+    assert flat[1] == buck[1] and flat[2] == buck[2]
+    assert np.array_equal(flat[3], buck[3])
