@@ -63,15 +63,47 @@ def _top_kmers(keys, counts, k, top):
 def _cmd_count(args) -> int:
     from .device.pipeline import count_file
 
+    ks = tuple(int(x) for x in str(args.k).split(","))
     n_bases, spec = count_file(
         args.path,
-        k=args.k,
+        k=ks if len(ks) > 1 else ks[0],
         batch_size=args.batch_size,
         bucketed=args.bucketed,
         sparse_format="arrays",
         quality_cutoff=args.quality_cutoff,
+        host_workers=args.host_workers,
     )
     import numpy as np
+
+    if len(ks) > 1:
+        # single-pass multi-k: report per-k summaries, save all spectra
+        out = {}
+        for k, sp in spec.items():
+            if isinstance(sp, tuple):
+                keys, counts = sp
+            else:
+                keys = np.flatnonzero(sp).astype(np.uint64)
+                counts = sp[keys.astype(np.int64)]
+            out[k] = (keys, counts)
+            print(
+                f"# k={k}: {int(counts.sum())} canonical k-mers, "
+                f"{len(keys)} distinct",
+                file=sys.stderr,
+            )
+        print(f"# {n_bases} bases ({len(ks)} k values in one pass)", file=sys.stderr)
+        if args.output:
+            np.savez_compressed(
+                args.output,
+                ks=np.asarray(ks),
+                **{f"keys_{k}": v[0] for k, v in out.items()},
+                **{f"counts_{k}": v[1] for k, v in out.items()},
+            )
+            print(f"# spectra written to {args.output}", file=sys.stderr)
+        if args.top:
+            for k, (keys, counts) in out.items():
+                print(f"# top {args.top} for k={k}:")
+                _top_kmers(keys, counts, k, args.top)
+        return 0
 
     if isinstance(spec, tuple):
         keys, counts = spec
@@ -114,6 +146,20 @@ def _cmd_hash_count(args) -> int:
     if args.output:
         np.savez_compressed(args.output, table=table, k=args.k)
         print(f"# table written to {args.output}", file=sys.stderr)
+    return 0
+
+
+def _cmd_bgzip(args) -> int:
+    from .io.bgzf import write_bgzf
+    from .io.compression import open_uncompressed
+
+    # transparently decode any supported codec, then re-block as BGZF
+    # (open_uncompressed chains the sniffed first byte back in front)
+    with open(args.path, "rb") as f:
+        stream, _first = open_uncompressed(f)
+        data = stream.read()
+    write_bgzf(data, args.output, block_size=args.block_size)
+    print(f"# {len(data)} bytes -> {args.output}", file=sys.stderr)
     return 0
 
 
@@ -181,7 +227,8 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("count", help="exact canonical k-mer spectrum (device)")
     p.add_argument("path")
-    p.add_argument("-k", type=int, required=True)
+    p.add_argument("-k", required=True,
+                   help="k, or a comma list (e.g. 4,21,31) counted in ONE pass")
     p.add_argument("--top", type=int, default=0, help="print the N most frequent")
     p.add_argument("--batch-size", type=int, default=4096)
     p.add_argument("--bucketed", action="store_true", help="length-bucketed batching")
@@ -191,6 +238,8 @@ def main(argv=None) -> int:
         default=None,
         help="mask bases below this Phred score before counting (FASTQ)",
     )
+    p.add_argument("--host-workers", type=int, default=None,
+                   help="framing processes (default: auto from CPU count)")
     p.add_argument("-o", "--output", help="write spectrum .npz")
     p.set_defaults(fn=_cmd_count)
 
@@ -199,9 +248,16 @@ def main(argv=None) -> int:
     p.add_argument("-k", type=int, required=True)
     p.add_argument("--table-bits", type=int, default=16)
     p.add_argument("--batch-size", type=int, default=65536)
-    p.add_argument("--host-workers", type=int, default=1)
+    p.add_argument("--host-workers", type=int, default=None,
+                   help="framing processes (default: auto from CPU count)")
     p.add_argument("-o", "--output", help="write table .npz")
     p.set_defaults(fn=_cmd_hash_count)
+
+    p = sub.add_parser("bgzip", help="recompress to BGZF (block-parallel decompressible)")
+    p.add_argument("path")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--block-size", type=int, default=65280)
+    p.set_defaults(fn=_cmd_bgzip)
 
     p = sub.add_parser("filter", help="drop reads below a mean Phred score")
     p.add_argument("path")

@@ -539,7 +539,6 @@ def quality_filter_file(
     """
     import jax
 
-    from ..parser.record import write_fastq
     from .quality import mean_quality
 
     @jax.jit
@@ -558,15 +557,24 @@ def quality_filter_file(
             means = np.asarray(
                 _means(jnp.asarray(batch.quals), jnp.asarray(batch.lengths))
             )[:n]
-            for i in np.flatnonzero(means >= min_mean_quality):
-                ln = int(batch.lengths[i])
-                write_fastq(
-                    batch.ids[i],
-                    batch.seqs[i, :ln].tobytes(),
-                    batch.quals[i, :ln].tobytes(),
-                    out,
+            # assemble the batch's survivors as one bytes join (same output
+            # as write_fastq with Unix endings) instead of per-record
+            # writer calls — the join and the final write are C-level
+            keep = np.flatnonzero(means >= min_mean_quality)
+            lens = batch.lengths
+            parts = []
+            for i in keep:
+                ln = int(lens[i])
+                parts.append(
+                    b"@%s\n%s\n+\n%s\n"
+                    % (
+                        bytes(batch.ids[i]),
+                        batch.seqs[i, :ln].tobytes(),
+                        batch.quals[i, :ln].tobytes(),
+                    )
                 )
-                n_kept += 1
+            out.write(b"".join(parts))
+            n_kept += len(keep)
     return n_in, n_kept
 
 

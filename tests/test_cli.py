@@ -41,3 +41,29 @@ def test_hash_count():
     out, _ = _run("hash-count", str(DATA_DIR / "PRJNA271013_head.fq"), "-k", "21")
     d = json.loads(out)
     assert d["windows"] == 209_965 and d["forward"] == 106_181
+
+
+def test_count_multi_k(tmp_path):
+    out_npz = tmp_path / "multi.npz"
+    _, err = _run(
+        "count", str(DATA_DIR / "test.fa"), "-k", "2,4", "-o", str(out_npz)
+    )
+    assert "2 k values in one pass" in err
+    with np.load(out_npz) as z:
+        assert set(z["ks"]) == {2, 4}
+        assert z["counts_4"].sum() == 8
+
+
+def test_bgzip_roundtrip(tmp_path):
+    out = tmp_path / "r.fq.bgz"
+    _run("bgzip", str(DATA_DIR / "PRJNA271013_head.fq"), "-o", str(out))
+    from needletail_tpu.io.bgzf import BGZFReader, is_bgzf
+
+    assert is_bgzf(out)
+    r = BGZFReader(out)
+    data = r.read()
+    r.close()
+    assert data == (DATA_DIR / "PRJNA271013_head.fq").read_bytes()
+    # and the framer reads it transparently (it IS multi-member gzip)
+    o, _ = _run("stats", str(out))
+    assert json.loads(o)["bases"] == 250_000
