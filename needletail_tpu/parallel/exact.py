@@ -199,11 +199,20 @@ class ShardedSpectrumAccumulator:
         if self._offset == 0:
             return
         hi_s, lo_s, counts = self._resolve(self._buf_hi, self._buf_lo)
-        hi_s = np.asarray(hi_s).reshape(self._n_data, self._cap)
-        lo_s = np.asarray(lo_s).reshape(self._n_data, self._cap)
-        counts = np.asarray(counts).reshape(self._n_data, self._cap)
-        for d in range(self._n_data):
-            keys, cnts = _count.compact_spectrum(hi_s[d], lo_s[d], counts[d])
+        # compact per ADDRESSABLE shard: in a multi-process (multi-host)
+        # job each process merges only its own devices' sorted runs —
+        # shards are disjoint, so the per-process spectra union to the
+        # global one (see finish(); single-process sees every shard)
+        for sh_h, sh_l, sh_c in zip(
+            hi_s.addressable_shards,
+            lo_s.addressable_shards,
+            counts.addressable_shards,
+        ):
+            keys, cnts = _count.compact_spectrum(
+                np.asarray(sh_h.data),
+                np.asarray(sh_l.data),
+                np.asarray(sh_c.data),
+            )
             self._keys, self._counts = _count.merge_sorted_spectra(
                 self._keys, self._counts, keys, cnts
             )
@@ -214,6 +223,13 @@ class ShardedSpectrumAccumulator:
         self._offset = 0
 
     def finish(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Final ``(keys_u64, counts_i64)``, keys ascending.
+
+        Single process: the complete global spectrum.  Multi-process SPMD:
+        each process returns the exact spectrum of the keys its own
+        devices held — per-process results have disjoint provenance per
+        flush and merge to the global spectrum with
+        ``merge_sorted_spectra`` (keys may repeat across processes)."""
         self._flush()
         return self._keys, self._counts
 

@@ -74,3 +74,59 @@ def test_two_process_hash_pipeline_matches_oracle(tmp_path):
     expected = np.asarray(mxu_histogram16(keys, None))
     assert total == int(t) and fwd == int(f)
     assert np.array_equal(table, expected), "\n".join(logs)
+
+
+def test_two_process_exact_spectrum_matches_oracle(tmp_path):
+    """Per-process sorted-run spectra (disjoint device shards) must merge
+    to the single-process exact spectrum bit-for-bit."""
+    src = (DATA_DIR / "PRJNA271013_head.fq").read_bytes()
+    head = b"\n".join(src.split(b"\n")[: 96 * 4]) + b"\n"  # 96 reads
+    path = tmp_path / "mpx.fq"
+    path.write_bytes(head)
+    out = tmp_path / "mpx_result"
+    port = _free_port()
+    worker = REPO_ROOT / "tests" / "_mp_exact_worker.py"
+
+    rows_local = 64
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(path), str(out), str(port), str(pid), "2", str(rows_local)],
+            cwd=str(REPO_ROOT),
+            env={
+                **os.environ,
+                "PYTHONPATH": str(REPO_ROOT)
+                + os.pathsep
+                + os.environ.get("PYTHONPATH", ""),
+            },
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=420)
+        logs.append(stdout.decode(errors="replace"))
+    assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+
+    from needletail_tpu.device.count import merge_sorted_spectra
+
+    keys = np.zeros(0, np.uint64)
+    counts = np.zeros(0, np.int64)
+    n_records = 0
+    for pid in range(2):
+        with np.load(f"{out}.p{pid}.npz") as z:
+            keys, counts = merge_sorted_spectra(
+                keys, counts, z["keys"], z["counts"]
+            )
+            n_records += int(z["local_records"])
+    assert n_records == 96
+
+    from needletail_tpu.device.pipeline import count_file
+
+    _, (ok, oc) = count_file(
+        str(path), k=21, dense=False, sparse_format="arrays",
+        batch_size=64, host_workers=1,
+    )
+    assert np.array_equal(keys, ok)
+    assert np.array_equal(counts, oc)
