@@ -156,25 +156,38 @@ def canonical(seq: BytesLike) -> bytes:
     return raw if raw <= rc else rc
 
 
+def _lex_min_window(arr: np.ndarray, length: int) -> bytes:
+    """Lexicographic minimum length-``length`` window of ``arr``,
+    vectorized by candidate refinement: keep the windows whose j-th byte
+    is minimal, column by column — typical cost O(n + length·survivors)
+    instead of O(n·length) Python slicing."""
+    n = arr.size - length + 1
+    cand = np.arange(n)
+    for j in range(length):
+        col = arr[cand + j]
+        m = col.min()
+        keep = col == m
+        if not keep.all():
+            cand = cand[keep]
+        if cand.size == 1:
+            break
+    i = int(cand[0])
+    return arr[i : i + length].tobytes()
+
+
 def minimizer(seq: BytesLike, length: int) -> bytes:
     """Lexicographically smallest length-``length`` substring of ``seq`` or its
     reverse complement (ref sequence.rs:139-152)."""
-    raw = bytes(_as_np(seq).tobytes())
-    if not 1 <= length <= len(raw):
+    arr = _as_np(seq)
+    if not 1 <= length <= arr.size:
         # the reference panics on the out-of-bounds slice &seq[..length]
         raise ValueError(
-            f"minimizer length {length} out of range for a {len(raw)}-byte sequence"
+            f"minimizer length {length} out of range for a {arr.size}-byte sequence"
         )
-    rc = reverse_complement(raw)
-    minmer = raw[:length]
-    for i in range(len(raw) - length + 1):
-        w = raw[i : i + length]
-        if w < minmer:
-            minmer = w
-        rw = rc[i : i + length]
-        if rw < minmer:
-            minmer = rw
-    return minmer
+    rc = np.frombuffer(reverse_complement(arr.tobytes()), dtype=np.uint8)
+    fwd = _lex_min_window(arr, length)
+    rev = _lex_min_window(rc, length)
+    return fwd if fwd <= rev else rev
 
 
 def strip_returns(seq: BytesLike) -> bytes:
