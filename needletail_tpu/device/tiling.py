@@ -97,6 +97,7 @@ def genome_spectrum(
     normalized: bool = True,
     dense: Optional[bool] = None,
     sparse_format: str = "dict",
+    mesh=None,
 ) -> Tuple[int, Union[np.ndarray, Dict[int, int], Tuple[np.ndarray, np.ndarray]]]:
     """Exact k-mer spectrum of a (possibly multi-Mbp) FASTX file via halo
     tiling (BASELINE config #4: whole-bacterium k=31 spectrum).
@@ -110,18 +111,18 @@ def genome_spectrum(
     returns ``(keys_u64, counts)`` numpy arrays — for multi-Mbp genomes the
     Python dict itself is the bottleneck, so prefer arrays when consuming
     programmatically.
+
+    ``mesh=`` shards the tiled batches over the mesh's ``data`` axis
+    (tiling × sharding: genome tiles are ordinary rows, so the exact
+    multi-chip sorted-run path applies; ``batch_tiles`` must divide the
+    data axis).  Result is bit-identical to the single-device run.
     """
     import jax.numpy as jnp
 
     from . import count as _count
     from . import kmers as _kmers
 
-    if dense is None:
-        dense = k <= _count.MAX_DENSE_K
     n_bases = 0
-    dense_total = None  # device-resident accumulation
-    sparse = _count.SparseSpectrumAccumulator()
-    fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
     # count bases separately (tiles double-count halo bytes)
     reader = parse_fastx_file(path)
     while True:
@@ -129,18 +130,46 @@ def genome_spectrum(
         if rec is None:
             break
         n_bases += rec.num_bases()
+
+    if mesh is not None:
+        from ..parallel.exact import ShardedSpectrumAccumulator
+
+        acc = ShardedSpectrumAccumulator(
+            mesh, k, canonical=canonical, normalized=normalized
+        )
+        for tiles, lengths in tiled_batches(path, k, tile_len, batch_tiles):
+            acc.add(tiles, lengths)
+        keys, counts = acc.finish()
+        if sparse_format == "arrays":
+            return n_bases, (keys, counts)
+        return n_bases, _count.spectrum_arrays_to_dict(keys, counts)
+
+    from ..utils.limbs import acc64
+
+    if dense is None:
+        dense = k <= _count.MAX_DENSE_K
+    dense_limbs = None  # device-resident uint32 limb pairs (exact past 2^31)
+    sparse = _count.SparseSpectrumAccumulator()
+    fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
     for tiles, lengths in tiled_batches(path, k, tile_len, batch_tiles):
         windows = fn(jnp.asarray(tiles), jnp.asarray(lengths), k, normalized=normalized)
         if dense:
             spec = _count.dense_spectrum(windows, k)
-            dense_total = spec if dense_total is None else dense_total + spec
+            if dense_limbs is None:
+                dense_limbs = (
+                    jnp.zeros(4**k, jnp.uint32),
+                    jnp.zeros(4**k, jnp.uint32),
+                )
+            dense_limbs = acc64(*dense_limbs, spec)
         else:
             sparse.add(*_count.mask_keys(windows))
     if dense:
+        if dense_limbs is None:
+            return n_bases, np.zeros(4**k, np.int64)
+        lo, hi = dense_limbs
         return n_bases, (
-            np.asarray(dense_total)
-            if dense_total is not None
-            else np.zeros(4**k, np.int64)
+            np.asarray(lo).astype(np.int64)
+            + (np.asarray(hi).astype(np.int64) << 32)
         )
     keys, counts = sparse.finish()
     if sparse_format == "arrays":

@@ -121,3 +121,26 @@ class TestCompressedCounting:
         _, (keys, counts) = count_file(str(p), k=17, sparse_format="arrays")
         _, d = count_file(str(p), k=17)
         assert d == {int(key): int(c) for key, c in zip(keys, counts)}
+
+
+def test_genome_spectrum_mesh_matches_single_device(tmp_path):
+    """Tiling x sharding: the mesh path must be bit-identical."""
+    from needletail_tpu.device.tiling import genome_spectrum
+    from needletail_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(3)
+    seq = bytes(rng.choice(np.frombuffer(b"ACGTN", np.uint8), 60_000))
+    p = tmp_path / "g.fa"
+    p.write_bytes(b">g\n" + seq + b"\n")
+    single = genome_spectrum(
+        str(p), k=21, tile_len=2048, batch_tiles=16,
+        dense=False, sparse_format="arrays",
+    )
+    mesh = make_mesh(data=8, table=1)
+    sharded = genome_spectrum(
+        str(p), k=21, tile_len=2048, batch_tiles=16,
+        sparse_format="arrays", mesh=mesh,
+    )
+    assert single[0] == sharded[0]
+    assert np.array_equal(single[1][0], sharded[1][0])
+    assert np.array_equal(single[1][1], sharded[1][1])
