@@ -64,6 +64,30 @@ def _cmd_count(args) -> int:
     from .device.pipeline import count_file
 
     ks = tuple(int(x) for x in str(args.k).split(","))
+    if args.sharded:
+        import jax
+        import numpy as np
+
+        from .parallel import make_mesh, sharded_count_file
+
+        if len(ks) > 1:
+            raise SystemExit("--sharded takes a single k")
+        mesh = make_mesh(jax.devices(), data=len(jax.devices()), table=1)
+        n_bases, (keys, counts) = sharded_count_file(
+            args.path, ks[0], mesh=mesh, batch_size=args.batch_size,
+            host_workers=args.host_workers,
+        )
+        print(
+            f"# {n_bases} bases, {int(counts.sum())} canonical {ks[0]}-mers, "
+            f"{len(keys)} distinct ({len(jax.devices())} devices)",
+            file=sys.stderr,
+        )
+        if args.output:
+            np.savez_compressed(args.output, keys=keys, counts=counts, k=ks[0])
+            print(f"# spectrum written to {args.output}", file=sys.stderr)
+        if args.top:
+            _top_kmers(keys, counts, ks[0], args.top)
+        return 0
     n_bases, spec = count_file(
         args.path,
         k=ks if len(ks) > 1 else ks[0],
@@ -240,6 +264,8 @@ def main(argv=None) -> int:
     )
     p.add_argument("--host-workers", type=int, default=None,
                    help="framing processes (default: auto from CPU count)")
+    p.add_argument("--sharded", action="store_true",
+                   help="exact spectrum over every device (per-chip sorts)")
     p.add_argument("-o", "--output", help="write spectrum .npz")
     p.set_defaults(fn=_cmd_count)
 
