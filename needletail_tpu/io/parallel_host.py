@@ -37,17 +37,32 @@ _ERR = "err"
 _BATCH = "batch"
 
 
-def _worker(path, start, end, batch_size, max_len, with_quals, with_ids, q) -> None:
+def _worker(
+    path, start, end, batch_size, max_len, with_quals, with_ids, q,
+    shm_names=None, free_q=None,
+) -> None:
     import pickle
 
     from .fast_batch import fast_read_batches_range
 
+    writer = None
     try:
+        if shm_names is not None:
+            from .shm_pool import SharedBatchWriter
+
+            writer = SharedBatchWriter(shm_names, batch_size, max_len, with_quals)
         for b in fast_read_batches_range(
             path, start, end, batch_size=batch_size, max_len=max_len,
             with_quals=with_quals, with_ids=with_ids,
         ):
-            q.put((_BATCH, (b.seqs, b.lengths, b.quals, b.ids)))
+            if writer is not None:
+                seg = free_q.get()
+                n = writer.write(seg, b)
+                # planes travel by segment id; only ids (compact LazyIds
+                # blobs) and the descriptor go through the pickle queue
+                q.put((_BATCH, (seg, n, b.ids if with_ids else [])))
+            else:
+                q.put((_BATCH, (b.seqs, b.lengths, b.quals, b.ids)))
         q.put((_DONE, None))
     except BaseException as exc:  # propagate to the consumer
         # mp.Queue pickles in a feeder thread, so an unpicklable exception
@@ -60,6 +75,9 @@ def _worker(path, start, end, batch_size, max_len, with_quals, with_ids, q) -> N
         # line number from range-relative to file-global (ref
         # errors.rs:10-24 position fidelity)
         q.put((_ERR, (exc, start)))
+    finally:
+        if writer is not None:
+            writer.close()
 
 
 def _count_newlines_before(path, stop: int) -> int:
@@ -106,6 +124,7 @@ def parallel_read_batches(
     max_len: Optional[int] = None,
     with_quals: bool = True,
     with_ids: bool = False,
+    shared_mem: Optional[bool] = None,
 ) -> Iterator[ReadBatch]:
     """Frame an uncompressed FASTX file with ``workers`` processes.
 
@@ -115,6 +134,13 @@ def parallel_read_batches(
     FILE-global line numbers and record ids, identical to the
     single-stream reader; ``with_ids=True`` ships record ids (as packed
     LazyIds) through the worker queue.
+
+    With an explicit ``max_len``, batch planes travel through a
+    shared-memory segment pool instead of the pickle queue
+    (see ``io.shm_pool``): workers write planes in place and the
+    consumer's only cost is one memcpy out of the segment — versus
+    pickle's serialize + pipe-write + pipe-read + deserialize.  Pass
+    ``shared_mem=False`` to force the pickle path.
     """
     from .fast_batch import fast_read_batches
 
@@ -135,6 +161,11 @@ def parallel_read_batches(
             "fast_read_batches(prefetch=True) for compressed input"
         )
 
+    if shared_mem is None:
+        shared_mem = max_len is not None
+    if shared_mem and max_len is None:
+        raise ValueError("shared_mem=True needs an explicit max_len")
+
     from ..parallel.distributed import split_fastx_ranges
 
     ranges = split_fastx_ranges(path, workers)
@@ -142,11 +173,24 @@ def parallel_read_batches(
     # initialized, and forking a multithreaded process can deadlock
     ctx = mp.get_context("spawn")
     q = ctx.Queue(maxsize=4 * workers)
+    pool = None
+    free_q = None
+    shm_names = None
+    if shared_mem:
+        from .shm_pool import SharedBatchPool
+
+        pool = SharedBatchPool(
+            batch_size, max_len, with_quals, segments=2 * workers + 2
+        )
+        shm_names = pool.names
+        free_q = ctx.Queue()
+        for i in range(len(shm_names)):
+            free_q.put(i)
     procs = [
         ctx.Process(
             target=_worker,
             args=(str(path), start, end, batch_size, max_len, with_quals,
-                  with_ids, q),
+                  with_ids, q, shm_names, free_q),
             daemon=True,
         )
         for start, end in ranges
@@ -179,6 +223,20 @@ def parallel_read_batches(
                 exc, range_start = payload
                 error = _rebase_error(str(path), exc, range_start)
                 break
+            elif pool is not None:
+                seg, n, ids = payload
+                seqs, quals, lengths = pool.views(seg, n)
+                batch = ReadBatch(
+                    seqs=seqs.copy(),
+                    lengths=lengths.copy(),
+                    quals=None if quals is None else quals.copy(),
+                    ids=ids,
+                )
+                # no views survive the copy: drop them before recycling so
+                # pool.close() in the finally sees no exported buffers
+                del seqs, quals, lengths
+                free_q.put(seg)
+                yield batch
             else:
                 seqs, lengths, quals, ids = payload
                 yield ReadBatch(seqs=seqs, lengths=lengths, quals=quals, ids=ids)
@@ -187,5 +245,7 @@ def parallel_read_batches(
             p.terminate()
         for p in procs:
             p.join()
+        if pool is not None:
+            pool.close()
     if error is not None:
         raise error

@@ -306,3 +306,73 @@ class TestParallelErrorPositions:
             for i in b.ids
         )
         assert got == want
+
+
+class TestSharedMemoryTransport:
+    """Worker batches through the shm segment pool (engaged by an
+    explicit max_len) must be bit-identical to the pickle queue."""
+
+    def test_parity_with_pickle(self, corpus):
+        from needletail_tpu.io.parallel_host import parallel_read_batches
+
+        def collect(**kw):
+            reads = []
+            for b in parallel_read_batches(
+                str(corpus["plain"]), workers=3, batch_size=512,
+                max_len=128, **kw,
+            ):
+                for j in range(b.num_reads):
+                    ln = int(b.lengths[j])
+                    reads.append(
+                        (b.seqs[j, :ln].tobytes(), b.quals[j, :ln].tobytes())
+                    )
+            return sorted(reads)
+
+        assert collect() == collect(shared_mem=False)
+
+    def test_hash_count_through_shm(self, corpus):
+        from needletail_tpu.device.pipeline import hash_count_file
+
+        base = hash_count_file(
+            corpus["plain"], k=21, batch_size=2048, host_workers=1,
+            max_len=128,
+        )
+        shm = hash_count_file(
+            corpus["plain"], k=21, batch_size=2048, host_workers=2,
+            max_len=128,
+        )
+        assert base[:3] == shm[:3]
+        assert np.array_equal(base[3], shm[3])
+
+    def test_error_still_propagates(self, tmp_path):
+        from needletail_tpu.errors import ParseError
+        from needletail_tpu.io.parallel_host import parallel_read_batches
+
+        parts = [b"@r%d\nACGT\n+\nIIII\n" % i for i in range(3000)]
+        parts.append(b"@bad\nACGT\n+\nII\n")
+        p = tmp_path / "bad.fq"
+        p.write_bytes(b"".join(parts))
+        with pytest.raises(ParseError):
+            for _ in parallel_read_batches(
+                str(p), workers=3, batch_size=256, max_len=64
+            ):
+                pass
+
+    def test_early_abandon_cleans_up(self, corpus):
+        from needletail_tpu.io.parallel_host import parallel_read_batches
+
+        it = parallel_read_batches(
+            str(corpus["plain"]), workers=2, batch_size=256, max_len=128
+        )
+        next(it)
+        it.close()  # generator finally must terminate workers + unlink shm
+
+    def test_requires_max_len(self, corpus):
+        from needletail_tpu.io.parallel_host import parallel_read_batches
+
+        with pytest.raises(ValueError, match="max_len"):
+            list(
+                parallel_read_batches(
+                    str(corpus["plain"]), workers=2, shared_mem=True
+                )
+            )
