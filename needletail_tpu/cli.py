@@ -135,12 +135,12 @@ def _cmd_count(args) -> int:
         keys = np.flatnonzero(spec).astype(np.uint64)
         counts = spec[keys.astype(np.int64)]
     total = int(counts.sum())
-    print(f"# {n_bases} bases, {total} canonical {args.k}-mers, {len(keys)} distinct", file=sys.stderr)
+    print(f"# {n_bases} bases, {total} canonical {ks[0]}-mers, {len(keys)} distinct", file=sys.stderr)
     if args.output:
-        np.savez_compressed(args.output, keys=keys, counts=counts, k=args.k)
+        np.savez_compressed(args.output, keys=keys, counts=counts, k=ks[0])
         print(f"# spectrum written to {args.output}", file=sys.stderr)
     if args.top:
-        _top_kmers(keys, counts, args.k, args.top)
+        _top_kmers(keys, counts, ks[0], args.top)
     return 0
 
 
