@@ -262,6 +262,8 @@ def _make_batch_source(
 
     if host_workers is None:
         host_workers = auto_host_workers()
+    if str(path) == "-":
+        host_workers = 1  # stdin cannot be range-split; stream it
     if host_workers <= 1:
         return read_batches(
             path, batch_size=batch_size, max_len=max_len,

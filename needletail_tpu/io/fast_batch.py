@@ -667,6 +667,30 @@ def fast_read_batches(
     output.  ``with_ids=True`` carries raw header bytes per read (opt-in:
     id extraction costs per-record Python work).
     """
+    if str(path) == "-":
+        # batched stdin: stream windows, no mmap/range-split (the record
+        # API twin is parse_fastx_stdin; same codec sniffing applies)
+        import sys as _sys
+
+        stream, first_byte = open_uncompressed(_sys.stdin.buffer)
+        if first_byte == 0x40 and native.available():
+            yield from _FastqBatcher(stream, batch_size, max_len, with_quals, with_ids)
+            return
+        if first_byte == 0x3E and native.available():
+            yield from _FastaBatcher(stream, batch_size, max_len, with_ids)
+            return
+        if first_byte == 0x3E:
+            reader = FastaReader(stream)
+        elif first_byte == 0x40:
+            reader = FastqReader(stream)
+        else:
+            raise ParseError.new_unknown_format(first_byte)
+        yield from _strip_quals_unless(
+            BatchReader(reader, batch_size=batch_size, max_len=max_len,
+                        keep_ids=with_ids),
+            with_quals,
+        )
+        return
     try:
         handle = open(path, "rb")
         magic = handle.read(2)

@@ -69,3 +69,30 @@ def test_error_via_stdin():
         timeout=300,
     )
     assert proc.returncode != 0
+
+
+BATCH_PROG = """
+import jax
+jax.config.update("jax_platforms", "cpu")  # env var alone loses to sitecustomize
+from needletail_tpu.device.pipeline import count_file
+n_bases, spec = count_file("-", k=4)
+print(f"{n_bases} {int(spec.sum())}")
+"""
+
+
+@pytest.mark.parametrize(
+    "codec", [lambda b: b, gzip.compress, bz2.compress, lzma.compress],
+    ids=["plain", "gz", "bz2", "xz"],
+)
+def test_batched_stdin_count(codec):
+    """count_file('-') streams batched stdin through every codec."""
+    proc = subprocess.run(
+        [sys.executable, "-c", BATCH_PROG],
+        input=codec(b">id1\nAGTCGTCA\n"),
+        capture_output=True,
+        cwd=str(REPO_ROOT),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr.decode(errors="replace")
+    assert proc.stdout.decode().strip().endswith("8 5")
