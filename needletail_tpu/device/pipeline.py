@@ -146,6 +146,12 @@ def count_file(
     # host usize; int32 bins would wrap silently past 2^31)
     dense_limbs = None  # stays on device; accumulation is async-dispatched
     sparse = _count.SparseSpectrumAccumulator()
+    # dense OUTPUT for k > 9 accumulates through the sorted sparse path and
+    # densifies at the end: beyond the MXU histogram's reach the per-batch
+    # XLA scatter-add is ~4x slower than one sort per flush (measured 126 ms
+    # vs 32 ms per 8.4M keys on v5e)
+    densify_after = dense and k > 9
+    accumulate_dense = dense and not densify_after
 
     def _windows(seqs, lengths, quals):
         if quals is not None:
@@ -188,7 +194,7 @@ def count_file(
                 raise ValueError("quality_cutoff needs FASTQ input with qualities")
             quals = jnp.asarray(batch.quals)
         n_bases += batch.num_bases
-        if dense:
+        if accumulate_dense:
             if dense_limbs is None:
                 dense_limbs = (
                     jnp.zeros(4**k, dtype=jnp.uint32),
@@ -197,7 +203,7 @@ def count_file(
             dense_limbs = _accumulate(*dense_limbs, seqs, lengths, quals)
         else:
             sparse.add(*_keys(seqs, lengths, quals))
-    if dense:
+    if accumulate_dense:
         if dense_limbs is None:
             return n_bases, np.zeros(4**k, np.int64)
         lo, hi = dense_limbs
@@ -205,6 +211,11 @@ def count_file(
             np.asarray(lo).astype(np.int64)
             + (np.asarray(hi).astype(np.int64) << 32)
         )
+    if densify_after:
+        keys, counts = sparse.finish()
+        table = np.zeros(4**k, np.int64)
+        table[keys.astype(np.int64)] = counts
+        return n_bases, table
     keys, counts = sparse.finish()
     if sparse_format == "arrays":
         return n_bases, (keys, counts)
