@@ -10,10 +10,18 @@ from conftest import DATA_DIR, REPO_ROOT
 
 
 def _run(*argv):
+    import os
+
+    # run CLI children on local CPU: drop the axon-TPU registration (the
+    # tunnel's congestion would make these tests flaky-slow) and let the
+    # JAX_PLATFORMS env var take effect
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
     proc = subprocess.run(
         [sys.executable, "-m", "needletail_tpu.cli", *argv],
         capture_output=True,
         cwd=str(REPO_ROOT),
+        env=env,
         timeout=540,
     )
     assert proc.returncode == 0, proc.stderr.decode(errors="replace")

@@ -86,12 +86,14 @@ print(f"{n_bases} {int(spec.sum())}")
 )
 def test_batched_stdin_count(codec):
     """count_file('-') streams batched stdin through every codec."""
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
     proc = subprocess.run(
         [sys.executable, "-c", BATCH_PROG],
         input=codec(b">id1\nAGTCGTCA\n"),
         capture_output=True,
         cwd=str(REPO_ROOT),
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        env=env,
         timeout=300,
     )
     assert proc.returncode == 0, proc.stderr.decode(errors="replace")
