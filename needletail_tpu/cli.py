@@ -72,10 +72,13 @@ def _cmd_count(args) -> int:
 
         if len(ks) > 1:
             raise SystemExit("--sharded takes a single k")
+        if args.bucketed:
+            raise SystemExit("--sharded and --bucketed are mutually exclusive")
         mesh = make_mesh(jax.devices(), data=len(jax.devices()), table=1)
         n_bases, (keys, counts) = sharded_count_file(
             args.path, ks[0], mesh=mesh, batch_size=args.batch_size,
             host_workers=args.host_workers,
+            quality_cutoff=args.quality_cutoff,
         )
         print(
             f"# {n_bases} bases, {int(counts.sum())} canonical {ks[0]}-mers, "
@@ -174,16 +177,16 @@ def _cmd_hash_count(args) -> int:
 
 
 def _cmd_bgzip(args) -> int:
-    from .io.bgzf import write_bgzf
+    from .io.bgzf import write_bgzf_stream
     from .io.compression import open_uncompressed
 
-    # transparently decode any supported codec, then re-block as BGZF
-    # (open_uncompressed chains the sniffed first byte back in front)
+    # transparently decode any supported codec, then re-block as BGZF —
+    # streamed, O(block_size) memory (open_uncompressed chains the
+    # sniffed first byte back in front)
     with open(args.path, "rb") as f:
         stream, _first = open_uncompressed(f)
-        data = stream.read()
-    write_bgzf(data, args.output, block_size=args.block_size)
-    print(f"# {len(data)} bytes -> {args.output}", file=sys.stderr)
+        total = write_bgzf_stream(stream, args.output, block_size=args.block_size)
+    print(f"# {total} bytes -> {args.output}", file=sys.stderr)
     return 0
 
 

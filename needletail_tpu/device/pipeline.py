@@ -138,7 +138,14 @@ def count_file(
         )
     if dense is None:
         dense = k <= _count.MAX_DENSE_K
-    from ..utils.limbs import acc64
+    elif dense and k > _count.MAX_DENSE_K:
+        # fail fast: a dense [4^k] output past MAX_DENSE_K would try to
+        # allocate terabytes after counting the whole file
+        raise ValueError(
+            f"dense output needs k <= {_count.MAX_DENSE_K}, got {k}; "
+            "use dense=False (sparse keys/counts) for larger k"
+        )
+    from ..utils.limbs import acc64, limbs_to_int64_array
 
     n_bases = 0
     # uint32 limb pairs (see utils.limbs): per-batch increments are int32,
@@ -207,10 +214,7 @@ def count_file(
         if dense_limbs is None:
             return n_bases, np.zeros(4**k, np.int64)
         lo, hi = dense_limbs
-        return n_bases, (
-            np.asarray(lo).astype(np.int64)
-            + (np.asarray(hi).astype(np.int64) << 32)
-        )
+        return n_bases, limbs_to_int64_array(lo, hi)
     if densify_after:
         keys, counts = sparse.finish()
         table = np.zeros(4**k, np.int64)
@@ -388,11 +392,10 @@ def multi_k_count_file(
             sparse_accs[k].add(hi, lo)
 
     out: Dict[int, object] = {}
+    from ..utils.limbs import limbs_to_int64_array as _combine
+
     for k in dense_ks:
-        lo, hi = dense_limbs[k]
-        out[k] = np.asarray(lo).astype(np.int64) + (
-            np.asarray(hi).astype(np.int64) << 32
-        )
+        out[k] = _combine(*dense_limbs[k])
     for k in sparse_ks:
         keys, counts = sparse_accs[k].finish()
         out[k] = (
@@ -486,9 +489,9 @@ def hash_count_file(
     tallies = np.asarray(tallies)
     total = limbs_to_int(tallies[0], tallies[1])
     fwd = limbs_to_int(tallies[2], tallies[3])
-    table = np.asarray(table_lo).astype(np.int64) + (
-        np.asarray(table_hi).astype(np.int64) << 32
-    )
+    from ..utils.limbs import limbs_to_int64_array as _combine
+
+    table = _combine(table_lo, table_hi)
     return n_bases, total, fwd, table
 
 

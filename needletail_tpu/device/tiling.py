@@ -131,6 +131,14 @@ def genome_spectrum(
             break
         n_bases += rec.num_bases()
 
+    if dense is None:
+        dense = k <= _count.MAX_DENSE_K
+    elif dense and k > _count.MAX_DENSE_K:
+        raise ValueError(
+            f"dense output needs k <= {_count.MAX_DENSE_K}, got {k}; "
+            "use dense=False for larger k"
+        )
+
     if mesh is not None:
         from ..parallel.exact import ShardedSpectrumAccumulator
 
@@ -140,14 +148,16 @@ def genome_spectrum(
         for tiles, lengths in tiled_batches(path, k, tile_len, batch_tiles):
             acc.add(tiles, lengths)
         keys, counts = acc.finish()
+        if dense:
+            # same return type as the single-device dense run
+            table = np.zeros(4**k, np.int64)
+            table[keys.astype(np.int64)] = counts
+            return n_bases, table
         if sparse_format == "arrays":
             return n_bases, (keys, counts)
         return n_bases, _count.spectrum_arrays_to_dict(keys, counts)
 
     from ..utils.limbs import acc64
-
-    if dense is None:
-        dense = k <= _count.MAX_DENSE_K
     dense_limbs = None  # device-resident uint32 limb pairs (exact past 2^31)
     sparse = _count.SparseSpectrumAccumulator()
     fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
@@ -167,10 +177,9 @@ def genome_spectrum(
         if dense_limbs is None:
             return n_bases, np.zeros(4**k, np.int64)
         lo, hi = dense_limbs
-        return n_bases, (
-            np.asarray(lo).astype(np.int64)
-            + (np.asarray(hi).astype(np.int64) << 32)
-        )
+        from ..utils.limbs import limbs_to_int64_array
+
+        return n_bases, limbs_to_int64_array(lo, hi)
     keys, counts = sparse.finish()
     if sparse_format == "arrays":
         return n_bases, (keys, counts)

@@ -27,6 +27,8 @@ __all__ = [
     "scan_bgzf_blocks",
     "BGZFReader",
     "write_bgzf",
+    "write_bgzf_stream",
+    "MAX_BLOCK_SIZE",
     "BGZF_EOF",
 ]
 
@@ -108,7 +110,15 @@ class BGZFReader(io.RawIOBase):
             # zero-length files cannot be mapped
             self._f.close()
             raise
-        self._blocks = scan_bgzf_blocks(self._mm)
+        try:
+            # raises ValueError on hybrid files (BGZF blocks followed by
+            # ordinary gzip members — legal multi-member gzip); callers
+            # fall back to the streaming decoder
+            self._blocks = scan_bgzf_blocks(self._mm)
+        except ValueError:
+            self._mm.close()
+            self._f.close()
+            raise
         workers = threads or min(os.cpu_count() or 1, 16)
         self._pool = ThreadPoolExecutor(max_workers=workers)
         self._lookahead = max(lookahead, 2 * workers)
@@ -194,29 +204,59 @@ class BGZFReader(io.RawIOBase):
             super().close()
 
 
-def write_bgzf(data: bytes, path, block_size: int = 65280) -> None:
+# largest chunk whose level-0 stored encoding (+26 B of framing and
+# 5 B/16 KiB deflate stored-block headers) still fits the uint16 BSIZE
+MAX_BLOCK_SIZE = 65280
+
+
+def _check_block_size(block_size: int) -> None:
+    if not 1 <= block_size <= MAX_BLOCK_SIZE:
+        raise ValueError(
+            f"block_size must be in [1, {MAX_BLOCK_SIZE}] (BGZF blocks carry "
+            f"their size in a uint16), got {block_size}"
+        )
+
+
+def _write_member(out, chunk: bytes) -> None:
+    comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+    payload = comp.compress(chunk) + comp.flush()
+    bsize = 12 + 6 + len(payload) + 8  # header+extra+deflate+crc/isize
+    if bsize > 65536:  # incompressible chunk: store at level 0
+        comp = zlib.compressobj(0, zlib.DEFLATED, -15)
+        payload = comp.compress(chunk) + comp.flush()
+        bsize = 12 + 6 + len(payload) + 8
+    header = (
+        b"\x1f\x8b\x08\x04"  # magic, deflate, FEXTRA
+        + b"\x00\x00\x00\x00"  # mtime
+        + b"\x00\xff"  # XFL, OS=unknown
+        + struct.pack("<H", 6)  # XLEN
+        + b"BC"
+        + struct.pack("<H", 2)
+        + struct.pack("<H", bsize - 1)
+    )
+    out.write(header)
+    out.write(payload)
+    out.write(struct.pack("<II", zlib.crc32(chunk), len(chunk) & 0xFFFFFFFF))
+
+
+def write_bgzf(data: bytes, path, block_size: int = MAX_BLOCK_SIZE) -> None:
     """Compress ``data`` to ``path`` as BGZF (independent <=64 KiB members
     with BC size subfields + the EOF marker).  bgzip/htslib compatible."""
+    _check_block_size(block_size)
     with open(path, "wb") as out:
         for i in range(0, len(data), block_size):
-            chunk = data[i : i + block_size]
-            comp = zlib.compressobj(6, zlib.DEFLATED, -15)
-            payload = comp.compress(chunk) + comp.flush()
-            bsize = 12 + 6 + len(payload) + 8  # header+extra+deflate+crc/isize
-            if bsize > 65536:  # incompressible chunk: store at level 0
-                comp = zlib.compressobj(0, zlib.DEFLATED, -15)
-                payload = comp.compress(chunk) + comp.flush()
-                bsize = 12 + 6 + len(payload) + 8
-            header = (
-                b"\x1f\x8b\x08\x04"  # magic, deflate, FEXTRA
-                + b"\x00\x00\x00\x00"  # mtime
-                + b"\x00\xff"  # XFL, OS=unknown
-                + struct.pack("<H", 6)  # XLEN
-                + b"BC"
-                + struct.pack("<H", 2)
-                + struct.pack("<H", bsize - 1)
-            )
-            out.write(header)
-            out.write(payload)
-            out.write(struct.pack("<II", zlib.crc32(chunk), len(chunk) & 0xFFFFFFFF))
+            _write_member(out, data[i : i + block_size])
         out.write(BGZF_EOF)
+
+
+def write_bgzf_stream(src, path, block_size: int = MAX_BLOCK_SIZE) -> int:
+    """Recompress a readable stream to BGZF with O(block_size) memory;
+    returns the number of uncompressed bytes consumed."""
+    _check_block_size(block_size)
+    total = 0
+    with open(path, "wb") as out:
+        while chunk := src.read(block_size):
+            _write_member(out, chunk)
+            total += len(chunk)
+        out.write(BGZF_EOF)
+    return total

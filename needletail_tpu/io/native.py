@@ -70,11 +70,25 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _tried = True
         if os.environ.get("NEEDLETAIL_TPU_NO_NATIVE"):
             return None
-        so = _wheel_library()
-        if so is None:
-            if not _build():
-                return None
-            so = _SO
+        candidates = []
+        wheel = _wheel_library()
+        if wheel is not None:
+            candidates.append(wheel)
+        if _build():
+            candidates.append(_SO)
+        for so in candidates:
+            lib = _bind(so)
+            if lib is not None:
+                _lib = lib
+                return _lib
+        return None
+
+
+def _bind(so: Path) -> Optional[ctypes.CDLL]:
+    """Load + bind the C ABI; None if the library is stale (e.g. an
+    editable-install .so compiled before new symbols were added — callers
+    then try the freshly-built csrc library or degrade to pure Python)."""
+    try:
         lib = ctypes.CDLL(str(so))
         i64 = ctypes.c_int64
         u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -96,8 +110,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.nt_pack_ids.argtypes = [u8p, i64p, i64, i64, i64, u8p]
         lib.nt_fasta_max_len.restype = i64
         lib.nt_fasta_max_len.argtypes = [u8p, i64p, i64]
-        _lib = lib
-        return _lib
+        return lib
+    except (OSError, AttributeError):
+        return None
 
 
 def available() -> bool:

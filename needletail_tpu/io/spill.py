@@ -51,9 +51,15 @@ def decompress_to_spill(
     if codec is None:
         raise ValueError(f"{path} is not compressed; no spill needed")
 
+    reader = None
     if codec == "gzip" and is_bgzf(path):
-        reader = BGZFReader(path, threads=threads)
-    else:
+        try:
+            reader = BGZFReader(path, threads=threads)
+        except ValueError:
+            # hybrid file: BGZF blocks followed by ordinary gzip members
+            # (legal multi-member gzip) — fall back to streaming decode
+            reader = None
+    if reader is None:
         reader = wrap_decompressor(codec, open(path, "rb"))
 
     fd, spill_path = tempfile.mkstemp(

@@ -170,8 +170,8 @@ class ShardedSpectrumAccumulator:
         b, l = seqs.shape
         if b % self._n_data:
             raise ValueError(
-                f"batch rows {b} must divide the data axis {self._n_data} "
-                "(pad with Batch.pad_reads_to)"
+                f"batch rows {b} must be divisible by the data axis "
+                f"({self._n_data}); pad with ReadBatch.pad_reads_to"
             )
         if l < self._k:
             return
@@ -245,27 +245,35 @@ def sharded_count_file(
     shard_lanes: int = DEFAULT_SHARD_LANES,
     host_workers: Optional[int] = None,
     spill_dir: Optional[str] = None,
+    quality_cutoff: Optional[int] = None,
+    phred_offset: int = 33,
 ) -> Tuple[int, Tuple[np.ndarray, np.ndarray]]:
     """Exact (keys_u64, counts) spectrum of a FASTX file over a data mesh.
 
     The multi-chip twin of ``device.pipeline.count_file``'s sparse path:
-    same framer, same key semantics, per-chip sorts, host merge.  Returns
-    ``(n_bases, (keys, counts))`` with keys ascending.  Input front as in
+    same framer, same key semantics (including ``quality_cutoff``
+    masking), per-chip sorts, host merge.  Returns ``(n_bases,
+    (keys, counts))`` with keys ascending.  Input front as in
     ``count_file``: auto-sized framing workers + transparent spill decode.
+    ``batch_size`` rounds up to a multiple of the data axis.
     """
     from ..device.pipeline import _make_batch_source
 
+    n_data = _require_data_mesh(mesh)
+    batch_size = -(-batch_size // n_data) * n_data
     acc = ShardedSpectrumAccumulator(
         mesh,
         k,
         canonical=canonical,
         normalized=normalized,
         shard_lanes=shard_lanes,
+        quality_cutoff=quality_cutoff,
+        phred_offset=phred_offset,
     )
     n_bases = 0
     batches, _ = _make_batch_source(
         path, batch_size, max_len, host_workers,
-        with_quals=False, spill_dir=spill_dir,
+        with_quals=quality_cutoff is not None, spill_dir=spill_dir,
     )
     for batch in batches:
         n_bases += batch.num_bases
@@ -276,5 +284,7 @@ def sharded_count_file(
             if batch.num_reads == batch_size
             else batch.pad_reads_to(batch_size)
         )
-        acc.add(b.seqs, b.lengths)
+        if quality_cutoff is not None and b.quals is None:
+            raise ValueError("quality_cutoff needs FASTQ input with qualities")
+        acc.add(b.seqs, b.lengths, b.quals if quality_cutoff is not None else None)
     return n_bases, acc.finish()

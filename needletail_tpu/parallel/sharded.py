@@ -111,11 +111,9 @@ def _limb_table_to_int64(lo, hi) -> "np.ndarray":
 
     Syncs device→host; only valid when the limbs are addressable (single
     process, or after a gather in multi-process jobs)."""
-    import numpy as np
+    from ..utils.limbs import limbs_to_int64_array
 
-    return np.asarray(lo).astype(np.int64) + (
-        np.asarray(hi).astype(np.int64) << 32
-    )
+    return limbs_to_int64_array(lo, hi)
 
 
 @jax.tree_util.register_dataclass

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["acc64", "limbs_to_int"]
+__all__ = ["acc64", "limbs_to_int", "limbs_to_int64_array"]
 
 
 def acc64(lo: jax.Array, hi: jax.Array, inc: jax.Array):
@@ -23,3 +23,13 @@ def acc64(lo: jax.Array, hi: jax.Array, inc: jax.Array):
 
 def limbs_to_int(lo, hi) -> int:
     return int(lo) + (int(hi) << 32)
+
+
+def limbs_to_int64_array(lo, hi):
+    """Combine uint32 limb-pair arrays into one int64 numpy array (syncs
+    device→host; limbs must be addressable)."""
+    import numpy as np
+
+    return np.asarray(lo).astype(np.int64) + (
+        np.asarray(hi).astype(np.int64) << 32
+    )

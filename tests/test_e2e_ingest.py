@@ -376,3 +376,104 @@ class TestSharedMemoryTransport:
                     str(corpus["plain"]), workers=2, shared_mem=True
                 )
             )
+
+
+class TestReviewFixes:
+    """Round-2 self-review regressions."""
+
+    def test_hybrid_bgzf_gzip_spill_falls_back(self, corpus, tmp_path):
+        """BGZF blocks followed by an ordinary gzip member is legal
+        multi-member gzip; the spill path must stream-decode it."""
+        hybrid = tmp_path / "hybrid.fq.gz"
+        # strip the BGZF EOF marker, append a plain gzip member
+        from needletail_tpu.io.bgzf import BGZF_EOF
+
+        bg = corpus["bgzf"].read_bytes()
+        assert bg.endswith(BGZF_EOF)
+        extra = b"@x\nACGT\n+\nIIII\n"
+        hybrid.write_bytes(bg[: -len(BGZF_EOF)] + gzip.compress(extra))
+        assert gzip.decompress(hybrid.read_bytes()) == corpus["src"] + extra
+
+        from needletail_tpu.io.spill import decompress_to_spill
+
+        p = decompress_to_spill(hybrid, threads=2)
+        try:
+            assert open(p, "rb").read() == corpus["src"] + extra
+        finally:
+            os.unlink(p)
+
+    def test_bgzf_reader_rejects_hybrid_without_leak(self, corpus, tmp_path):
+        from needletail_tpu.io.bgzf import BGZF_EOF, BGZFReader
+
+        bg = corpus["bgzf"].read_bytes()
+        p = tmp_path / "h.gz"
+        p.write_bytes(bg[: -len(BGZF_EOF)] + gzip.compress(b"x"))
+        with pytest.raises(ValueError):
+            BGZFReader(p)
+
+    def test_dense_large_k_fails_fast(self, corpus):
+        from needletail_tpu.device.pipeline import count_file
+
+        with pytest.raises(ValueError, match="dense"):
+            count_file(corpus["plain"], k=21, dense=True)
+
+    def test_write_bgzf_block_size_limit(self, tmp_path):
+        from needletail_tpu.io.bgzf import MAX_BLOCK_SIZE, write_bgzf
+
+        with pytest.raises(ValueError, match="block_size"):
+            write_bgzf(b"x" * 100, tmp_path / "a.gz", block_size=65536)
+        assert MAX_BLOCK_SIZE == 65280
+
+    def test_write_bgzf_stream_roundtrip(self, corpus, tmp_path):
+        import io as _io
+
+        from needletail_tpu.io.bgzf import write_bgzf_stream
+
+        p = tmp_path / "s.bgz"
+        n = write_bgzf_stream(_io.BytesIO(corpus["src"]), p, block_size=40_000)
+        assert n == len(corpus["src"])
+        assert gzip.decompress(p.read_bytes()) == corpus["src"]
+
+    def test_sharded_count_file_rounds_batch_size(self, corpus):
+        import jax
+
+        from needletail_tpu.parallel import make_mesh, sharded_count_file
+
+        mesh = make_mesh(data=8, table=1)
+        # 100 is not a multiple of 8; must be rounded up, not crash
+        n_bases, (keys, counts) = sharded_count_file(
+            str(corpus["plain"]), 9, mesh=mesh, batch_size=100,
+            shard_lanes=1 << 15,
+        )
+        assert n_bases == 1_000_000
+
+    def test_sharded_count_file_quality_cutoff(self, corpus):
+        from needletail_tpu.device.pipeline import count_file
+        from needletail_tpu.parallel import make_mesh, sharded_count_file
+
+        mesh = make_mesh(data=8, table=1)
+        _, (ks, cs) = sharded_count_file(
+            str(corpus["plain"]), 15, mesh=mesh, batch_size=256,
+            quality_cutoff=20, shard_lanes=1 << 15,
+        )
+        _, (rk, rc) = count_file(
+            str(corpus["plain"]), k=15, dense=False, sparse_format="arrays",
+            quality_cutoff=20, batch_size=256, host_workers=1,
+        )
+        assert np.array_equal(ks, rk) and np.array_equal(cs, rc)
+
+    def test_genome_spectrum_mesh_dense(self, tmp_path):
+        from needletail_tpu.device.tiling import genome_spectrum
+        from needletail_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(9)
+        seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 5000))
+        p = tmp_path / "g.fa"
+        p.write_bytes(b">g\n" + seq + b"\n")
+        single = genome_spectrum(str(p), k=6, tile_len=512, batch_tiles=8)
+        mesh = make_mesh(data=8, table=1)
+        sharded = genome_spectrum(
+            str(p), k=6, tile_len=512, batch_tiles=8, mesh=mesh
+        )
+        assert isinstance(sharded[1], np.ndarray)
+        assert np.array_equal(single[1], sharded[1])

@@ -128,7 +128,7 @@ def test_rejects_bad_mesh():
 
 def test_rejects_indivisible_rows(mesh):
     acc = ShardedSpectrumAccumulator(mesh, k=4, shard_lanes=1 << 12)
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="divisible"):
         acc.add(np.full((3, 8), 65, np.uint8), np.full(3, 8, np.int32))
 
 
