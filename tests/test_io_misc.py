@@ -58,3 +58,17 @@ def test_count_file_rejects_bucketed_with_workers(tmp_path):
     p.write_bytes(b">r\nACGTACGT\n")
     with pytest.raises(ValueError, match="mutually exclusive"):
         count_file(str(p), k=4, bucketed=True, host_workers=2)
+
+
+def test_lazy_ids_pickle_roundtrip():
+    """LazyIds travels worker->consumer queues as its packed blob."""
+    import pickle
+
+    from needletail_tpu.batch import LazyIds
+
+    ids = LazyIds(b"alpha x\nbeta\n\ngamma\n")
+    clone = pickle.loads(pickle.dumps(ids))
+    assert list(clone) == [b"alpha x", b"beta", b"", b"gamma"]
+    assert clone == ids
+    empty = pickle.loads(pickle.dumps(LazyIds(b"")))
+    assert len(empty) == 0 and empty == []
