@@ -33,7 +33,7 @@ def device_feed(
     from the source iterator or ``place`` re-raise in the consumer.
     Abandoning the generator (break / GC) stops the feeder promptly.
     """
-    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
     stop = threading.Event()
     _DONE, _ERR, _ITEM = 0, 1, 2
 
@@ -49,6 +49,8 @@ def device_feed(
     def worker() -> None:
         try:
             for b in batches:
+                if stop.is_set():
+                    return
                 if not _put((_ITEM, place(b))):
                     return
             _put((_DONE, None))
@@ -67,10 +69,15 @@ def device_feed(
             yield payload
     finally:
         stop.set()
-        # drain so a feeder blocked on put() can observe stop and exit
-        try:
-            while True:
-                q.get_nowait()
-        except queue.Empty:
-            pass
-        t.join(timeout=5.0)
+        # keep draining while joining: a feeder that won its put() race
+        # just before stop can enqueue one more item; repeated drains keep
+        # the queue empty so it observes stop on the next put attempt
+        deadline = 300  # 0.2 s steps: bounded wait for a mid-place() feeder
+        while t.is_alive() and deadline > 0:
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=0.2)
+            deadline -= 1

@@ -60,7 +60,8 @@ def _worker(
                 n = writer.write(seg, b)
                 # planes travel by segment id; only ids (compact LazyIds
                 # blobs) and the descriptor go through the pickle queue
-                q.put((_BATCH, (seg, n, b.ids if with_ids else [])))
+                q.put((_BATCH, (seg, n, b.ids if with_ids else [],
+                                b.quals is not None)))
             else:
                 q.put((_BATCH, (b.seqs, b.lengths, b.quals, b.ids)))
         q.put((_DONE, None))
@@ -104,7 +105,12 @@ def _rebase_error(path, exc, range_start: int):
         or exc.position.line is None
     ):
         return exc
-    lines_before = _count_newlines_before(path, range_start)
+    try:
+        lines_before = _count_newlines_before(path, range_start)
+    except OSError:
+        # the input vanished/became unreadable mid-error: surface the
+        # worker's original (range-relative) error rather than masking it
+        return exc
     from ..errors import ErrorPosition
 
     return ParseError(
@@ -144,7 +150,8 @@ def parallel_read_batches(
     """
     from .fast_batch import fast_read_batches
 
-    if workers <= 1:
+    if workers <= 1 or str(path) == "-":
+        # stdin cannot be range-split: stream it single-process
         yield from fast_read_batches(
             str(path), batch_size=batch_size, max_len=max_len,
             with_quals=with_quals, with_ids=with_ids,
@@ -153,8 +160,12 @@ def parallel_read_batches(
 
     from .compression import sniff_compression
 
-    with open(path, "rb") as f:
-        magic = f.read(2)
+    try:
+        with open(path, "rb") as f:
+            magic = f.read(2)
+    except OSError as exc:
+        # same taxonomy as the single-stream reader (ParseError(Io))
+        raise ParseError.from_io(exc) from exc
     if len(magic) == 2 and sniff_compression(magic):
         raise ValueError(
             "byte-range framing needs an uncompressed file; use "
@@ -224,12 +235,14 @@ def parallel_read_batches(
                 error = _rebase_error(str(path), exc, range_start)
                 break
             elif pool is not None:
-                seg, n, ids = payload
+                seg, n, ids, has_quals = payload
                 seqs, quals, lengths = pool.views(seg, n)
                 batch = ReadBatch(
                     seqs=seqs.copy(),
                     lengths=lengths.copy(),
-                    quals=None if quals is None else quals.copy(),
+                    # has_quals preserves pickle-path parity: FASTA input
+                    # yields quals=None, never a fabricated zero plane
+                    quals=quals.copy() if (has_quals and quals is not None) else None,
                     ids=ids,
                 )
                 # no views survive the copy: drop them before recycling so

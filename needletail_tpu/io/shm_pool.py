@@ -45,10 +45,17 @@ class SharedBatchPool:
         self.max_len = max_len
         self.with_quals = with_quals
         size = _segment_layout(rows, max_len, with_quals)
-        self._shms: List[shared_memory.SharedMemory] = [
-            shared_memory.SharedMemory(create=True, size=size)
-            for _ in range(segments)
-        ]
+        self._shms: List[shared_memory.SharedMemory] = []
+        try:
+            for _ in range(segments):
+                self._shms.append(
+                    shared_memory.SharedMemory(create=True, size=size)
+                )
+        except BaseException:
+            # mid-creation failure (e.g. /dev/shm ENOSPC): release what
+            # was already created instead of leaking it until process exit
+            self.close()
+            raise
         self.names = [s.name for s in self._shms]
 
     def views(
@@ -108,16 +115,14 @@ class SharedBatchWriter:
         if batch.max_len < self.max_len:
             seqs[:n, batch.max_len :] = 0
         off = plane
-        if self.with_quals:
+        if self.with_quals and batch.quals is not None:
             quals = np.frombuffer(buf, np.uint8, plane, offset=off).reshape(
                 self.rows, self.max_len
             )
-            if batch.quals is not None:
-                quals[:n, : batch.max_len] = batch.quals
-                if batch.max_len < self.max_len:
-                    quals[:n, batch.max_len :] = 0
-            else:
-                quals[:n] = 0
+            quals[:n, : batch.max_len] = batch.quals
+            if batch.max_len < self.max_len:
+                quals[:n, batch.max_len :] = 0
+        if self.with_quals:
             off += plane
         lengths = np.frombuffer(buf, np.int32, self.rows, offset=off)
         lengths[:n] = batch.lengths

@@ -477,3 +477,24 @@ class TestReviewFixes:
         )
         assert isinstance(sharded[1], np.ndarray)
         assert np.array_equal(single[1], sharded[1])
+
+    def test_fasta_through_shm_has_no_fabricated_quals(self, tmp_path):
+        from needletail_tpu.io.parallel_host import parallel_read_batches
+
+        p = tmp_path / "many.fa"
+        p.write_bytes(b"".join(b">r%d\nACGTACGT\n" % i for i in range(3000)))
+        for b in parallel_read_batches(
+            str(p), workers=2, batch_size=256, max_len=64
+        ):
+            assert b.quals is None
+
+    def test_missing_file_raises_parse_error_with_workers(self):
+        from needletail_tpu.errors import ParseError
+        from needletail_tpu.io.parallel_host import parallel_read_batches
+
+        with pytest.raises(ParseError):
+            list(parallel_read_batches("/nonexistent/x.fq", workers=2))
+
+    def test_device_feed_depth_zero_still_bounded(self):
+        out = list(device_feed(range(50), lambda x: x, depth=0))
+        assert out == list(range(50))
