@@ -264,21 +264,41 @@ def _make_batch_source(
     spill_dir: Optional[str] = None,
 ):
     """Shared e2e input front: auto-sized multi-worker framing with
-    transparent parallel decompression.
+    opt-in parallel decompression.
 
-    ``host_workers=None`` auto-sizes from the CPU count; compressed input
-    with >1 worker spills to an uncompressed temp file first (BGZF decodes
-    block-parallel, other codecs stream) so byte-range framing applies.
-    Returns a generator; the spill file (if any) is removed when the
-    generator is exhausted or closed.
+    ``host_workers=None`` auto-sizes from the CPU count for plain files.
+    Compressed input streams single-process with bounded memory by default;
+    decode-to-spill (a FULL uncompressed temp copy, enabling byte-range
+    workers — BGZF decodes block-parallel, other codecs serially) engages
+    only when the caller opts in with an explicit ``host_workers > 1`` or a
+    ``spill_dir``.  A spill target without room for the estimated
+    decompressed size degrades to streaming with a warning instead of
+    filling the disk.  Returns a generator; the spill file (if any) is
+    removed when the generator is exhausted or closed.
     """
     from ..io.compression import sniff_compression
     from ..io.parallel_host import auto_host_workers, parallel_read_batches
 
+    compressed = False
+    if str(path) != "-":
+        try:
+            with open(path, "rb") as f:
+                magic = f.read(2)
+            compressed = len(magic) == 2 and sniff_compression(magic) is not None
+        except OSError:
+            pass  # let the framer surface the error with its taxonomy
+    spill_opt_in = spill_dir is not None or (
+        host_workers is not None and host_workers > 1
+    )
     if host_workers is None:
         host_workers = auto_host_workers()
     if str(path) == "-":
         host_workers = 1  # stdin cannot be range-split; stream it
+    if compressed and not spill_opt_in:
+        # ADVICE r2: auto-sized workers must not silently decode a whole
+        # .gz to temp disk/RAM; compressed input streams unless the caller
+        # explicitly opted into the spill trade-off
+        host_workers = 1
     if host_workers <= 1:
         return read_batches(
             path, batch_size=batch_size, max_len=max_len,
@@ -286,9 +306,25 @@ def _make_batch_source(
         ), host_workers
 
     def gen():
-        from ..io.spill import spilled_input
+        from ..io.spill import SpillSpaceError, spilled_input
 
-        with spilled_input(path, dir=spill_dir, threads=host_workers) as plain:
+        spill = spilled_input(path, dir=spill_dir, threads=host_workers)
+        try:
+            plain = spill.__enter__()
+        except SpillSpaceError as exc:
+            import warnings
+
+            warnings.warn(
+                f"falling back to single-stream framing: {exc}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            yield from read_batches(
+                path, batch_size=batch_size, max_len=max_len,
+                with_quals=with_quals, prefetch=True,
+            )
+            return
+        try:
             yield from parallel_read_batches(
                 plain,
                 workers=host_workers,
@@ -296,6 +332,8 @@ def _make_batch_source(
                 max_len=max_len,
                 with_quals=with_quals,
             )
+        finally:
+            spill.__exit__(None, None, None)
 
     return gen(), host_workers
 
@@ -428,9 +466,11 @@ def hash_count_file(
     skewed hash distributions.
 
     The e2e input front (``host_workers=None`` = one framing process per
-    spare core; compressed input spills through parallel/streamed decode;
-    ``double_buffer`` frames + uploads the next batch while the device
-    runs) exists because one framing core cannot feed a chip.
+    spare core for plain files; compressed input streams single-process
+    unless an explicit ``host_workers>1``/``spill_dir`` opts into
+    decode-to-spill; ``double_buffer`` frames + uploads the next batch
+    while the device runs) exists because one framing core cannot feed a
+    chip.
     """
     import jax
 

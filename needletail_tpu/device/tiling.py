@@ -142,6 +142,11 @@ def genome_spectrum(
     if mesh is not None:
         from ..parallel.exact import ShardedSpectrumAccumulator
 
+        # round the tile-batch rows up to the data axis (extra rows are
+        # zero tiles whose windows are all invalid — exact no-ops), so any
+        # mesh size works without the caller reasoning about divisibility
+        n_data = mesh.shape["data"]
+        batch_tiles = -(-batch_tiles // n_data) * n_data
         acc = ShardedSpectrumAccumulator(
             mesh, k, canonical=canonical, normalized=normalized
         )

@@ -124,10 +124,17 @@ class _MmapWindow:
     def close(self) -> None:
         # views into the map keep it alive via refcounts; numpy arrays from
         # np.frombuffer hold the mmap object, so an explicit close is only
-        # safe once iteration is done — the batchers never call it early
+        # safe once iteration is done — the driving generators close in a
+        # finally after the batcher finishes (or is abandoned)
         try:
             self._arr = None
-            self._mm.close()
+            try:
+                self._mm.close()
+            except BufferError:
+                # a live view still exports the buffer (e.g. generator
+                # abandoned mid-chunk): the map frees when views collect,
+                # but the fd below closes now
+                pass
         finally:
             self._f.close()
 
@@ -628,25 +635,30 @@ def fast_read_batches_range(
             stream = None
     if stream is None:
         stream = RangeStream(path, start, end)
-    if first == b"@" and native.available():
-        yield from _FastqBatcher(stream, batch_size, max_len, with_quals, with_ids)
-    elif first == b">" and native.available():
-        yield from _FastaBatcher(stream, batch_size, max_len, with_ids)
-    elif first == b">":
-        yield from BatchReader(
-            FastaReader(stream), batch_size=batch_size, max_len=max_len,
-            keep_ids=with_ids,
-        )
-    elif first == b"@":
-        yield from _strip_quals_unless(
-            BatchReader(
-                FastqReader(stream), batch_size=batch_size, max_len=max_len,
+    try:
+        if first == b"@" and native.available():
+            yield from _FastqBatcher(stream, batch_size, max_len, with_quals, with_ids)
+        elif first == b">" and native.available():
+            yield from _FastaBatcher(stream, batch_size, max_len, with_ids)
+        elif first == b">":
+            yield from BatchReader(
+                FastaReader(stream), batch_size=batch_size, max_len=max_len,
                 keep_ids=with_ids,
-            ),
-            with_quals,
-        )
-    else:
-        raise ParseError.new_unknown_format(first[0] if first else 0)
+            )
+        elif first == b"@":
+            yield from _strip_quals_unless(
+                BatchReader(
+                    FastqReader(stream), batch_size=batch_size, max_len=max_len,
+                    keep_ids=with_ids,
+                ),
+                with_quals,
+            )
+        else:
+            raise ParseError.new_unknown_format(first[0] if first else 0)
+    finally:
+        # release the fd + mapping deterministically (safe: every yielded
+        # plane is a copy into batch arrays, never a view of the map)
+        stream.close()
 
 
 def fast_read_batches(
@@ -712,12 +724,15 @@ def fast_read_batches(
             win = None
         if win is not None:
             handle.close()
-            if magic[:1] == b"@":
-                yield from _FastqBatcher(
-                    win, batch_size, max_len, with_quals, with_ids
-                )
-            else:
-                yield from _FastaBatcher(win, batch_size, max_len, with_ids)
+            try:
+                if magic[:1] == b"@":
+                    yield from _FastqBatcher(
+                        win, batch_size, max_len, with_quals, with_ids
+                    )
+                else:
+                    yield from _FastaBatcher(win, batch_size, max_len, with_ids)
+            finally:
+                win.close()  # ADVICE r2: don't leave fd+map to the GC
             return
     stream, first_byte = open_uncompressed(handle)
     if prefetch and len(magic) == 2 and sniff_compression(magic):

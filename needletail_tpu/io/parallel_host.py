@@ -215,14 +215,26 @@ def parallel_read_batches(
     try:
         while live:
             try:
-                kind, payload = q.get(timeout=10.0)
+                kind, payload = q.get(timeout=1.0)
             except _queue.Empty:
                 # watchdog: a worker killed without its sentinel (OOM,
                 # segfault in native code) must not wedge the consumer
                 dead = [p for p in procs if p.exitcode not in (None, 0)]
                 if dead:
+                    hint = ""
+                    if dead[0].exitcode == 1:
+                        # the classic spawn-bootstrap failure: an unguarded
+                        # caller script re-executes itself in the child
+                        hint = (
+                            " (the framing pool uses the 'spawn' start "
+                            "method, which re-imports the calling script — "
+                            "if this happened at startup, guard your entry "
+                            "point with `if __name__ == \"__main__\":` or "
+                            "pass host_workers=1)"
+                        )
                     error = RuntimeError(
-                        f"framing worker died with exit code {dead[0].exitcode}"
+                        "framing worker died with exit code "
+                        f"{dead[0].exitcode}{hint}"
                     )
                     break
                 if all(p.exitcode is not None for p in procs) and q.empty():

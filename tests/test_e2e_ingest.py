@@ -498,3 +498,65 @@ class TestReviewFixes:
     def test_device_feed_depth_zero_still_bounded(self):
         out = list(device_feed(range(50), lambda x: x, depth=0))
         assert out == list(range(50))
+
+
+class TestSpillRails:
+    """Round-3 spill safety rails: free-space estimate, graceful fallback,
+    and the ADVICE-r2 contract that compressed input streams unless the
+    caller opts into decode-to-spill."""
+
+    def test_estimate_gzip_isize(self, corpus):
+        from needletail_tpu.io.spill import estimate_decompressed_size
+
+        assert estimate_decompressed_size(corpus["gz"]) >= len(corpus["src"])
+
+    def test_space_check_raises(self, corpus, monkeypatch):
+        import needletail_tpu.io.spill as spill_mod
+
+        class DU:
+            free = 1000
+
+        monkeypatch.setattr(spill_mod.shutil, "disk_usage", lambda p: DU)
+        with pytest.raises(spill_mod.SpillSpaceError):
+            spill_mod.decompress_to_spill(corpus["gz"])
+
+    def test_driver_falls_back_to_streaming(self, corpus, monkeypatch):
+        import needletail_tpu.io.spill as spill_mod
+        from needletail_tpu.device.pipeline import _make_batch_source
+
+        class DU:
+            free = 1000
+
+        monkeypatch.setattr(spill_mod.shutil, "disk_usage", lambda p: DU)
+        with pytest.warns(RuntimeWarning, match="single-stream"):
+            gen, _ = _make_batch_source(
+                str(corpus["gz"]), 512, 128, 2, False
+            )
+            total = sum(b.num_bases for b in gen)
+        assert total == 250_000 * 4
+
+    def test_compressed_auto_streams_without_spill(self, corpus, monkeypatch):
+        # host_workers=None on compressed input must NOT decode-to-spill
+        # (ADVICE r2): it streams single-process with bounded memory
+        import needletail_tpu.io.parallel_host as ph
+        import needletail_tpu.io.spill as spill_mod
+        from needletail_tpu.device.pipeline import _make_batch_source
+
+        monkeypatch.setattr(ph, "auto_host_workers", lambda: 8)
+
+        def _boom(*a, **k):  # any spill attempt is a test failure
+            raise AssertionError("auto workers spilled compressed input")
+
+        monkeypatch.setattr(spill_mod, "decompress_to_spill", _boom)
+        gen, workers = _make_batch_source(
+            str(corpus["gz"]), 512, 128, None, False
+        )
+        assert workers == 1
+        assert sum(b.num_bases for b in gen) == 250_000 * 4
+
+    def test_explicit_workers_still_spill(self, corpus):
+        from needletail_tpu.device.pipeline import _make_batch_source
+
+        gen, workers = _make_batch_source(str(corpus["gz"]), 512, 128, 2, False)
+        assert workers == 2
+        assert sum(b.num_bases for b in gen) == 250_000 * 4

@@ -144,3 +144,27 @@ def test_genome_spectrum_mesh_matches_single_device(tmp_path):
     assert single[0] == sharded[0]
     assert np.array_equal(single[1][0], sharded[1][0])
     assert np.array_equal(single[1][1], sharded[1][1])
+
+
+def test_genome_spectrum_mesh_rounds_batch_tiles(tmp_path):
+    """ADVICE r2: batch_tiles that don't divide the data axis round up
+    internally (extra zero tiles are exact no-ops)."""
+    from needletail_tpu.device.tiling import genome_spectrum
+    from needletail_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(5)
+    seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 9_000))
+    p = tmp_path / "g.fa"
+    p.write_bytes(b">g\n" + seq + b"\n")
+    single = genome_spectrum(
+        str(p), k=15, tile_len=1024, batch_tiles=3,
+        dense=False, sparse_format="arrays",
+    )
+    mesh = make_mesh(data=8, table=1)
+    sharded = genome_spectrum(
+        str(p), k=15, tile_len=1024, batch_tiles=3,
+        sparse_format="arrays", mesh=mesh,
+    )
+    assert single[0] == sharded[0]
+    assert np.array_equal(single[1][0], sharded[1][0])
+    assert np.array_equal(single[1][1], sharded[1][1])
