@@ -22,7 +22,13 @@ import numpy as np
 
 from .parser import FastxReader, SequenceRecord, parse_fastx_file
 
-__all__ = ["ReadBatch", "BatchReader", "read_batches", "LazyIds"]
+__all__ = [
+    "ReadBatch",
+    "PackedReadBatch",
+    "BatchReader",
+    "read_batches",
+    "LazyIds",
+]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -175,6 +181,88 @@ class ReadBatch:
             quals = np.zeros((n, self.max_len), dtype=np.uint8)
             quals[: self.num_reads] = self.quals
         return ReadBatch(seqs=seqs, lengths=lengths, quals=quals, ids=list(self.ids))
+
+
+@dataclass
+class PackedReadBatch:
+    """A fixed-shape batch in the 2-bit packed transport format.
+
+    ``codes``: uint8 [B, L/4] — 4 bases/byte, base j at bits ``2*(j&3)`` of
+    byte ``j>>2`` (see ``needletail_tpu.encoding`` for the full layout and
+    LUT contract).  ``vbits``: uint8 [B, L/8] validity bitplane, or None
+    when every in-length base is a real base (the clean-read fast path).
+    ``normalized`` records which encode LUT packed the batch.
+
+    This is what ships host->device on the packed counting paths: 0.25-0.375
+    bytes/base instead of 1 (+1 for quals) — the VERDICT r2 #1 transfer
+    lever.  Quality planes are never packed (packed transport targets the
+    counting pipelines, which don't read them).
+    """
+
+    codes: np.ndarray
+    lengths: np.ndarray
+    vbits: Optional[np.ndarray] = None
+    ids: List[bytes] = field(default_factory=list)
+    normalized: bool = True
+
+    @property
+    def num_reads(self) -> int:
+        return int(self.codes.shape[0])
+
+    @property
+    def max_len(self) -> int:
+        return int(self.codes.shape[1]) * 4
+
+    @property
+    def num_bases(self) -> int:
+        return int(self.lengths.sum())
+
+    @property
+    def quals(self):  # counting-path duck-typing with ReadBatch
+        return None
+
+    @classmethod
+    def from_read_batch(
+        cls, batch: ReadBatch, normalized: bool = True
+    ) -> "PackedReadBatch":
+        """Pack an ASCII batch (numpy fallback / test oracle path)."""
+        from .encoding import pack_codes_host
+
+        codes, vbits = pack_codes_host(
+            batch.seqs, batch.lengths, normalized=normalized
+        )
+        return cls(
+            codes=codes,
+            lengths=batch.lengths,
+            vbits=vbits,
+            ids=batch.ids,
+            normalized=normalized,
+        )
+
+    def unpack_host(self) -> np.ndarray:
+        """Per-base codes [B, L] uint8 (255 invalid) on host — for tests."""
+        from .encoding import unpack_codes_host
+
+        return unpack_codes_host(self.codes, self.vbits)
+
+    def pad_reads_to(self, n: int) -> "PackedReadBatch":
+        """Zero-pad the read dimension up to ``n`` (for even sharding)."""
+        if n < self.num_reads:
+            raise ValueError(f"cannot shrink batch {self.num_reads} -> {n}")
+        if n == self.num_reads:
+            return self
+        codes = np.zeros((n, self.codes.shape[1]), dtype=np.uint8)
+        codes[: self.num_reads] = self.codes
+        lengths = np.zeros(n, dtype=np.int32)
+        lengths[: self.num_reads] = self.lengths
+        vbits = None
+        if self.vbits is not None:
+            vbits = np.zeros((n, self.vbits.shape[1]), dtype=np.uint8)
+            vbits[: self.num_reads] = self.vbits
+        return PackedReadBatch(
+            codes=codes, lengths=lengths, vbits=vbits, ids=list(self.ids),
+            normalized=self.normalized,
+        )
 
 
 class BatchReader:

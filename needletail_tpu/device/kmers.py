@@ -70,14 +70,25 @@ def window_validity(codes: jax.Array, lengths: jax.Array, k: int) -> jax.Array:
     return valid & in_bounds
 
 
-@partial(jax.jit, static_argnames=("k", "normalized"))
+@partial(jax.jit, static_argnames=("k", "normalized", "precoded"))
 def pack_kmers(
-    seqs: jax.Array, lengths: jax.Array, k: int, normalized: bool = True
+    seqs: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    normalized: bool = True,
+    precoded: bool = False,
 ) -> KmerWindows:
-    """Forward-strand packed windows for every position (no canonicalization)."""
+    """Forward-strand packed windows for every position (no canonicalization).
+
+    ``precoded=True``: ``seqs`` already holds 2-bit codes (0-3, 255 invalid
+    — e.g. ``ops.unpack_codes`` output from the packed transport); the
+    encode step is skipped.
+    """
     if not 1 <= k <= 31:
         raise ValueError(f"k must be in [1, 31], got {k}")
-    codes = encode_2bit(seqs, normalized=normalized).astype(jnp.uint32)
+    codes = (
+        seqs if precoded else encode_2bit(seqs, normalized=normalized)
+    ).astype(jnp.uint32)
     b, l = codes.shape
     if l < k:
         raise ValueError(f"batch max_len {l} shorter than k={k}")
@@ -97,16 +108,25 @@ def pack_kmers(
     return KmerWindows(hi=hi, lo=lo, valid=valid, was_rc=jnp.zeros_like(valid))
 
 
-@partial(jax.jit, static_argnames=("k", "normalized"))
+@partial(jax.jit, static_argnames=("k", "normalized", "precoded"))
 def canonical_kmers(
-    seqs: jax.Array, lengths: jax.Array, k: int, normalized: bool = True
+    seqs: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    normalized: bool = True,
+    precoded: bool = False,
 ) -> KmerWindows:
     """Canonical packed windows: integer-min of forward and reverse
     complement; ties keep forward (bitkmer semantics, ref bitkmer.rs:136-143).
+
+    ``precoded=True``: ``seqs`` holds 2-bit codes already (see
+    :func:`pack_kmers`).
     """
     if not 1 <= k <= 31:
         raise ValueError(f"k must be in [1, 31], got {k}")
-    codes = encode_2bit(seqs, normalized=normalized).astype(jnp.uint32)
+    codes = (
+        seqs if precoded else encode_2bit(seqs, normalized=normalized)
+    ).astype(jnp.uint32)
     b, l = codes.shape
     if l < k:
         raise ValueError(f"batch max_len {l} shorter than k={k}")

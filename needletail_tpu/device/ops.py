@@ -10,14 +10,17 @@ mask — compaction on fixed shapes is a host-side concern.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .. import sequence as _hostseq
-from ..bitkmer import NUC2BIT_LUT
+
+# the encode tables live host-side (shared with the C framer's packed
+# fills and the numpy packer); re-exported here for compatibility
+from ..encoding import ENCODE_NORMALIZED_LUT, ENCODE_RAW_LUT
 
 __all__ = [
     "normalize",
@@ -26,33 +29,12 @@ __all__ = [
     "quality_mask",
     "decode_phred",
     "encode_2bit",
+    "unpack_codes",
     "ENCODE_RAW_LUT",
     "ENCODE_NORMALIZED_LUT",
 ]
 
 _INVALID = 255
-
-
-def _norm_byte_lut(iupac: bool) -> np.ndarray:
-    byte_map, _ = _hostseq.normalize_luts(iupac)
-    return byte_map
-
-
-def _build_encode_norm_lut() -> np.ndarray:
-    """2-bit encode composed with strict normalization: byte -> normalize ->
-    NUC2BIT.  This makes the device pipeline equal to the reference's
-    ``normalize(false)`` + ``bit_kmers`` composition (U/u count as T)."""
-    norm = _norm_byte_lut(iupac=False)
-    out = np.full(256, _INVALID, dtype=np.uint8)
-    for b in range(256):
-        nb = norm[b]
-        if nb != 0:  # 0 = dropped (whitespace) -> invalid on device
-            out[b] = NUC2BIT_LUT[nb]
-    return out
-
-
-ENCODE_RAW_LUT = NUC2BIT_LUT.copy()
-ENCODE_NORMALIZED_LUT = _build_encode_norm_lut()
 
 
 @partial(jax.jit, static_argnames=("iupac",))
@@ -106,6 +88,33 @@ def decode_phred(quals: jax.Array, offset: int = 33) -> Tuple[jax.Array, jax.Arr
     offset are flagged instead of raising (ref quality.rs:15-28)."""
     ok = quals >= offset
     return (quals - jnp.uint8(offset)) * ok.astype(jnp.uint8), ok
+
+
+@jax.jit
+def unpack_codes(codes: jax.Array, vbits: Optional[jax.Array]) -> jax.Array:
+    """Packed transport planes -> per-base 2-bit codes [B, L] (255 invalid).
+
+    ``codes``: uint8 [B, L/4] (base j at bits ``2*(j&3)`` of byte ``j>>2``);
+    ``vbits``: uint8 [B, L/8] validity bitplane or None (= all valid — the
+    clean-read fast path skips the whole validity unpack).  The output is
+    exactly what ``encode_2bit`` produces on the original ASCII bytes, so
+    every downstream kernel (ladders, Pallas tally, sharded steps) consumes
+    it unchanged via their ``precoded`` path.
+
+    The interleave rides one [B, L/4, 4] stack + reshape — a single fused
+    HBM pass under XLA; at 0.25 B/base in, this is noise next to the 4x
+    host->device transfer saving (VERDICT r2 #1).
+    """
+    b, lq = codes.shape
+    c = codes.astype(jnp.uint8)
+    parts = [(c >> jnp.uint8(2 * j)) & jnp.uint8(3) for j in range(4)]
+    out = jnp.stack(parts, axis=-1).reshape(b, lq * 4)
+    if vbits is not None:
+        v = vbits.astype(jnp.uint8)
+        vparts = [(v >> jnp.uint8(j)) & jnp.uint8(1) for j in range(8)]
+        valid = jnp.stack(vparts, axis=-1).reshape(b, lq * 4)
+        out = jnp.where(valid != 0, out, jnp.uint8(_INVALID))
+    return out
 
 
 @partial(jax.jit, static_argnames=("normalized",))

@@ -31,6 +31,7 @@ from . import _ladder
 __all__ = [
     "canonical_hash_tally",
     "canonical_hash_keys",
+    "canonical_hash_keys_packed",
     "canonical_windows_pallas",
     "mxu_histogram16",
 ]
@@ -118,14 +119,21 @@ def _tally_body(
     table_mask: int,
     c1: int,
     c2: int,
+    encoded: bool = False,
 ):
     """Shared tally computation: (hash, valid, use_rc) for every window.
 
     Window packing rides the shared power-of-two doubling ladders
     (``device._ladder``, one source of truth with the XLA path); only the
     roll primitive differs (``pltpu.roll`` over VMEM lanes here).
+    ``encoded=True``: the seq plane already holds 2-bit codes (packed
+    transport, unpacked by XLA just before the kernel) — skip the
+    byte-compare encode.
     """
-    codes = _encode_codes(seq_ref[:], normalized)  # [BR, L] uint32
+    if encoded:
+        codes = seq_ref[:].astype(jnp.uint32)  # 0-3, 255 invalid
+    else:
+        codes = _encode_codes(seq_ref[:], normalized)  # [BR, L] uint32
     br, l = codes.shape
 
     roll = lambda x, j: _roll_left(x, j, l)
@@ -181,6 +189,7 @@ def _run_tally(
     table_bits: int,
     normalized: bool,
     block_rows: Optional[int],
+    encoded: bool = False,
 ):
     """Shared launch logic for the fused tally kernels: k validation, VMEM
     block sizing + internal row padding, grid/spec construction.  Returns
@@ -201,6 +210,7 @@ def _run_tally(
         table_mask=(1 << table_bits) - 1,
         c1=0x9E3779B1,
         c2=0x85EBCA77,
+        encoded=encoded,
     )
     plane_spec = pl.BlockSpec(
         (block_rows, l), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -275,6 +285,33 @@ def canonical_hash_keys(
     """
     return _run_tally(
         _keys_kernel, 1, seqs, lengths, k, table_bits, normalized, block_rows
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "table_bits", "block_rows"))
+def canonical_hash_keys_packed(
+    codes: jax.Array,
+    vbits: Optional[jax.Array],
+    lengths: jax.Array,
+    k: int,
+    table_bits: int = 20,
+    block_rows: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """:func:`canonical_hash_keys` over the packed transport format.
+
+    ``codes`` [B, L/4] uint8 + optional ``vbits`` [B, L/8] validity plane
+    (see ``needletail_tpu.encoding``) unpack to per-base codes in one fused
+    XLA pass, then the tally kernel runs with its encode stage skipped.
+    The normalization mode was already applied at pack time (host LUT), so
+    results equal ``canonical_hash_keys(ascii, ..., normalized=<pack mode>)``
+    bit-for-bit while host->device transfer drops 4x.
+    """
+    from .ops import unpack_codes
+
+    seqs = unpack_codes(codes, vbits)
+    return _run_tally(
+        _keys_kernel, 1, seqs, lengths, k, table_bits, True, block_rows,
+        encoded=True,
     )
 
 

@@ -91,6 +91,7 @@ def count_file(
     phred_offset: int = 33,
     host_workers: Optional[int] = None,
     spill_dir: Optional[str] = None,
+    packed: Optional[bool] = None,
 ) -> Tuple[int, Union[np.ndarray, Dict[int, int], Tuple[np.ndarray, np.ndarray]]]:
     """Stream a FASTX file through the device k-mer counter.
 
@@ -109,6 +110,10 @@ def count_file(
     'N' before counting (FASTQ only) — the reference's ``quality_mask`` →
     count composition (ref sequence.rs:280-308), fused into the same
     compiled program via the window validity mask.
+
+    ``packed=None`` auto-selects the 2-bit packed transport (4x fewer
+    host->device bytes) whenever the batch doesn't need quality planes or
+    bucketed shapes; results are bit-identical either way.
     """
     if isinstance(k, (tuple, list, set, frozenset)):
         # single-pass multi-k: count_file(path, k=(4, 21, 31)) shares the
@@ -130,6 +135,7 @@ def count_file(
             phred_offset=phred_offset,
             host_workers=host_workers,
             spill_dir=spill_dir,
+            packed=packed,
         )
     if bucketed and host_workers is not None and host_workers > 1:
         raise ValueError(
@@ -147,6 +153,16 @@ def count_file(
         )
     from ..utils.limbs import acc64, limbs_to_int64_array
 
+    if packed is None:
+        # auto: packed transport whenever quality planes / bucketed shapes
+        # aren't in play (both need the ASCII path)
+        packed = quality_cutoff is None and not bucketed
+    elif packed and (quality_cutoff is not None or bucketed):
+        raise ValueError(
+            "packed transport carries no quality planes and no bucketed "
+            "shapes; drop packed=True or the conflicting option"
+        )
+
     n_bases = 0
     # uint32 limb pairs (see utils.limbs): per-batch increments are int32,
     # the running table is exact to 2^64 per bin (the reference counts in
@@ -160,7 +176,11 @@ def count_file(
     densify_after = dense and k > 9
     accumulate_dense = dense and not densify_after
 
-    def _windows(seqs, lengths, quals):
+    def _windows(seqs, lengths, quals, vbits):
+        if packed:
+            from .ops import unpack_codes
+
+            seqs = unpack_codes(seqs, vbits)
         if quals is not None:
             from .ops import quality_mask
 
@@ -168,16 +188,16 @@ def count_file(
                 seqs, quals, jnp.int32(phred_offset + quality_cutoff)
             )
         fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
-        return fn(seqs, lengths, k, normalized=normalized)
+        return fn(seqs, lengths, k, normalized=normalized, precoded=packed)
 
     @partial(jax.jit, donate_argnums=(0, 1), static_argnums=())
-    def _accumulate(table_lo, table_hi, seqs, lengths, quals):
-        spec = _count.dense_spectrum(_windows(seqs, lengths, quals), k)
+    def _accumulate(table_lo, table_hi, seqs, lengths, quals, vbits):
+        spec = _count.dense_spectrum(_windows(seqs, lengths, quals, vbits), k)
         return acc64(table_lo, table_hi, spec)
 
     @jax.jit
-    def _keys(seqs, lengths, quals):
-        return _count.mask_keys(_windows(seqs, lengths, quals))
+    def _keys(seqs, lengths, quals, vbits):
+        return _count.mask_keys(_windows(seqs, lengths, quals, vbits))
 
     if bucketed:
         from ..io.bucketed import bucketed_read_batches
@@ -187,13 +207,21 @@ def count_file(
         batches, _ = _make_batch_source(
             path, batch_size, max_len, host_workers,
             with_quals=quality_cutoff is not None, spill_dir=spill_dir,
+            packed=packed, normalized=normalized,
         )
     for batch in batches:
         if batch.max_len < k:
             # no window fits; bases still count
             n_bases += batch.num_bases
             continue
-        seqs = jnp.asarray(batch.seqs)
+        if packed:
+            seqs = jnp.asarray(batch.codes)
+            vbits = (
+                jnp.asarray(batch.vbits) if batch.vbits is not None else None
+            )
+        else:
+            seqs = jnp.asarray(batch.seqs)
+            vbits = None
         lengths = jnp.asarray(batch.lengths)
         quals = None
         if quality_cutoff is not None:
@@ -207,9 +235,9 @@ def count_file(
                     jnp.zeros(4**k, dtype=jnp.uint32),
                     jnp.zeros(4**k, dtype=jnp.uint32),
                 )
-            dense_limbs = _accumulate(*dense_limbs, seqs, lengths, quals)
+            dense_limbs = _accumulate(*dense_limbs, seqs, lengths, quals, vbits)
         else:
-            sparse.add(*_keys(seqs, lengths, quals))
+            sparse.add(*_keys(seqs, lengths, quals, vbits))
     if accumulate_dense:
         if dense_limbs is None:
             return n_bases, np.zeros(4**k, np.int64)
@@ -262,6 +290,8 @@ def _make_batch_source(
     host_workers: Optional[int],
     with_quals: bool,
     spill_dir: Optional[str] = None,
+    packed: bool = False,
+    normalized: bool = True,
 ):
     """Shared e2e input front: auto-sized multi-worker framing with
     opt-in parallel decompression.
@@ -303,6 +333,7 @@ def _make_batch_source(
         return read_batches(
             path, batch_size=batch_size, max_len=max_len,
             with_quals=with_quals, prefetch=True,
+            packed=packed, normalized=normalized,
         ), host_workers
 
     def gen():
@@ -322,6 +353,7 @@ def _make_batch_source(
             yield from read_batches(
                 path, batch_size=batch_size, max_len=max_len,
                 with_quals=with_quals, prefetch=True,
+                packed=packed, normalized=normalized,
             )
             return
         try:
@@ -331,6 +363,8 @@ def _make_batch_source(
                 batch_size=batch_size,
                 max_len=max_len,
                 with_quals=with_quals,
+                packed=packed,
+                normalized=normalized,
             )
         finally:
             spill.__exit__(None, None, None)
@@ -350,6 +384,7 @@ def multi_k_count_file(
     phred_offset: int = 33,
     host_workers: Optional[int] = None,
     spill_dir: Optional[str] = None,
+    packed: Optional[bool] = None,
 ) -> Tuple[int, Dict[int, Union[np.ndarray, Dict[int, int], Tuple[np.ndarray, np.ndarray]]]]:
     """Count several k values in ONE pass over the file (the north-star
     "canonical 4..31-mer counting" shape, BASELINE.json).
@@ -372,6 +407,11 @@ def multi_k_count_file(
             raise ValueError(f"every k must be in [1, 31], got {k}")
     from ..utils.limbs import acc64
 
+    if packed is None:
+        packed = quality_cutoff is None
+    elif packed and quality_cutoff is not None:
+        raise ValueError("packed transport carries no quality planes")
+
     dense_ks = tuple(k for k in ks if k <= _count.MAX_DENSE_K)
     sparse_ks = tuple(k for k in ks if k > _count.MAX_DENSE_K)
 
@@ -383,10 +423,15 @@ def multi_k_count_file(
                 seqs, quals, jnp.int32(phred_offset + (quality_cutoff or 0))
             )
         fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
-        return fn(seqs, lengths, k, normalized=normalized)
+        return fn(seqs, lengths, k, normalized=normalized, precoded=packed)
 
     @partial(jax.jit, donate_argnums=(0,), static_argnames=("active",))
-    def _step(dense_limbs, seqs, lengths, quals, active):
+    def _step(dense_limbs, seqs, lengths, quals, vbits, active):
+        if packed:
+            from .ops import unpack_codes
+
+            # one unpack shared by every k (XLA CSEs the common prefix)
+            seqs = unpack_codes(seqs, vbits)
         new_dense = dict(dense_limbs)
         sparse_keys = {}
         for k in active:
@@ -407,6 +452,7 @@ def multi_k_count_file(
     batches, _ = _make_batch_source(
         path, batch_size, max_len, host_workers,
         with_quals=quality_cutoff is not None, spill_dir=spill_dir,
+        packed=packed, normalized=normalized,
     )
     for batch in batches:
         n_bases += batch.num_bases
@@ -419,11 +465,20 @@ def multi_k_count_file(
             if batch.quals is None:
                 raise ValueError("quality_cutoff needs FASTQ input with qualities")
             quals = jnp.asarray(batch.quals)
+        if packed:
+            plane = jnp.asarray(batch.codes)
+            vbits = (
+                jnp.asarray(batch.vbits) if batch.vbits is not None else None
+            )
+        else:
+            plane = jnp.asarray(batch.seqs)
+            vbits = None
         dense_limbs, sparse_keys = _step(
             dense_limbs,
-            jnp.asarray(batch.seqs),
+            plane,
             jnp.asarray(batch.lengths),
             quals,
+            vbits,
             active,
         )
         for k, (hi, lo) in sparse_keys.items():
@@ -454,6 +509,7 @@ def hash_count_file(
     host_workers: Optional[int] = None,
     spill_dir: Optional[str] = None,
     double_buffer: bool = True,
+    packed: bool = True,
 ) -> Tuple[int, int, int, np.ndarray]:
     """Stream a FASTX file through the fused Pallas hash-counting pipeline
     (the headline bench path): canonical k-mer extraction -> -1-masked hash
@@ -465,6 +521,11 @@ def hash_count_file(
     accumulate on device as uint32 limb pairs, exact past 2^31 even for
     skewed hash distributions.
 
+    ``packed=True`` (default) ships batches in the 2-bit packed transport
+    format — the framer packs codes host-side under the ``normalized``
+    LUT, host->device transfer drops 4x (VERDICT r2 #1), and the Pallas
+    kernel skips its encode stage.  Results are bit-identical either way.
+
     The e2e input front (``host_workers=None`` = one framing process per
     spare core for plain files; compressed input streams single-process
     unless an explicit ``host_workers>1``/``spill_dir`` opts into
@@ -474,7 +535,11 @@ def hash_count_file(
     """
     import jax
 
-    from .pallas_kernels import canonical_hash_keys, mxu_histogram16
+    from .pallas_kernels import (
+        canonical_hash_keys,
+        canonical_hash_keys_packed,
+        mxu_histogram16,
+    )
 
     if table_bits > 16:
         raise ValueError("the MXU histogram shard is 2^16 bins; table_bits <= 16")
@@ -482,10 +547,15 @@ def hash_count_file(
     from ..utils.limbs import acc64, limbs_to_int
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step(table_lo, table_hi, tallies, seqs, lengths):
-        keys, t, f = canonical_hash_keys(
-            seqs, lengths, k, table_bits=table_bits, normalized=normalized
-        )
+    def step(table_lo, table_hi, tallies, seqs, lengths, vbits):
+        if packed:
+            keys, t, f = canonical_hash_keys_packed(
+                seqs, vbits, lengths, k, table_bits=table_bits
+            )
+        else:
+            keys, t, f = canonical_hash_keys(
+                seqs, lengths, k, table_bits=table_bits, normalized=normalized
+            )
         t_lo, t_hi = acc64(tallies[0], tallies[1], t)
         f_lo, f_hi = acc64(tallies[2], tallies[3], f)
         inc = mxu_histogram16(keys, None)[: 1 << table_bits]
@@ -501,17 +571,26 @@ def hash_count_file(
         # the hash pipeline never reads qualities; don't ship them
         # through the worker IPC queue
         with_quals=False, spill_dir=spill_dir,
+        packed=packed, normalized=normalized,
     )
 
     def _place(batch):
         if batch.max_len < k:
-            return batch.num_bases, None, None
+            return batch.num_bases, None, None, None
         b = (
             batch
             if batch.num_reads == batch_size
             else batch.pad_reads_to(batch_size)
         )
-        return batch.num_bases, jnp.asarray(b.seqs), jnp.asarray(b.lengths)
+        if packed:
+            vb = getattr(b, "vbits", None)
+            return (
+                batch.num_bases,
+                jnp.asarray(b.codes),
+                jnp.asarray(b.lengths),
+                jnp.asarray(vb) if vb is not None else None,
+            )
+        return batch.num_bases, jnp.asarray(b.seqs), jnp.asarray(b.lengths), None
 
     if double_buffer:
         from ..io.feed import device_feed
@@ -519,12 +598,12 @@ def hash_count_file(
         placed = device_feed(batches, _place)
     else:
         placed = (_place(b) for b in batches)
-    for nb, seqs, lengths in placed:
+    for nb, seqs, lengths, vbits in placed:
         n_bases += nb
         if seqs is None:
             continue
         table_lo, table_hi, tallies = step(
-            table_lo, table_hi, tallies, seqs, lengths
+            table_lo, table_hi, tallies, seqs, lengths, vbits
         )
     tallies = np.asarray(tallies)
     total = limbs_to_int(tallies[0], tallies[1])

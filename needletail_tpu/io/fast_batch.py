@@ -231,26 +231,96 @@ def _record_error(buf: np.ndarray, start: int, err: int, base_line: int) -> Pars
 
 
 class _FastqBatcher:
-    """Stream -> padded batches using the native scanner."""
+    """Stream -> padded batches using the native scanner.
+
+    ``packed=True`` switches the fill stage to the C packed fills: the
+    primary plane holds 2-bit codes [bs, max_len/4], the secondary plane
+    the validity bitplane [bs, max_len/8] (dropped at yield when the batch
+    had no ambiguous base), and batches come out as ``PackedReadBatch``
+    (quality planes are not carried — packed transport is for the counting
+    paths).  See ``needletail_tpu.encoding`` for the layout contract.
+    """
 
     def __init__(
         self, source, batch_size: int, max_len: Optional[int], with_quals: bool,
-        with_ids: bool = False,
+        with_ids: bool = False, packed: bool = False, normalized: bool = True,
     ):
+        if packed and with_quals:
+            raise ValueError("packed transport does not carry quality planes")
         self._win = _as_window(source)
         self._bs = batch_size
         self._max_len = max_len
         self._auto = max_len is None  # widen instead of erroring on overflow
         self._with_quals = with_quals
         self._with_ids = with_ids
+        self._packed = packed
+        self._normalized = normalized
+        if packed:
+            from ..encoding import encode_lut
+
+            self._lut = np.ascontiguousarray(encode_lut(normalized))
+        self._dirty = 0  # invalid bases packed into the current batch
         self._count_base = 0  # records scanned in prior chunks (line accounting)
 
     def _alloc(self):
         ml = self._max_len
-        seqs = np.zeros((self._bs, ml), dtype=np.uint8)
-        quals = np.zeros((self._bs, ml), dtype=np.uint8) if self._with_quals else None
+        if self._packed:
+            seqs = np.zeros((self._bs, ml // 4), dtype=np.uint8)
+            quals = np.zeros((self._bs, ml // 8), dtype=np.uint8)  # vbits
+            self._dirty = 0
+        else:
+            seqs = np.zeros((self._bs, ml), dtype=np.uint8)
+            quals = (
+                np.zeros((self._bs, ml), dtype=np.uint8)
+                if self._with_quals
+                else None
+            )
         lengths = np.zeros(self._bs, dtype=np.int32)
         return seqs, quals, lengths
+
+    def _emit(self, seqs, quals, lengths, ids, n: Optional[int] = None):
+        """Seal the current planes into the right batch type."""
+        if n is not None:
+            seqs = seqs[:n]
+            lengths = lengths[:n]
+            if quals is not None:
+                quals = quals[:n]
+        if self._packed:
+            from ..batch import PackedReadBatch
+
+            return PackedReadBatch(
+                codes=seqs,
+                lengths=lengths,
+                vbits=quals if self._dirty else None,
+                ids=_take_ids(ids),
+                normalized=self._normalized,
+            )
+        return ReadBatch(
+            seqs=seqs, lengths=lengths, quals=quals, ids=_take_ids(ids)
+        )
+
+    def _fill(self, pending, chunk_recs, seqs_rows, quals_rows, len_rows):
+        """Dispatch to the ASCII memcpy fill or the packed 2-bit fill."""
+        if self._packed:
+            overflow, n_invalid = native.fill_fastq_batch_packed(
+                pending, chunk_recs, self._lut, seqs_rows, quals_rows,
+                len_rows, self._max_len,
+            )
+            self._dirty += n_invalid
+            return overflow
+        return native.fill_fastq_batch(
+            pending, chunk_recs, seqs_rows, quals_rows, len_rows
+        )
+
+    def _widen_planes(self, seqs, quals):
+        if self._packed:
+            seqs = _widen(seqs, self._max_len // 4)
+            quals = _widen(quals, self._max_len // 8)
+        else:
+            seqs = _widen(seqs, self._max_len)
+            if quals is not None:
+                quals = _widen(quals, self._max_len)
+        return seqs, quals
 
     def __iter__(self) -> Iterator[ReadBatch]:
         # window provider: stream windows memmove leftovers to the front;
@@ -282,9 +352,7 @@ class _FastqBatcher:
                 # erroring like the explicit-max_len contract does
                 self._max_len = _round128(longest)
                 if seqs is not None:
-                    seqs = _widen(seqs, self._max_len)
-                    if quals is not None:
-                        quals = _widen(quals, self._max_len)
+                    seqs, quals = self._widen_planes(seqs, quals)
 
             # fill rows, possibly spanning multiple output batches
             idx = 0
@@ -294,7 +362,7 @@ class _FastqBatcher:
                     fill = 0
                 take = min(n - idx, self._bs - fill)
                 chunk_recs = np.ascontiguousarray(recs[idx : idx + take])
-                overflow = native.fill_fastq_batch(
+                overflow = self._fill(
                     pending,
                     chunk_recs,
                     seqs[fill : fill + take],
@@ -311,7 +379,7 @@ class _FastqBatcher:
                 fill += take
                 idx += take
                 if fill == self._bs:
-                    yield ReadBatch(seqs=seqs, lengths=lengths, quals=quals, ids=_take_ids(ids))
+                    yield self._emit(seqs, quals, lengths, ids)
                     seqs = quals = lengths = None
                     ids = _new_ids(self._with_ids)
                     fill = 0
@@ -321,10 +389,7 @@ class _FastqBatcher:
                 # delivers them one-by-one before raising), then raise with
                 # the reference line accounting: 4 lines per prior record
                 if seqs is not None and fill > 0:
-                    yield ReadBatch(
-                        seqs=seqs[:fill], lengths=lengths[:fill],
-                        quals=quals[:fill] if quals is not None else None, ids=_take_ids(ids),
-                    )
+                    yield self._emit(seqs, quals, lengths, ids, n=fill)
                     seqs = quals = lengths = None
                     ids = _new_ids(self._with_ids)
                 base_line = 1 + 4 * (self._count_base + n)
@@ -344,11 +409,7 @@ class _FastqBatcher:
                     row = self._handle_tail(tail_arr)
                 except ParseError:
                     if seqs is not None and fill > 0:
-                        yield ReadBatch(
-                            seqs=seqs[:fill], lengths=lengths[:fill],
-                            quals=quals[:fill] if quals is not None else None,
-                            ids=_take_ids(ids),
-                        )
+                        yield self._emit(seqs, quals, lengths, ids, n=fill)
                         seqs = quals = lengths = None
                         ids = _new_ids(self._with_ids)
                     raise
@@ -367,21 +428,24 @@ class _FastqBatcher:
                                 f"final read exceeds max_len={self._max_len}"
                             )
                         self._max_len = _round128(len(sb))
-                        seqs = _widen(seqs, self._max_len)
+                        seqs, quals = self._widen_planes(seqs, quals)
+                    if self._packed:
+                        self._dirty += native.pack_row(
+                            np.frombuffer(sb, dtype=np.uint8),
+                            self._lut,
+                            seqs[fill],
+                            quals[fill],
+                        )
+                    else:
+                        seqs[fill, : len(sb)] = np.frombuffer(sb, dtype=np.uint8)
                         if quals is not None:
-                            quals = _widen(quals, self._max_len)
-                    seqs[fill, : len(sb)] = np.frombuffer(sb, dtype=np.uint8)
-                    if quals is not None:
-                        quals[fill, : len(qb)] = np.frombuffer(qb, dtype=np.uint8)
+                            quals[fill, : len(qb)] = np.frombuffer(qb, dtype=np.uint8)
                     lengths[fill] = len(sb)
                     fill += 1
             break
 
         if seqs is not None and fill > 0:
-            yield ReadBatch(
-                seqs=seqs[:fill], lengths=lengths[:fill],
-                quals=quals[:fill] if quals is not None else None, ids=_take_ids(ids),
-            )
+            yield self._emit(seqs, quals, lengths, ids, n=fill)
 
     def _handle_tail(self, tail_arr: np.ndarray):
         """check_end semantics (ref fastq.rs:337-356) for the final bytes."""
@@ -426,19 +490,68 @@ class _FastaBatcher:
 
     def __init__(
         self, source, batch_size: int, max_len: Optional[int],
-        with_ids: bool = False,
+        with_ids: bool = False, packed: bool = False, normalized: bool = True,
     ):
         self._win = _as_window(source)
         self._bs = batch_size
         self._max_len = max_len
         self._auto = max_len is None  # widen instead of erroring on overflow
         self._with_ids = with_ids
+        self._packed = packed
+        self._normalized = normalized
+        if packed:
+            from ..encoding import encode_lut
+
+            self._lut = np.ascontiguousarray(encode_lut(normalized))
+        self._dirty = 0
+        self._vbits = None  # packed mode's validity plane
         self._lines_done = 0
 
     def _alloc(self):
-        seqs = np.zeros((self._bs, self._max_len), dtype=np.uint8)
+        if self._packed:
+            seqs = np.zeros((self._bs, self._max_len // 4), dtype=np.uint8)
+            self._vbits = np.zeros((self._bs, self._max_len // 8), dtype=np.uint8)
+            self._dirty = 0
+        else:
+            seqs = np.zeros((self._bs, self._max_len), dtype=np.uint8)
         lengths = np.zeros(self._bs, dtype=np.int32)
         return seqs, lengths
+
+    def _emit(self, seqs, lengths, ids, n: Optional[int] = None):
+        if n is not None:
+            seqs = seqs[:n]
+            lengths = lengths[:n]
+        if self._packed:
+            from ..batch import PackedReadBatch
+
+            vbits = self._vbits if self._dirty else None
+            if vbits is not None and n is not None:
+                vbits = vbits[:n]
+            self._vbits = None
+            return PackedReadBatch(
+                codes=seqs, lengths=lengths, vbits=vbits,
+                ids=_take_ids(ids), normalized=self._normalized,
+            )
+        return ReadBatch(
+            seqs=seqs, lengths=lengths, quals=None, ids=_take_ids(ids)
+        )
+
+    def _fill(self, pending, chunk_recs, seqs_rows, vbits_rows, len_rows):
+        if self._packed:
+            overflow, n_invalid = native.fill_fasta_batch_packed(
+                pending, chunk_recs, self._lut, seqs_rows, vbits_rows,
+                len_rows, self._max_len,
+            )
+            self._dirty += n_invalid
+            return overflow
+        return native.fill_fasta_batch(pending, chunk_recs, seqs_rows, len_rows)
+
+    def _widen_planes(self, seqs):
+        if self._packed:
+            if self._vbits is not None:
+                self._vbits = _widen(self._vbits, self._max_len // 8)
+            return _widen(seqs, self._max_len // 4)
+        return _widen(seqs, self._max_len)
 
     def __iter__(self) -> Iterator[ReadBatch]:
         win = self._win
@@ -474,7 +587,7 @@ class _FastaBatcher:
                 # auto mode: widen for longer records in later chunks
                 self._max_len = _round128(longest)
                 if seqs is not None:
-                    seqs = _widen(seqs, self._max_len)
+                    seqs = self._widen_planes(seqs)
 
             idx = 0
             while idx < n:
@@ -483,8 +596,9 @@ class _FastaBatcher:
                     fill = 0
                 take = min(n - idx, self._bs - fill)
                 chunk_recs = np.ascontiguousarray(recs[idx : idx + take])
-                overflow = native.fill_fasta_batch(
+                overflow = self._fill(
                     pending, chunk_recs, seqs[fill : fill + take],
+                    self._vbits[fill : fill + take] if self._packed else None,
                     lengths[fill : fill + take],
                 )
                 if overflow:
@@ -498,7 +612,7 @@ class _FastaBatcher:
                 fill += take
                 idx += take
                 if fill == self._bs:
-                    yield ReadBatch(seqs=seqs, lengths=lengths, quals=None, ids=_take_ids(ids))
+                    yield self._emit(seqs, lengths, ids)
                     seqs = lengths = None
                     ids = _new_ids(self._with_ids)
                     fill = 0
@@ -530,20 +644,26 @@ class _FastaBatcher:
                                     f"final record exceeds max_len={self._max_len}"
                                 )
                             self._max_len = _round128(len(s))
-                            seqs = _widen(seqs, self._max_len)
-                        seqs[fill, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+                            seqs = self._widen_planes(seqs)
+                        if self._packed:
+                            self._dirty += native.pack_row(
+                                np.frombuffer(s, dtype=np.uint8),
+                                self._lut,
+                                seqs[fill],
+                                self._vbits[fill],
+                            )
+                        else:
+                            seqs[fill, : len(s)] = np.frombuffer(s, dtype=np.uint8)
                         lengths[fill] = len(s)
                         fill += 1
                         if fill == self._bs:
-                            yield ReadBatch(seqs=seqs, lengths=lengths,
-                                            quals=None, ids=_take_ids(ids))
+                            yield self._emit(seqs, lengths, ids)
                             seqs = lengths = None
                             ids = _new_ids(self._with_ids)
                             fill = 0
                 except ParseError as exc:
                     if seqs is not None and fill > 0:
-                        yield ReadBatch(seqs=seqs[:fill], lengths=lengths[:fill],
-                                        quals=None, ids=_take_ids(ids))
+                        yield self._emit(seqs, lengths, ids, n=fill)
                         seqs = lengths = None
                         ids = _new_ids(self._with_ids)
                     raise ParseError(
@@ -558,10 +678,7 @@ class _FastaBatcher:
             break
 
         if seqs is not None and fill > 0:
-            yield ReadBatch(
-                seqs=seqs[:fill], lengths=lengths[:fill], quals=None,
-                ids=_take_ids(ids),
-            )
+            yield self._emit(seqs, lengths, ids, n=fill)
 
 
 def _strip_quals_unless(batches, with_quals: bool):
@@ -571,6 +688,21 @@ def _strip_quals_unless(batches, with_quals: bool):
         if not with_quals:
             b.quals = None
         yield b
+
+
+def _pack_fallback(batches, normalized: bool):
+    """Numpy-pack ASCII batches (the no-native-framer packed path)."""
+    from ..batch import PackedReadBatch
+
+    for b in batches:
+        yield PackedReadBatch.from_read_batch(b, normalized=normalized)
+
+
+def _check_packed_max_len(packed: bool, max_len: Optional[int]) -> None:
+    if packed and max_len is not None and max_len % 8:
+        raise ValueError(
+            f"packed transport needs max_len divisible by 8, got {max_len}"
+        )
 
 
 class RangeStream(io.RawIOBase):
@@ -614,9 +746,18 @@ def fast_read_batches_range(
     max_len: Optional[int] = None,
     with_quals: bool = True,
     with_ids: bool = False,
+    packed: bool = False,
+    normalized: bool = True,
 ) -> Iterator[ReadBatch]:
     """Native-framer batches over one record-aligned byte range of an
-    UNCOMPRESSED file (compressed streams cannot be range-split)."""
+    UNCOMPRESSED file (compressed streams cannot be range-split).
+
+    ``packed=True`` yields ``PackedReadBatch``es (2-bit codes + validity
+    bitplane, no quality plane) packed by the C framer — the transport
+    format of the counting pipelines."""
+    _check_packed_max_len(packed, max_len)
+    if packed:
+        with_quals = False
     try:
         with open(path, "rb") as f:
             magic = f.read(2)
@@ -637,22 +778,30 @@ def fast_read_batches_range(
         stream = RangeStream(path, start, end)
     try:
         if first == b"@" and native.available():
-            yield from _FastqBatcher(stream, batch_size, max_len, with_quals, with_ids)
+            yield from _FastqBatcher(
+                stream, batch_size, max_len, with_quals, with_ids,
+                packed=packed, normalized=normalized,
+            )
         elif first == b">" and native.available():
-            yield from _FastaBatcher(stream, batch_size, max_len, with_ids)
+            yield from _FastaBatcher(
+                stream, batch_size, max_len, with_ids,
+                packed=packed, normalized=normalized,
+            )
         elif first == b">":
-            yield from BatchReader(
+            batches = BatchReader(
                 FastaReader(stream), batch_size=batch_size, max_len=max_len,
                 keep_ids=with_ids,
             )
+            yield from _pack_fallback(batches, normalized) if packed else batches
         elif first == b"@":
-            yield from _strip_quals_unless(
+            batches = _strip_quals_unless(
                 BatchReader(
                     FastqReader(stream), batch_size=batch_size, max_len=max_len,
                     keep_ids=with_ids,
                 ),
                 with_quals,
             )
+            yield from _pack_fallback(batches, normalized) if packed else batches
         else:
             raise ParseError.new_unknown_format(first[0] if first else 0)
     finally:
@@ -668,6 +817,8 @@ def fast_read_batches(
     with_quals: bool = True,
     prefetch: bool = False,
     with_ids: bool = False,
+    packed: bool = False,
+    normalized: bool = True,
 ) -> Iterator[ReadBatch]:
     """Stream a FASTX file as padded batches at native-framer speed.
 
@@ -678,7 +829,36 @@ def fast_read_batches(
     available; otherwise the pure-Python ``BatchReader`` produces the same
     output.  ``with_ids=True`` carries raw header bytes per read (opt-in:
     id extraction costs per-record Python work).
+
+    ``packed=True`` yields ``PackedReadBatch``es — 2-bit codes + validity
+    bitplane packed by the C framer under the ``normalized`` encode LUT,
+    0.25-0.375 B/base on the host->device wire instead of 1 (quality
+    planes are never carried; see ``needletail_tpu.encoding``).
     """
+    _check_packed_max_len(packed, max_len)
+    if packed:
+        with_quals = False
+
+    def _native_fastq(src):
+        return _FastqBatcher(
+            src, batch_size, max_len, with_quals, with_ids,
+            packed=packed, normalized=normalized,
+        )
+
+    def _native_fasta(src):
+        return _FastaBatcher(
+            src, batch_size, max_len, with_ids,
+            packed=packed, normalized=normalized,
+        )
+
+    def _python(reader):
+        batches = _strip_quals_unless(
+            BatchReader(reader, batch_size=batch_size, max_len=max_len,
+                        keep_ids=with_ids),
+            with_quals,
+        )
+        return _pack_fallback(batches, normalized) if packed else batches
+
     if str(path) == "-":
         # batched stdin: stream windows, no mmap/range-split (the record
         # API twin is parse_fastx_stdin; same codec sniffing applies)
@@ -686,10 +866,10 @@ def fast_read_batches(
 
         stream, first_byte = open_uncompressed(_sys.stdin.buffer)
         if first_byte == 0x40 and native.available():
-            yield from _FastqBatcher(stream, batch_size, max_len, with_quals, with_ids)
+            yield from _native_fastq(stream)
             return
         if first_byte == 0x3E and native.available():
-            yield from _FastaBatcher(stream, batch_size, max_len, with_ids)
+            yield from _native_fasta(stream)
             return
         if first_byte == 0x3E:
             reader = FastaReader(stream)
@@ -697,11 +877,7 @@ def fast_read_batches(
             reader = FastqReader(stream)
         else:
             raise ParseError.new_unknown_format(first_byte)
-        yield from _strip_quals_unless(
-            BatchReader(reader, batch_size=batch_size, max_len=max_len,
-                        keep_ids=with_ids),
-            with_quals,
-        )
+        yield from _python(reader)
         return
     try:
         handle = open(path, "rb")
@@ -726,11 +902,9 @@ def fast_read_batches(
             handle.close()
             try:
                 if magic[:1] == b"@":
-                    yield from _FastqBatcher(
-                        win, batch_size, max_len, with_quals, with_ids
-                    )
+                    yield from _native_fastq(win)
                 else:
-                    yield from _FastaBatcher(win, batch_size, max_len, with_ids)
+                    yield from _native_fasta(win)
             finally:
                 win.close()  # ADVICE r2: don't leave fd+map to the GC
             return
@@ -741,10 +915,10 @@ def fast_read_batches(
         # computes concurrently
         stream = PrefetchReader(stream)
     if first_byte == 0x40 and native.available():  # '@' FASTQ
-        yield from _FastqBatcher(stream, batch_size, max_len, with_quals, with_ids)
+        yield from _native_fastq(stream)
         return
     if first_byte == 0x3E and native.available():  # '>' FASTA
-        yield from _FastaBatcher(stream, batch_size, max_len, with_ids)
+        yield from _native_fasta(stream)
         return
     if first_byte == 0x3E:
         reader = FastaReader(stream)
@@ -752,7 +926,4 @@ def fast_read_batches(
         reader = FastqReader(stream)
     else:
         raise ParseError.new_unknown_format(first_byte)
-    yield from _strip_quals_unless(
-        BatchReader(reader, batch_size=batch_size, max_len=max_len, keep_ids=with_ids),
-        with_quals,
-    )
+    yield from _python(reader)

@@ -110,6 +110,16 @@ def _bind(so: Path) -> Optional[ctypes.CDLL]:
         lib.nt_pack_ids.argtypes = [u8p, i64p, i64, i64, i64, u8p]
         lib.nt_fasta_max_len.restype = i64
         lib.nt_fasta_max_len.argtypes = [u8p, i64p, i64]
+        lib.nt_fill_fastq_batch_packed.restype = i64
+        lib.nt_fill_fastq_batch_packed.argtypes = [
+            u8p, i64p, i64, u8p, u8p, u8p, i32p, i64, i64p,
+        ]
+        lib.nt_fill_fasta_batch_packed.restype = i64
+        lib.nt_fill_fasta_batch_packed.argtypes = [
+            u8p, i64p, i64, u8p, u8p, u8p, i32p, i64, i64p,
+        ]
+        lib.nt_pack_row.restype = i64
+        lib.nt_pack_row.argtypes = [u8p, i64, u8p, u8p, u8p]
         return lib
     except (OSError, AttributeError):
         return None
@@ -219,6 +229,73 @@ def fill_fasta_batch(
             _u8ptr(seq_out),
             lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             max_len,
+        )
+    )
+
+
+def fill_fastq_batch_packed(
+    buf: np.ndarray,
+    recs: np.ndarray,
+    lut: np.ndarray,
+    code_out: np.ndarray,
+    valid_out: np.ndarray,
+    lengths: np.ndarray,
+    max_len: int,
+) -> Tuple[int, int]:
+    """Pack scanned FASTQ records' sequences into 2-bit code + validity
+    bitplanes (``lut``: 256-entry byte->code, 0xFF invalid).  Returns
+    ``(overflow_rows, n_invalid_bases)``."""
+    lib = get_lib()
+    n_invalid = ctypes.c_int64(0)
+    overflow = lib.nt_fill_fastq_batch_packed(
+        _u8ptr(buf),
+        recs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        recs.shape[0],
+        _u8ptr(lut),
+        _u8ptr(code_out),
+        _u8ptr(valid_out),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        max_len,
+        ctypes.byref(n_invalid),
+    )
+    return int(overflow), int(n_invalid.value)
+
+
+def fill_fasta_batch_packed(
+    buf: np.ndarray,
+    recs: np.ndarray,
+    lut: np.ndarray,
+    code_out: np.ndarray,
+    valid_out: np.ndarray,
+    lengths: np.ndarray,
+    max_len: int,
+) -> Tuple[int, int]:
+    """Packed twin of ``fill_fasta_batch`` (newline/CR-stripping).  Returns
+    ``(overflow_rows, n_invalid_bases)``."""
+    lib = get_lib()
+    n_invalid = ctypes.c_int64(0)
+    overflow = lib.nt_fill_fasta_batch_packed(
+        _u8ptr(buf),
+        recs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        recs.shape[0],
+        _u8ptr(lut),
+        _u8ptr(code_out),
+        _u8ptr(valid_out),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        max_len,
+        ctypes.byref(n_invalid),
+    )
+    return int(overflow), int(n_invalid.value)
+
+
+def pack_row(
+    seq: np.ndarray, lut: np.ndarray, code_row: np.ndarray, valid_row: np.ndarray
+) -> int:
+    """Pack one contiguous ASCII sequence row; returns n_invalid_bases."""
+    lib = get_lib()
+    return int(
+        lib.nt_pack_row(
+            _u8ptr(seq), seq.size, _u8ptr(lut), _u8ptr(code_row), _u8ptr(valid_row)
         )
     )
 

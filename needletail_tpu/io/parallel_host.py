@@ -18,7 +18,7 @@ import multiprocessing as mp
 from pathlib import Path
 from typing import Iterator, Optional, Union
 
-from ..batch import ReadBatch
+from ..batch import PackedReadBatch, ReadBatch
 from ..errors import ParseError
 
 __all__ = ["parallel_read_batches", "auto_host_workers"]
@@ -39,7 +39,7 @@ _BATCH = "batch"
 
 def _worker(
     path, start, end, batch_size, max_len, with_quals, with_ids, q,
-    shm_names=None, free_q=None,
+    shm_names=None, free_q=None, packed=False, normalized=True,
 ) -> None:
     import pickle
 
@@ -50,20 +50,27 @@ def _worker(
         if shm_names is not None:
             from .shm_pool import SharedBatchWriter
 
-            writer = SharedBatchWriter(shm_names, batch_size, max_len, with_quals)
+            writer = SharedBatchWriter(
+                shm_names, batch_size, max_len, with_quals, packed=packed
+            )
         for b in fast_read_batches_range(
             path, start, end, batch_size=batch_size, max_len=max_len,
             with_quals=with_quals, with_ids=with_ids,
+            packed=packed, normalized=normalized,
         ):
+            # the descriptor's bool marks quals (ASCII) / vbits (packed)
+            second = b.vbits if packed else b.quals
             if writer is not None:
                 seg = free_q.get()
                 n = writer.write(seg, b)
                 # planes travel by segment id; only ids (compact LazyIds
                 # blobs) and the descriptor go through the pickle queue
                 q.put((_BATCH, (seg, n, b.ids if with_ids else [],
-                                b.quals is not None)))
+                                second is not None)))
+            elif packed:
+                q.put((_BATCH, (b.codes, b.lengths, second, b.ids)))
             else:
-                q.put((_BATCH, (b.seqs, b.lengths, b.quals, b.ids)))
+                q.put((_BATCH, (b.seqs, b.lengths, second, b.ids)))
         q.put((_DONE, None))
     except BaseException as exc:  # propagate to the consumer
         # mp.Queue pickles in a feeder thread, so an unpicklable exception
@@ -131,6 +138,8 @@ def parallel_read_batches(
     with_quals: bool = True,
     with_ids: bool = False,
     shared_mem: Optional[bool] = None,
+    packed: bool = False,
+    normalized: bool = True,
 ) -> Iterator[ReadBatch]:
     """Frame an uncompressed FASTX file with ``workers`` processes.
 
@@ -150,11 +159,14 @@ def parallel_read_batches(
     """
     from .fast_batch import fast_read_batches
 
+    if packed:
+        with_quals = False
     if workers <= 1 or str(path) == "-":
         # stdin cannot be range-split: stream it single-process
         yield from fast_read_batches(
             str(path), batch_size=batch_size, max_len=max_len,
             with_quals=with_quals, with_ids=with_ids,
+            packed=packed, normalized=normalized,
         )
         return
 
@@ -191,7 +203,8 @@ def parallel_read_batches(
         from .shm_pool import SharedBatchPool
 
         pool = SharedBatchPool(
-            batch_size, max_len, with_quals, segments=2 * workers + 2
+            batch_size, max_len, with_quals, segments=2 * workers + 2,
+            packed=packed,
         )
         shm_names = pool.names
         free_q = ctx.Queue()
@@ -201,7 +214,7 @@ def parallel_read_batches(
         ctx.Process(
             target=_worker,
             args=(str(path), start, end, batch_size, max_len, with_quals,
-                  with_ids, q, shm_names, free_q),
+                  with_ids, q, shm_names, free_q, packed, normalized),
             daemon=True,
         )
         for start, end in ranges
@@ -247,21 +260,39 @@ def parallel_read_batches(
                 error = _rebase_error(str(path), exc, range_start)
                 break
             elif pool is not None:
-                seg, n, ids, has_quals = payload
+                seg, n, ids, has_second = payload
                 seqs, quals, lengths = pool.views(seg, n)
-                batch = ReadBatch(
-                    seqs=seqs.copy(),
-                    lengths=lengths.copy(),
-                    # has_quals preserves pickle-path parity: FASTA input
-                    # yields quals=None, never a fabricated zero plane
-                    quals=quals.copy() if (has_quals and quals is not None) else None,
-                    ids=ids,
+                second = (
+                    quals.copy() if (has_second and quals is not None) else None
                 )
+                if packed:
+                    batch = PackedReadBatch(
+                        codes=seqs.copy(),
+                        lengths=lengths.copy(),
+                        vbits=second,
+                        ids=ids,
+                        normalized=normalized,
+                    )
+                else:
+                    batch = ReadBatch(
+                        seqs=seqs.copy(),
+                        lengths=lengths.copy(),
+                        # has_second preserves pickle-path parity: FASTA
+                        # input yields quals=None, never a zero plane
+                        quals=second,
+                        ids=ids,
+                    )
                 # no views survive the copy: drop them before recycling so
                 # pool.close() in the finally sees no exported buffers
-                del seqs, quals, lengths
+                del seqs, quals, lengths, second
                 free_q.put(seg)
                 yield batch
+            elif packed:
+                codes, lengths, vbits, ids = payload
+                yield PackedReadBatch(
+                    codes=codes, lengths=lengths, vbits=vbits, ids=ids,
+                    normalized=normalized,
+                )
             else:
                 seqs, lengths, quals, ids = payload
                 yield ReadBatch(seqs=seqs, lengths=lengths, quals=quals, ids=ids)

@@ -27,24 +27,31 @@ import numpy as np
 __all__ = ["SharedBatchPool", "SharedBatchWriter"]
 
 
-def _segment_layout(rows: int, max_len: int, with_quals: bool) -> int:
-    plane = rows * max_len
-    size = plane + 4 * rows  # seqs + int32 lengths
-    if with_quals:
-        size += plane
-    return size
+def _plane_widths(max_len: int, with_quals: bool, packed: bool):
+    """(primary, secondary) plane widths per row: ASCII seqs+quals, or
+    packed 2-bit codes + validity bitplane (see needletail_tpu.encoding)."""
+    if packed:
+        return max_len // 4, max_len // 8
+    return max_len, max_len if with_quals else 0
+
+
+def _segment_layout(rows: int, max_len: int, with_quals: bool, packed: bool) -> int:
+    a_w, b_w = _plane_widths(max_len, with_quals, packed)
+    return rows * (a_w + b_w) + 4 * rows  # planes + int32 lengths
 
 
 class SharedBatchPool:
     """Consumer-side owner of the shared segments."""
 
     def __init__(
-        self, rows: int, max_len: int, with_quals: bool, segments: int
+        self, rows: int, max_len: int, with_quals: bool, segments: int,
+        packed: bool = False,
     ) -> None:
         self.rows = rows
         self.max_len = max_len
         self.with_quals = with_quals
-        size = _segment_layout(rows, max_len, with_quals)
+        self.packed = packed
+        size = _segment_layout(rows, max_len, with_quals, packed)
         self._shms: List[shared_memory.SharedMemory] = []
         try:
             for _ in range(segments):
@@ -61,19 +68,21 @@ class SharedBatchPool:
     def views(
         self, seg: int, n_reads: int
     ) -> Tuple[np.ndarray, Optional[np.ndarray], np.ndarray]:
-        """(seqs, quals, lengths) views of the first ``n_reads`` rows."""
+        """(primary, secondary, lengths) views of the first ``n_reads``
+        rows — (seqs, quals, lengths) for ASCII pools, (codes, vbits,
+        lengths) for packed pools."""
         buf = self._shms[seg].buf
-        plane = self.rows * self.max_len
-        seqs = np.frombuffer(buf, np.uint8, plane).reshape(
-            self.rows, self.max_len
+        a_w, b_w = _plane_widths(self.max_len, self.with_quals, self.packed)
+        a_plane = self.rows * a_w
+        seqs = np.frombuffer(buf, np.uint8, a_plane).reshape(
+            self.rows, a_w
         )[:n_reads]
-        off = plane
+        off = a_plane
         quals = None
-        if self.with_quals:
-            quals = np.frombuffer(buf, np.uint8, plane, offset=off).reshape(
-                self.rows, self.max_len
-            )[:n_reads]
-            off += plane
+        if b_w:
+            quals = np.frombuffer(buf, np.uint8, self.rows * b_w, offset=off
+                                  ).reshape(self.rows, b_w)[:n_reads]
+            off += self.rows * b_w
         lengths = np.frombuffer(buf, np.int32, self.rows, offset=off)[:n_reads]
         return seqs, quals, lengths
 
@@ -96,34 +105,40 @@ class SharedBatchWriter:
     """Worker-side view over the pool's segments (attached by name)."""
 
     def __init__(
-        self, names: List[str], rows: int, max_len: int, with_quals: bool
+        self, names: List[str], rows: int, max_len: int, with_quals: bool,
+        packed: bool = False,
     ) -> None:
         self.rows = rows
         self.max_len = max_len
         self.with_quals = with_quals
+        self.packed = packed
         self._shms = [shared_memory.SharedMemory(name=n) for n in names]
 
     def write(self, seg: int, batch) -> int:
-        """Copy a ReadBatch's planes into segment ``seg``; returns n_reads."""
+        """Copy a (Packed)ReadBatch's planes into segment ``seg``; returns
+        n_reads.  Packed pools write codes + vbits (zeros when the batch is
+        clean — the descriptor's ``has_vbits`` distinguishes)."""
         n = batch.num_reads
         buf = self._shms[seg].buf
-        plane = self.rows * self.max_len
-        seqs = np.frombuffer(buf, np.uint8, plane).reshape(
-            self.rows, self.max_len
-        )
-        seqs[:n, : batch.max_len] = batch.seqs
-        if batch.max_len < self.max_len:
-            seqs[:n, batch.max_len :] = 0
-        off = plane
-        if self.with_quals and batch.quals is not None:
-            quals = np.frombuffer(buf, np.uint8, plane, offset=off).reshape(
-                self.rows, self.max_len
-            )
-            quals[:n, : batch.max_len] = batch.quals
-            if batch.max_len < self.max_len:
-                quals[:n, batch.max_len :] = 0
-        if self.with_quals:
-            off += plane
+        a_w, b_w = _plane_widths(self.max_len, self.with_quals, self.packed)
+        a_plane = self.rows * a_w
+        a_src = batch.codes if self.packed else batch.seqs
+        seqs = np.frombuffer(buf, np.uint8, a_plane).reshape(self.rows, a_w)
+        src_w = a_src.shape[1]
+        seqs[:n, :src_w] = a_src
+        if src_w < a_w:
+            seqs[:n, src_w:] = 0
+        off = a_plane
+        if b_w:
+            b_src = batch.vbits if self.packed else batch.quals
+            quals = np.frombuffer(buf, np.uint8, self.rows * b_w, offset=off
+                                  ).reshape(self.rows, b_w)
+            if b_src is not None:
+                sw = b_src.shape[1]
+                quals[:n, :sw] = b_src
+                if sw < b_w:
+                    quals[:n, sw:] = 0
+            off += self.rows * b_w
         lengths = np.frombuffer(buf, np.int32, self.rows, offset=off)
         lengths[:n] = batch.lengths
         return n

@@ -1,0 +1,254 @@
+"""2-bit packed host->device transport (VERDICT r2 #1).
+
+Locks three invariants:
+  * the C framer's packed fills are bit-exact vs the numpy oracle
+    (``encoding.pack_codes_host``) on real corpora and adversarial bytes;
+  * every device consumer (unpack_codes -> precoded ladders, the Pallas
+    packed tally) produces results identical to the ASCII path;
+  * the e2e drivers (count_file / multi_k_count_file / hash_count_file)
+    give bit-identical outputs with ``packed`` on and off, across worker
+    counts and both IPC transports.
+"""
+
+import numpy as np
+import pytest
+
+from needletail_tpu.batch import PackedReadBatch, ReadBatch
+from needletail_tpu.encoding import (
+    ENCODE_NORMALIZED_LUT,
+    ENCODE_RAW_LUT,
+    encode_lut,
+    pack_codes_host,
+    unpack_codes_host,
+)
+from needletail_tpu.io import native
+from needletail_tpu.io.fast_batch import fast_read_batches
+
+FQ = "tests/data/PRJNA271013_head.fq"
+FA = "tests/data/28S.fasta"
+
+
+class TestHostPacking:
+    def test_luts_differ_only_in_u(self):
+        diff = np.flatnonzero(ENCODE_NORMALIZED_LUT != ENCODE_RAW_LUT)
+        assert set(diff.tolist()) == {ord("U"), ord("u")}
+
+    @pytest.mark.parametrize("path", [FQ, FA])
+    def test_framer_matches_numpy_oracle(self, path):
+        for a, p in zip(
+            fast_read_batches(path, batch_size=300),
+            fast_read_batches(path, batch_size=300, packed=True),
+        ):
+            oracle = PackedReadBatch.from_read_batch(a)
+            assert np.array_equal(p.codes, oracle.codes)
+            assert np.array_equal(p.lengths, a.lengths)
+            assert (p.vbits is None) == (oracle.vbits is None)
+            if p.vbits is not None:
+                assert np.array_equal(p.vbits, oracle.vbits)
+
+    def test_clean_input_ships_no_vbits(self, tmp_path):
+        p = tmp_path / "clean.fq"
+        p.write_bytes(b"@r1\nACGTACGT\n+\nIIIIIIII\n" * 64)
+        batches = list(fast_read_batches(str(p), packed=True))
+        assert len(batches) == 1
+        assert batches[0].vbits is None
+        assert batches[0].num_bases == 8 * 64
+
+    def test_ambiguous_input_ships_vbits(self, tmp_path):
+        p = tmp_path / "dirty.fq"
+        p.write_bytes(b"@r1\nACGTNNAC\n+\nIIIIIIII\n")
+        (b,) = fast_read_batches(str(p), packed=True)
+        assert b.vbits is not None
+        u = b.unpack_host()
+        assert (u[0, 4:6] == 255).all()
+        assert (u[0, :4] != 255).all()
+
+    def test_pack_row_adversarial(self):
+        rng = np.random.default_rng(1)
+        for norm in (True, False):
+            lut = np.ascontiguousarray(encode_lut(norm))
+            for trial in range(40):
+                n = int(rng.integers(1, 200))
+                if trial % 3 == 0:
+                    seq = rng.choice(
+                        np.frombuffer(b"ACGTNacgtnUu \t~", np.uint8), n
+                    )
+                else:
+                    seq = rng.integers(1, 256, n, dtype=np.uint8)
+                ml = -(-n // 8) * 8
+                code = np.zeros(ml // 4, np.uint8)
+                vb = np.zeros(ml // 8, np.uint8)
+                inv = native.pack_row(seq, lut, code, vb)
+                seqs2 = np.zeros((1, ml), np.uint8)
+                seqs2[0, :n] = seq
+                oc, ov = pack_codes_host(
+                    seqs2, np.array([n], np.int32), normalized=norm
+                )
+                assert np.array_equal(code, oc[0])
+                if ov is None:
+                    full = np.packbits(np.arange(ml) < n, bitorder="little")
+                    assert np.array_equal(vb, full)
+                    assert inv == 0
+                else:
+                    assert np.array_equal(vb, ov[0])
+                assert inv == int((lut[seq] > 3).sum())
+
+    def test_unpack_host_roundtrip(self):
+        rng = np.random.default_rng(2)
+        seqs = rng.choice(np.frombuffer(b"ACGTN", np.uint8), (16, 64))
+        lengths = rng.integers(0, 65, 16).astype(np.int32)
+        codes, vbits = pack_codes_host(seqs, lengths)
+        u = unpack_codes_host(codes, vbits)
+        lut = encode_lut(True)
+        expect = lut[seqs]
+        in_len = np.arange(64)[None, :] < lengths[:, None]
+        assert np.array_equal(
+            np.where(in_len, u, 0), np.where(in_len, expect, 0)
+        )
+
+    def test_packed_rejects_bad_max_len(self):
+        with pytest.raises(ValueError, match="divisible by 8"):
+            list(fast_read_batches(FQ, packed=True, max_len=130))
+
+    def test_pad_reads_to(self):
+        (b,) = fast_read_batches(FQ, batch_size=4096, packed=True)
+        padded = b.pad_reads_to(4096)
+        assert padded.num_reads == 4096
+        assert padded.num_bases == b.num_bases
+        assert np.array_equal(padded.codes[: b.num_reads], b.codes)
+
+
+class TestDeviceConsumers:
+    def test_unpack_codes_matches_encode(self):
+        import jax.numpy as jnp
+
+        from needletail_tpu.device.ops import encode_2bit, unpack_codes
+
+        (a,) = fast_read_batches(FQ, batch_size=4096)
+        (p,) = fast_read_batches(FQ, batch_size=4096, packed=True)
+        dev = np.asarray(unpack_codes(jnp.asarray(p.codes),
+                                      jnp.asarray(p.vbits) if p.vbits is not None else None))
+        ref = np.asarray(encode_2bit(jnp.asarray(a.seqs)))
+        in_len = np.arange(a.seqs.shape[1])[None, :] < a.lengths[:, None]
+        assert np.array_equal(np.where(in_len, dev, 0), np.where(in_len, ref, 0))
+
+    def test_precoded_canonical_kmers(self):
+        import jax.numpy as jnp
+
+        from needletail_tpu.device.kmers import canonical_kmers
+        from needletail_tpu.device.ops import unpack_codes
+
+        (a,) = fast_read_batches(FA, batch_size=4096)
+        (p,) = fast_read_batches(FA, batch_size=4096, packed=True)
+        w1 = canonical_kmers(jnp.asarray(a.seqs), jnp.asarray(a.lengths), 21)
+        codes = unpack_codes(
+            jnp.asarray(p.codes),
+            jnp.asarray(p.vbits) if p.vbits is not None else None,
+        )
+        w2 = canonical_kmers(codes, jnp.asarray(p.lengths), 21, precoded=True)
+        assert np.array_equal(np.asarray(w1.valid), np.asarray(w2.valid))
+        v = np.asarray(w1.valid)
+        for f in ("hi", "lo", "was_rc"):
+            x1 = np.asarray(getattr(w1, f))[v]
+            x2 = np.asarray(getattr(w2, f))[v]
+            assert np.array_equal(x1, x2), f
+
+    def test_pallas_packed_keys(self):
+        import jax.numpy as jnp
+
+        from needletail_tpu.device.pallas_kernels import (
+            canonical_hash_keys,
+            canonical_hash_keys_packed,
+        )
+
+        (a,) = fast_read_batches(FQ, batch_size=2000, max_len=128)
+        (p,) = fast_read_batches(FQ, batch_size=2000, max_len=128, packed=True)
+        k1, t1, f1 = canonical_hash_keys(
+            jnp.asarray(a.seqs), jnp.asarray(a.lengths), 21, table_bits=16
+        )
+        k2, t2, f2 = canonical_hash_keys_packed(
+            jnp.asarray(p.codes),
+            jnp.asarray(p.vbits) if p.vbits is not None else None,
+            jnp.asarray(p.lengths),
+            21,
+            table_bits=16,
+        )
+        assert int(t1) == int(t2) == 209_965
+        assert int(f1) == int(f2) == 106_181
+        assert np.array_equal(np.asarray(k1), np.asarray(k2))
+
+
+class TestDriverParity:
+    def test_hash_count_file(self):
+        from needletail_tpu.device.pipeline import hash_count_file
+
+        r1 = hash_count_file(FQ, 21, batch_size=512, max_len=128, packed=False)
+        r2 = hash_count_file(FQ, 21, batch_size=512, max_len=128, packed=True)
+        assert r1[:3] == r2[:3] == (250_000, 209_965, 106_181)
+        assert np.array_equal(r1[3], r2[3])
+
+    def test_count_file_sparse(self):
+        from needletail_tpu.device.pipeline import count_file
+
+        nb1, (k1, c1) = count_file(
+            FA, k=21, dense=False, sparse_format="arrays",
+            batch_size=128, packed=False,
+        )
+        nb2, (k2, c2) = count_file(
+            FA, k=21, dense=False, sparse_format="arrays",
+            batch_size=128, packed=True,
+        )
+        assert nb1 == nb2 == 738_580
+        assert np.array_equal(k1, k2) and np.array_equal(c1, c2)
+
+    def test_count_file_dense(self):
+        from needletail_tpu.device.pipeline import count_file
+
+        nb1, s1 = count_file(FQ, k=8, batch_size=512, packed=False)
+        nb2, s2 = count_file(FQ, k=8, batch_size=512, packed=True)
+        assert nb1 == nb2 and np.array_equal(s1, s2)
+
+    def test_multi_k(self):
+        from needletail_tpu.device.pipeline import multi_k_count_file
+
+        nb1, sp1 = multi_k_count_file(FA, (4, 21), batch_size=128, packed=False)
+        nb2, sp2 = multi_k_count_file(FA, (4, 21), batch_size=128, packed=True)
+        assert nb1 == nb2
+        assert np.array_equal(sp1[4], sp2[4])
+        assert np.array_equal(sp1[21][0], sp2[21][0])
+        assert np.array_equal(sp1[21][1], sp2[21][1])
+
+    def test_packed_conflicts_raise(self):
+        from needletail_tpu.device.pipeline import count_file
+
+        with pytest.raises(ValueError, match="packed"):
+            count_file(FQ, k=4, packed=True, quality_cutoff=20)
+        with pytest.raises(ValueError, match="packed"):
+            count_file(FQ, k=4, packed=True, bucketed=True)
+
+
+class TestWorkerTransport:
+    @pytest.mark.parametrize("shared_mem", [True, False])
+    def test_parallel_packed_matches_single(self, shared_mem):
+        from needletail_tpu.io.parallel_host import parallel_read_batches
+
+        def digest(batches):
+            bases = code_sum = vb_sum = 0
+            for b in batches:
+                bases += b.num_bases
+                code_sum += int(b.codes.astype(np.int64).sum())
+                if b.vbits is not None:
+                    vb_sum += int(b.vbits.astype(np.int64).sum())
+            return bases, code_sum, vb_sum
+
+        single = digest(
+            fast_read_batches(FQ, batch_size=256, max_len=128, packed=True)
+        )
+        multi = digest(
+            parallel_read_batches(
+                FQ, workers=2, batch_size=256, max_len=128, packed=True,
+                shared_mem=shared_mem,
+            )
+        )
+        assert single == multi
+        assert single[0] == 250_000
