@@ -72,9 +72,12 @@ class ShardedSpectrumAccumulator:
         shard_lanes: int = DEFAULT_SHARD_LANES,
         quality_cutoff: Optional[int] = None,
         phred_offset: int = 33,
+        packed: bool = False,
     ) -> None:
         if not 1 <= k <= 31:
             raise ValueError(f"k must be in [1, 31], got {k}")
+        if packed and quality_cutoff is not None:
+            raise ValueError("packed transport carries no quality planes")
         self._mesh = mesh
         self._n_data = _require_data_mesh(mesh)
         self._k = k
@@ -86,6 +89,7 @@ class ShardedSpectrumAccumulator:
         self._normalized = normalized
         self._quality_cutoff = quality_cutoff
         self._phred_offset = phred_offset
+        self._packed = packed
 
         buf_sharding = NamedSharding(mesh, P("data"))
         self._data_sharding = NamedSharding(mesh, P("data", None))
@@ -96,9 +100,14 @@ class ShardedSpectrumAccumulator:
 
         k_ = k
 
-        def _append(buf_hi, buf_lo, offset, seqs, lengths, quals):
+        def _append(buf_hi, buf_lo, offset, seqs, lengths, quals, vbits=None):
             """Per-shard body: extract this shard's masked keys, write them
-            at [offset, offset + lanes) of this shard's buffer slice."""
+            at [offset, offset + lanes) of this shard's buffer slice.
+            Packed mode unpacks this shard's code plane locally."""
+            if packed:
+                from ..device.ops import unpack_codes
+
+                seqs = unpack_codes(seqs, vbits)
             if quals is not None:
                 from ..device.ops import quality_mask
 
@@ -106,37 +115,49 @@ class ShardedSpectrumAccumulator:
                     seqs, quals, jnp.int32(phred_offset + (quality_cutoff or 0))
                 )
             fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
-            win = fn(seqs, lengths, k_, normalized=normalized)
+            win = fn(seqs, lengths, k_, normalized=normalized, precoded=packed)
             hi, lo = _count.mask_keys(win)
             new_hi = jax.lax.dynamic_update_slice(buf_hi, hi, (offset,))
             new_lo = jax.lax.dynamic_update_slice(buf_lo, lo, (offset,))
             return new_hi, new_lo
 
         with_quals = quality_cutoff is not None
-        in_specs = (
+        base_specs = (
             P("data"),
             P("data"),
             P(),
             P("data", None),
             P("data"),
-            P("data", None) if with_quals else None,
         )
-        if not with_quals:
-            def _append2(bh, bl, off, s, l):
-                return _append(bh, bl, off, s, l, None)
-            body, in_specs = _append2, in_specs[:5]
-        else:
-            body = _append
 
-        self._append = jax.jit(
-            jax.shard_map(
-                body,
-                mesh=mesh,
-                in_specs=in_specs,
-                out_specs=(P("data"), P("data")),
-            ),
-            donate_argnums=(0, 1),
-        )
+        def _shmap(body, in_specs):
+            return jax.jit(
+                jax.shard_map(
+                    body,
+                    mesh=mesh,
+                    in_specs=in_specs,
+                    out_specs=(P("data"), P("data")),
+                ),
+                donate_argnums=(0, 1),
+            )
+
+        if with_quals:
+            self._append = _shmap(_append, base_specs + (P("data", None),))
+            self._append_vb = None
+        else:
+            def _plain(bh, bl, off, s, l):
+                return _append(bh, bl, off, s, l, None)
+
+            self._append = _shmap(_plain, base_specs)
+            if packed:
+                def _with_vb(bh, bl, off, s, l, vb):
+                    return _append(bh, bl, off, s, l, None, vb)
+
+                self._append_vb = _shmap(
+                    _with_vb, base_specs + (P("data", None),)
+                )
+            else:
+                self._append_vb = None
 
         def _resolve(buf_hi, buf_lo):
             """Per-shard sort + run-length count (no collectives)."""
@@ -164,10 +185,14 @@ class ShardedSpectrumAccumulator:
         w = max(max_len - self._k + 1, 0)
         return (batch_rows // self._n_data) * w
 
-    def add(self, seqs, lengths, quals=None) -> None:
+    def add(self, seqs, lengths, quals=None, vbits=None) -> None:
+        """Ingest one batch.  In packed mode ``seqs`` is the [B, L/4] code
+        plane and ``vbits`` the optional validity bitplane (None = clean)."""
         seqs = jnp.asarray(seqs)
         lengths = jnp.asarray(lengths)
         b, l = seqs.shape
+        if self._packed:
+            l = l * 4  # window math runs on true base length
         if b % self._n_data:
             raise ValueError(
                 f"batch rows {b} must be divisible by the data axis "
@@ -186,13 +211,19 @@ class ShardedSpectrumAccumulator:
         args = [self._buf_hi, self._buf_lo, jnp.int32(self._offset)]
         placed = self.place(seqs, lengths)
         args.extend(placed)
+        append = self._append
         if self._quality_cutoff is not None:
             if quals is None:
                 raise ValueError("quality_cutoff needs FASTQ qualities")
             args.append(
                 jax.device_put(jnp.asarray(quals), self._data_sharding)
             )
-        self._buf_hi, self._buf_lo = self._append(*args)
+        elif self._packed and vbits is not None:
+            args.append(
+                jax.device_put(jnp.asarray(vbits), self._data_sharding)
+            )
+            append = self._append_vb
+        self._buf_hi, self._buf_lo = append(*args)
         self._offset += lanes
 
     def _flush(self) -> None:
@@ -247,6 +278,7 @@ def sharded_count_file(
     spill_dir: Optional[str] = None,
     quality_cutoff: Optional[int] = None,
     phred_offset: int = 33,
+    packed: Optional[bool] = None,
 ) -> Tuple[int, Tuple[np.ndarray, np.ndarray]]:
     """Exact (keys_u64, counts) spectrum of a FASTX file over a data mesh.
 
@@ -256,9 +288,15 @@ def sharded_count_file(
     (keys, counts))`` with keys ascending.  Input front as in
     ``count_file``: auto-sized framing workers + transparent spill decode.
     ``batch_size`` rounds up to a multiple of the data axis.
+    ``packed=None`` auto-selects the 2-bit packed transport whenever no
+    quality planes are needed (bit-identical results, 4x less transfer).
     """
     from ..device.pipeline import _make_batch_source
 
+    if packed is None:
+        packed = quality_cutoff is None
+    elif packed and quality_cutoff is not None:
+        raise ValueError("packed transport carries no quality planes")
     n_data = _require_data_mesh(mesh)
     batch_size = -(-batch_size // n_data) * n_data
     acc = ShardedSpectrumAccumulator(
@@ -269,11 +307,13 @@ def sharded_count_file(
         shard_lanes=shard_lanes,
         quality_cutoff=quality_cutoff,
         phred_offset=phred_offset,
+        packed=packed,
     )
     n_bases = 0
     batches, _ = _make_batch_source(
         path, batch_size, max_len, host_workers,
         with_quals=quality_cutoff is not None, spill_dir=spill_dir,
+        packed=packed, normalized=normalized,
     )
     for batch in batches:
         n_bases += batch.num_bases
@@ -284,7 +324,15 @@ def sharded_count_file(
             if batch.num_reads == batch_size
             else batch.pad_reads_to(batch_size)
         )
-        if quality_cutoff is not None and b.quals is None:
-            raise ValueError("quality_cutoff needs FASTQ input with qualities")
-        acc.add(b.seqs, b.lengths, b.quals if quality_cutoff is not None else None)
+        if packed:
+            acc.add(b.codes, b.lengths, vbits=b.vbits)
+        else:
+            if quality_cutoff is not None and b.quals is None:
+                raise ValueError(
+                    "quality_cutoff needs FASTQ input with qualities"
+                )
+            acc.add(
+                b.seqs, b.lengths,
+                b.quals if quality_cutoff is not None else None,
+            )
     return n_bases, acc.finish()

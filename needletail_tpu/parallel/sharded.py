@@ -318,6 +318,7 @@ def make_hash_update_step(
     table_bits: int = 16,
     normalized: bool = True,
     block_rows: Optional[int] = None,
+    packed: bool = False,
 ):
     """Build the jitted hash-counting step over a 1-axis ``data`` mesh
     (or the ``data`` axis of a 2-axis mesh; the ``table`` axis, if any,
@@ -325,8 +326,17 @@ def make_hash_update_step(
 
     Returns ``(init, step, place_batch)``.  Per-chip batch rows must be a
     multiple of ``block_rows``.
+
+    ``packed=True``: the step consumes the 2-bit packed transport —
+    ``step(state, codes, lengths, vbits)`` with ``vbits=None`` for clean
+    batches; each chip unpacks its own shard (the interleave stays local,
+    nothing extra rides ICI) so host->device transfer per chip drops 4x.
     """
-    from ..device.pallas_kernels import canonical_hash_keys, mxu_histogram16
+    from ..device.pallas_kernels import (
+        canonical_hash_keys,
+        canonical_hash_keys_packed,
+        mxu_histogram16,
+    )
 
     n_data = mesh.shape["data"]
     if "table" in mesh.shape and mesh.shape["table"] != 1:
@@ -344,11 +354,17 @@ def make_hash_update_step(
     len_sharding = NamedSharding(mesh, P("data"))
     table_sharding = NamedSharding(mesh, P("data"))
 
-    def _local(table_lo_shard, table_hi_shard, seqs, lengths):
-        keys, total, fwd = canonical_hash_keys(
-            seqs, lengths, k, table_bits=table_bits,
-            normalized=normalized, block_rows=block_rows,
-        )
+    def _local(table_lo_shard, table_hi_shard, seqs, lengths, vbits=None):
+        if packed:
+            keys, total, fwd = canonical_hash_keys_packed(
+                seqs, vbits, lengths, k, table_bits=table_bits,
+                block_rows=block_rows,
+            )
+        else:
+            keys, total, fwd = canonical_hash_keys(
+                seqs, lengths, k, table_bits=table_bits,
+                normalized=normalized, block_rows=block_rows,
+            )
         # hashes are already masked to table_bits, so bins >= 2^table_bits
         # of the 2^16-bin kernel stay zero and the slice below is exact
         local = mxu_histogram16(keys, None)[:n_bins]
@@ -363,21 +379,35 @@ def make_hash_update_step(
             jax.lax.psum(fwd, "data"),
         )
 
-    local_fn = jax.shard_map(
-        _local,
+    base_specs = (P("data"), P("data"), P("data", None), P("data"))
+    shard_kwargs = dict(
         mesh=mesh,
-        in_specs=(P("data"), P("data"), P("data", None), P("data")),
         out_specs=(P("data"), P("data"), P(), P()),
         # pallas_call outputs carry no varying-mesh-axes metadata, so the
         # vma check cannot see that the kernel outputs vary over 'data'
         check_vma=False,
     )
+    local_fn = jax.shard_map(_local, in_specs=base_specs, **shard_kwargs)
+    # packed batches with ambiguous bases carry a validity plane; clean
+    # ones don't — two shard_map signatures, selected at trace time
+    local_fn_vb = (
+        jax.shard_map(
+            _local, in_specs=base_specs + (P("data", None),), **shard_kwargs
+        )
+        if packed
+        else None
+    )
 
     @partial(jax.jit, donate_argnums=(0,))
-    def step(state: HashCountState, seqs, lengths) -> HashCountState:
-        lo, hi, total, fwd = local_fn(
-            state.table_lo, state.table_hi, seqs, lengths
-        )
+    def step(state: HashCountState, seqs, lengths, vbits=None) -> HashCountState:
+        if vbits is None:
+            lo, hi, total, fwd = local_fn(
+                state.table_lo, state.table_hi, seqs, lengths
+            )
+        else:
+            lo, hi, total, fwd = local_fn_vb(
+                state.table_lo, state.table_hi, seqs, lengths, vbits
+            )
         t_lo, t_hi = _acc64(state.total_lo, state.total_hi, total)
         f_lo, f_hi = _acc64(state.fwd_lo, state.fwd_hi, fwd)
         return HashCountState(
@@ -399,10 +429,13 @@ def make_hash_update_step(
             fwd_hi=jnp.zeros((), jnp.uint32),
         )
 
-    def place_batch(seqs, lengths):
-        return (
+    def place_batch(seqs, lengths, vbits=None):
+        placed = (
             jax.device_put(seqs, data_sharding),
             jax.device_put(lengths, len_sharding),
         )
+        if vbits is None:
+            return placed
+        return placed + (jax.device_put(vbits, data_sharding),)
 
     return init, step, place_batch

@@ -252,3 +252,48 @@ class TestWorkerTransport:
         )
         assert single == multi
         assert single[0] == 250_000
+
+
+class TestShardedPacked:
+    def test_sharded_count_file_parity(self):
+        import jax
+
+        from needletail_tpu.parallel import make_mesh
+        from needletail_tpu.parallel.exact import sharded_count_file
+
+        mesh = make_mesh(jax.devices(), data=8, table=1)
+        nb1, (k1, c1) = sharded_count_file(
+            FA, 21, mesh=mesh, batch_size=128, packed=False, host_workers=1
+        )
+        nb2, (k2, c2) = sharded_count_file(
+            FA, 21, mesh=mesh, batch_size=128, packed=True, host_workers=1
+        )
+        assert nb1 == nb2 == 738_580
+        assert np.array_equal(k1, k2) and np.array_equal(c1, c2)
+
+    def test_hash_step_parity(self):
+        import jax
+        import jax.numpy as jnp
+
+        from needletail_tpu.parallel import make_mesh
+        from needletail_tpu.parallel.sharded import make_hash_update_step
+
+        mesh = make_mesh(jax.devices(), data=8, table=1)
+        (a,) = fast_read_batches(FQ, batch_size=2000, max_len=128)
+        (p,) = fast_read_batches(FQ, batch_size=2000, max_len=128, packed=True)
+        pa, pp = a.pad_reads_to(2048), p.pad_reads_to(2048)
+        init_a, step_a, place_a = make_hash_update_step(mesh, k=21, block_rows=8)
+        init_p, step_p, place_p = make_hash_update_step(
+            mesh, k=21, block_rows=8, packed=True
+        )
+        sa = step_a(
+            init_a(), *place_a(jnp.asarray(pa.seqs), jnp.asarray(pa.lengths))
+        )
+        vb = jnp.asarray(pp.vbits) if pp.vbits is not None else None
+        sp = step_p(
+            init_p(),
+            *place_p(jnp.asarray(pp.codes), jnp.asarray(pp.lengths), vb),
+        )
+        assert int(sa.total) == int(sp.total) == 209_965
+        assert int(sa.fwd) == int(sp.fwd)
+        assert np.array_equal(sa.table, sp.table)
