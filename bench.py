@@ -137,6 +137,42 @@ def main() -> None:
     os.unlink(e2e_path)
     host_framing_bases_per_sec = fb / frame_s
 
+    # ---- EXACT spectrum engine (BASELINE "exact count-table equality"):
+    # device-resident k=21 sorted-spectrum rate — Pallas key-plane
+    # extraction, streaming accumulate, one lexicographic device sort +
+    # run-length count + distinct-to-front compaction per flush, bounded
+    # device->host pull of the distinct entries only. -------------------
+    from needletail_tpu.device.count import SparseSpectrumAccumulator
+    from needletail_tpu.device.pallas_kernels import canonical_key_planes
+
+    TILE_EXACT = 64  # 16M bases/step
+    STEPS_EXACT = 4
+    ex_seqs = jax.device_put(jnp.asarray(np.tile(batch.seqs, (TILE_EXACT, 1))))
+    ex_lengths = jax.device_put(jnp.asarray(np.tile(batch.lengths, TILE_EXACT)))
+    ex_bases = int(lengths[: 2000 * TILE_EXACT].sum())
+
+    @jax.jit
+    def _exact_keys(seqs, lengths):
+        khi, klo, t, f = canonical_key_planes(seqs, lengths, K)
+        w = khi.shape[1] - K + 1
+        return khi[:, :w].reshape(-1), klo[:, :w].reshape(-1)
+
+    def run_exact():
+        acc = SparseSpectrumAccumulator()
+        for _ in range(STEPS_EXACT):
+            acc.add(*_exact_keys(ex_seqs, ex_lengths))
+        return acc.finish()
+
+    keys_x, counts_x = run_exact()  # warm-up compiles the sorts
+    assert int(counts_x.sum()) == GOLD_TOTAL_K21 * TILE_EXACT * STEPS_EXACT
+    exact_s = float("inf")
+    for _ in range(2):
+        t_x = time.perf_counter()
+        keys_x, counts_x = run_exact()
+        exact_s = min(exact_s, time.perf_counter() - t_x)
+    exact_bases_per_sec = ex_bases * STEPS_EXACT / exact_s
+    exact_distinct = len(keys_x)
+
     bases_per_sec = n_bases_step * STEPS / elapsed
     file_bytes_step = os.path.getsize("tests/data/PRJNA271013_head.fq") * TILE
     file_bytes_per_sec = file_bytes_step * STEPS / elapsed
@@ -173,6 +209,9 @@ def main() -> None:
                 "host_framing_bases_per_sec": round(
                     host_framing_bases_per_sec, 1
                 ),
+                "exact_bases_per_sec_per_chip": round(exact_bases_per_sec, 1),
+                "exact_vs_baseline": round(exact_bases_per_sec / 625e6, 4),
+                "exact_distinct_21mers": exact_distinct,
             }
         )
     )

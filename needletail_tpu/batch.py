@@ -109,6 +109,10 @@ class ReadBatch:
     lengths: np.ndarray
     quals: Optional[np.ndarray] = None
     ids: List[bytes] = field(default_factory=list)
+    # byte offset one past the last record of this batch in the source
+    # stream (record-aligned resume point for checkpointing); None when
+    # unknown (pure-Python framing, mid-tail flushes, interleaved workers)
+    file_offset: Optional[int] = None
 
     @property
     def num_reads(self) -> int:
@@ -180,7 +184,8 @@ class ReadBatch:
         if self.quals is not None:
             quals = np.zeros((n, self.max_len), dtype=np.uint8)
             quals[: self.num_reads] = self.quals
-        return ReadBatch(seqs=seqs, lengths=lengths, quals=quals, ids=list(self.ids))
+        return ReadBatch(seqs=seqs, lengths=lengths, quals=quals,
+                         ids=list(self.ids), file_offset=self.file_offset)
 
 
 @dataclass
@@ -204,6 +209,8 @@ class PackedReadBatch:
     vbits: Optional[np.ndarray] = None
     ids: List[bytes] = field(default_factory=list)
     normalized: bool = True
+    # record-aligned resume offset; see ReadBatch.file_offset
+    file_offset: Optional[int] = None
 
     @property
     def num_reads(self) -> int:
@@ -237,6 +244,7 @@ class PackedReadBatch:
             vbits=vbits,
             ids=batch.ids,
             normalized=normalized,
+            file_offset=batch.file_offset,
         )
 
     def unpack_host(self) -> np.ndarray:
@@ -261,7 +269,7 @@ class PackedReadBatch:
             vbits[: self.num_reads] = self.vbits
         return PackedReadBatch(
             codes=codes, lengths=lengths, vbits=vbits, ids=list(self.ids),
-            normalized=self.normalized,
+            normalized=self.normalized, file_offset=self.file_offset,
         )
 
 

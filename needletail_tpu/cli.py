@@ -64,6 +64,11 @@ def _cmd_count(args) -> int:
     from .device.pipeline import count_file
 
     ks = tuple(int(x) for x in str(args.k).split(","))
+    ckpt_kwargs = dict(
+        checkpoint_every=args.checkpoint_every,
+        checkpoint_path=args.checkpoint,
+        resume_from=args.resume_from,
+    )
     if args.sharded:
         import jax
         import numpy as np
@@ -72,13 +77,13 @@ def _cmd_count(args) -> int:
 
         if len(ks) > 1:
             raise SystemExit("--sharded takes a single k")
-        if args.bucketed:
-            raise SystemExit("--sharded and --bucketed are mutually exclusive")
         mesh = make_mesh(jax.devices(), data=len(jax.devices()), table=1)
         n_bases, (keys, counts) = sharded_count_file(
             args.path, ks[0], mesh=mesh, batch_size=args.batch_size,
             host_workers=args.host_workers,
             quality_cutoff=args.quality_cutoff,
+            bucketed=args.bucketed,
+            **ckpt_kwargs,
         )
         print(
             f"# {n_bases} bases, {int(counts.sum())} canonical {ks[0]}-mers, "
@@ -91,6 +96,10 @@ def _cmd_count(args) -> int:
         if args.top:
             _top_kmers(keys, counts, ks[0], args.top)
         return 0
+    if len(ks) > 1 and any(v is not None for v in ckpt_kwargs.values()):
+        raise SystemExit(
+            "--checkpoint/--resume-from support a single k per stream"
+        )
     n_bases, spec = count_file(
         args.path,
         k=ks if len(ks) > 1 else ks[0],
@@ -99,6 +108,7 @@ def _cmd_count(args) -> int:
         sparse_format="arrays",
         quality_cutoff=args.quality_cutoff,
         host_workers=args.host_workers,
+        **({} if len(ks) > 1 else ckpt_kwargs),
     )
     import numpy as np
 
@@ -158,6 +168,9 @@ def _cmd_hash_count(args) -> int:
         table_bits=args.table_bits,
         batch_size=args.batch_size,
         host_workers=args.host_workers,
+        checkpoint_every=args.checkpoint_every,
+        checkpoint_path=args.checkpoint,
+        resume_from=args.resume_from,
     )
     print(
         json.dumps(
@@ -243,6 +256,29 @@ def _cmd_spectrum(args) -> int:
     return 0
 
 
+def _add_checkpoint_flags(p) -> None:
+    p.add_argument(
+        "--checkpoint",
+        default=None,
+        metavar="PATH",
+        help="write a resumable state file here every --checkpoint-every batches",
+    )
+    p.add_argument(
+        "--checkpoint-every",
+        type=int,
+        default=None,
+        metavar="N",
+        help="batches between checkpoints (needs --checkpoint; single-stream, "
+        "uncompressed input)",
+    )
+    p.add_argument(
+        "--resume-from",
+        default=None,
+        metavar="PATH",
+        help="resume from a checkpoint file (bit-identical final result)",
+    )
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="needletail-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -270,6 +306,7 @@ def main(argv=None) -> int:
     p.add_argument("--sharded", action="store_true",
                    help="exact spectrum over every device (per-chip sorts)")
     p.add_argument("-o", "--output", help="write spectrum .npz")
+    _add_checkpoint_flags(p)
     p.set_defaults(fn=_cmd_count)
 
     p = sub.add_parser("hash-count", help="hash count table (headline pipeline)")
@@ -280,6 +317,7 @@ def main(argv=None) -> int:
     p.add_argument("--host-workers", type=int, default=None,
                    help="framing processes (default: auto from CPU count)")
     p.add_argument("-o", "--output", help="write table .npz")
+    _add_checkpoint_flags(p)
     p.set_defaults(fn=_cmd_hash_count)
 
     p = sub.add_parser("bgzip", help="recompress to BGZF (block-parallel decompressible)")

@@ -18,7 +18,7 @@ All routines take ``KmerWindows`` so they compose with ``pack_kmers`` /
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +35,7 @@ __all__ = [
     "unique_counts",
     "mask_keys",
     "compact_spectrum",
+    "compact_runs_device",
     "finalize_sparse",
     "merge_sorted_spectra",
     "SparseSpectrumAccumulator",
@@ -169,6 +170,28 @@ def sorted_spectrum(windows: KmerWindows) -> Tuple[jax.Array, jax.Array, jax.Arr
     return unique_counts(hi, lo)
 
 
+@jax.jit
+def compact_runs_device(
+    hi_s: jax.Array, lo_s: jax.Array, counts: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Move the distinct run entries of ``unique_counts`` output to the
+    FRONT on device (stable 1-key sort on the zero-count flag, so key
+    order is preserved), returning ``(hi_c, lo_c, counts_c, n_distinct)``.
+
+    This bounds the device->host pull of a sparse flush to the actual
+    distinct entries (``[:n_distinct]``) instead of every window lane —
+    the lanes:distinct ratio is routinely 50-1000x, and the host link
+    (PCIe, or ~20 MB/s through this dev tunnel) is the exact path's
+    bottleneck once the sort runs at device speed.
+    """
+    flag = (counts <= 0).astype(jnp.uint32)
+    _, hi_c, lo_c, c_c = jax.lax.sort(
+        (flag, hi_s, lo_s, counts), num_keys=1, is_stable=True
+    )
+    n = jnp.sum((counts > 0).astype(jnp.int32))
+    return hi_c, lo_c, c_c, n
+
+
 def compact_spectrum(
     hi: np.ndarray, lo: np.ndarray, counts: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -185,12 +208,23 @@ def compact_spectrum(
     return keys, counts[keep].astype(np.int64)
 
 
-def finalize_sparse(key_parts, pad_multiple: int = 1 << 20):
+def finalize_sparse(
+    key_parts, pad_multiple: int = 1 << 20, device_compact: Optional[bool] = None
+):
     """Concatenate per-batch masked (hi, lo) key planes, pad with the
     sentinel to a shape bucket (bounds recompiles across file sizes), and
-    resolve with one device sort: returns ``(keys_u64, counts)`` numpy."""
+    resolve with one device sort: returns ``(keys_u64, counts)`` numpy.
+
+    ``device_compact`` runs :func:`compact_runs_device` so only the
+    distinct entries cross the device->host link (default: on for real
+    accelerators, where the host link — PCIe or worse — binds; off for
+    the CPU backend, where the "pull" is a local copy and the extra
+    stable sort is pure overhead).
+    """
     import jax.numpy as jnp
 
+    if device_compact is None:
+        device_compact = jax.default_backend() != "cpu"
     if not key_parts:
         return np.zeros(0, np.uint64), np.zeros(0, np.int64)
     hi = jnp.concatenate([h.reshape(-1) for h, _ in key_parts])
@@ -200,7 +234,15 @@ def finalize_sparse(key_parts, pad_multiple: int = 1 << 20):
         fill = jnp.full((pad,), _SENTINEL, dtype=jnp.uint32)
         hi = jnp.concatenate([hi, fill])
         lo = jnp.concatenate([lo, fill])
-    return compact_spectrum(*unique_counts(hi, lo))
+    hi_s, lo_s, counts = unique_counts(hi, lo)
+    if device_compact:
+        hi_c, lo_c, c_c, n = compact_runs_device(hi_s, lo_s, counts)
+        n = int(n)
+        keys = (
+            np.asarray(hi_c[:n]).astype(np.uint64) << np.uint64(32)
+        ) | np.asarray(lo_c[:n]).astype(np.uint64)
+        return keys, np.asarray(c_c[:n]).astype(np.int64)
+    return compact_spectrum(hi_s, lo_s, counts)
 
 
 def merge_sorted_spectra(
@@ -264,8 +306,17 @@ class SparseSpectrumAccumulator:
         )
 
     def finish(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Merged ``(keys, counts)``; the accumulator stays usable (used
+        both at EOF and to snapshot state for checkpoints)."""
         self._flush()
         return self._keys, self._counts
+
+    def restore(self, keys: np.ndarray, counts: np.ndarray) -> None:
+        """Re-seed the merged spectrum (checkpoint resume)."""
+        if self._parts or self._keys.size:
+            raise ValueError("restore() only applies to a fresh accumulator")
+        self._keys = np.asarray(keys, dtype=np.uint64)
+        self._counts = np.asarray(counts, dtype=np.int64)
 
 
 def spectrum_arrays_to_dict(keys: np.ndarray, counts: np.ndarray) -> Dict[int, int]:

@@ -32,6 +32,8 @@ __all__ = [
     "canonical_hash_tally",
     "canonical_hash_keys",
     "canonical_hash_keys_packed",
+    "canonical_key_planes",
+    "canonical_key_planes_packed",
     "canonical_windows_pallas",
     "mxu_histogram16",
 ]
@@ -110,18 +112,8 @@ def _roll_left(x: jax.Array, j: int, l: int) -> jax.Array:
     return pltpu.roll(x, l - j, 1)
 
 
-def _tally_body(
-    seq_ref,
-    len_ref,
-    *,
-    k: int,
-    normalized: bool,
-    table_mask: int,
-    c1: int,
-    c2: int,
-    encoded: bool = False,
-):
-    """Shared tally computation: (hash, valid, use_rc) for every window.
+def _canon_body(seq_ref, len_ref, *, k: int, normalized: bool, encoded: bool):
+    """Canonical window values for every lane: (hi, lo, valid, use_rc).
 
     Window packing rides the shared power-of-two doubling ladders
     (``device._ladder``, one source of truth with the XLA path); only the
@@ -144,7 +136,24 @@ def _tally_body(
     use_rc = (fwd_hi > rc_hi) | ((fwd_hi == rc_hi) & (fwd_lo > rc_lo))
     hi = jnp.where(use_rc, rc_hi, fwd_hi)
     lo = jnp.where(use_rc, rc_lo, fwd_lo)
+    return hi, lo, valid, use_rc
 
+
+def _tally_body(
+    seq_ref,
+    len_ref,
+    *,
+    k: int,
+    normalized: bool,
+    table_mask: int,
+    c1: int,
+    c2: int,
+    encoded: bool = False,
+):
+    """Shared tally computation: (hash, valid, use_rc) for every window."""
+    hi, lo, valid, use_rc = _canon_body(
+        seq_ref, len_ref, k=k, normalized=normalized, encoded=encoded
+    )
     h = ((lo * jnp.uint32(c1)) ^ (hi * jnp.uint32(c2))) & jnp.uint32(table_mask)
     return h, valid, use_rc
 
@@ -177,6 +186,28 @@ def _keys_kernel(seq_ref, len_ref, keys_ref, total_ref, fwd_ref, **kw):
     i = pl.program_id(0)
     h, valid, use_rc = _tally_body(seq_ref, len_ref, **kw)
     keys_ref[:] = jnp.where(valid, h.astype(jnp.int32), jnp.int32(-1))
+    _accumulate_tallies(i, total_ref, fwd_ref, valid, use_rc)
+
+
+def _planes_kernel(
+    seq_ref, len_ref, khi_ref, klo_ref, total_ref, fwd_ref, *,
+    k, normalized, table_mask, c1, c2, encoded=False,
+):
+    """Exact-path variant: full canonical (hi, lo) window values with
+    invalid lanes masked to the sentinel (0xFFFFFFFF == -1 as int32) —
+    the exact input format of ``count.unique_counts``.  One fused HBM
+    pass replaces the XLA encode+ladder composition (measured ~3x)."""
+    i = pl.program_id(0)
+    hi, lo, valid, use_rc = _canon_body(
+        seq_ref, len_ref, k=k, normalized=normalized, encoded=encoded
+    )
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    khi_ref[:] = jax.lax.bitcast_convert_type(
+        jnp.where(valid, hi, sentinel), jnp.int32
+    )
+    klo_ref[:] = jax.lax.bitcast_convert_type(
+        jnp.where(valid, lo, sentinel), jnp.int32
+    )
     _accumulate_tallies(i, total_ref, fwd_ref, valid, use_rc)
 
 
@@ -286,6 +317,50 @@ def canonical_hash_keys(
     return _run_tally(
         _keys_kernel, 1, seqs, lengths, k, table_bits, normalized, block_rows
     )
+
+
+@partial(jax.jit, static_argnames=("k", "normalized", "block_rows"))
+def canonical_key_planes(
+    seqs: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    normalized: bool = True,
+    block_rows: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fused Pallas pass for the EXACT path: full canonical (hi, lo)
+    window values, sentinel-masked, plus total/forward tallies.
+
+    Returns ``(khi, klo, total, fwd)`` where ``khi``/``klo`` are uint32
+    [B, L] planes with invalid windows carrying (0xFFFFFFFF, 0xFFFFFFFF)
+    — exactly what ``count.unique_counts``/``mask_keys`` consumers expect
+    (flatten before sorting).  Single HBM pass vs the XLA
+    encode+ladder+mask composition (~3x on v5e for 128-base reads).
+    """
+    khi, klo, total, fwd = _run_tally(
+        _planes_kernel, 2, seqs, lengths, k, 16, normalized, block_rows
+    )
+    u = lambda p: jax.lax.bitcast_convert_type(p, jnp.uint32)
+    return u(khi), u(klo), total, fwd
+
+
+@partial(jax.jit, static_argnames=("k", "block_rows"))
+def canonical_key_planes_packed(
+    codes: jax.Array,
+    vbits: Optional[jax.Array],
+    lengths: jax.Array,
+    k: int,
+    block_rows: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """:func:`canonical_key_planes` over the packed 2-bit transport."""
+    from .ops import unpack_codes
+
+    seqs = unpack_codes(codes, vbits)
+    khi, klo, total, fwd = _run_tally(
+        _planes_kernel, 2, seqs, lengths, k, 16, True, block_rows,
+        encoded=True,
+    )
+    u = lambda p: jax.lax.bitcast_convert_type(p, jnp.uint32)
+    return u(khi), u(klo), total, fwd
 
 
 @partial(jax.jit, static_argnames=("k", "table_bits", "block_rows"))

@@ -92,6 +92,9 @@ def count_file(
     host_workers: Optional[int] = None,
     spill_dir: Optional[str] = None,
     packed: Optional[bool] = None,
+    checkpoint_every: Optional[int] = None,
+    checkpoint_path: Optional[str] = None,
+    resume_from: Optional[str] = None,
 ) -> Tuple[int, Union[np.ndarray, Dict[int, int], Tuple[np.ndarray, np.ndarray]]]:
     """Stream a FASTX file through the device k-mer counter.
 
@@ -114,6 +117,12 @@ def count_file(
     ``packed=None`` auto-selects the 2-bit packed transport (4x fewer
     host->device bytes) whenever the batch doesn't need quality planes or
     bucketed shapes; results are bit-identical either way.
+
+    ``checkpoint_every=N`` + ``checkpoint_path`` persist the running state
+    (dense limb table or merged sparse spectrum, plus the record-aligned
+    byte offset) every N batches; ``resume_from=`` continues from such a
+    file with a bit-identical final spectrum.  Single-stream framing over
+    an uncompressed file; incompatible with ``bucketed`` and multi-k.
     """
     if isinstance(k, (tuple, list, set, frozenset)):
         # single-pass multi-k: count_file(path, k=(4, 21, 31)) shares the
@@ -122,6 +131,11 @@ def count_file(
             raise ValueError(
                 "multi-k counting does not take bucketed/dense; call "
                 "multi_k_count_file directly for full control"
+            )
+        if checkpoint_every is not None or resume_from is not None:
+            raise ValueError(
+                "checkpoint/resume supports a single k per stream today; "
+                "run per-k count_file calls to checkpoint multi-k work"
             )
         return multi_k_count_file(
             path,
@@ -141,6 +155,16 @@ def count_file(
         raise ValueError(
             "bucketed=True and host_workers>1 are mutually exclusive: "
             "bucketed framing is single-process (pass one or the other)"
+        )
+    ckpt_mode = checkpoint_every is not None or resume_from is not None
+    if ckpt_mode:
+        if bucketed:
+            raise ValueError(
+                "checkpoint/resume needs the single-shape stream, not "
+                "bucketed batching"
+            )
+        _validate_checkpoint_args(
+            checkpoint_every, checkpoint_path, host_workers
         )
     if dense is None:
         dense = k <= _count.MAX_DENSE_K
@@ -195,24 +219,107 @@ def count_file(
         spec = _count.dense_spectrum(_windows(seqs, lengths, quals, vbits), k)
         return acc64(table_lo, table_hi, spec)
 
+    # EXACT extraction: on TPU the fused Pallas key-plane kernel replaces
+    # the XLA encode+ladder composition (~3x; same sentinel-masked keys).
+    use_pallas_keys = (
+        canonical
+        and quality_cutoff is None
+        and jax.default_backend() == "tpu"
+    )
+
     @jax.jit
     def _keys(seqs, lengths, quals, vbits):
+        if use_pallas_keys:
+            from .pallas_kernels import (
+                canonical_key_planes,
+                canonical_key_planes_packed,
+            )
+
+            if packed:
+                khi, klo, _, _ = canonical_key_planes_packed(
+                    seqs, vbits, lengths, k
+                )
+            else:
+                khi, klo, _, _ = canonical_key_planes(
+                    seqs, lengths, k, normalized=normalized
+                )
+            # windows only exist at positions [0, L-k+1); later lanes are
+            # sentinel anyway — slicing them off shrinks the sort
+            w = khi.shape[1] - k + 1
+            return khi[:, :w].reshape(-1), klo[:, :w].reshape(-1)
         return _count.mask_keys(_windows(seqs, lengths, quals, vbits))
+
+    start_offset = 0
+    if resume_from is not None:
+        from ..parallel.checkpoint import load_stream_checkpoint
+        from ..utils.limbs import int64_array_to_limbs
+
+        ck = load_stream_checkpoint(resume_from)
+        want = "count_dense" if accumulate_dense else "count_sparse"
+        if ck["kind"] != want or ck["k"] != k:
+            raise ValueError(
+                f"checkpoint {resume_from!r} is kind={ck['kind']} "
+                f"k={ck['k']}, expected kind={want} k={k}"
+            )
+        start_offset = ck["file_offset"]
+        n_bases = ck["n_bases"]
+        if accumulate_dense:
+            lo, hi = int64_array_to_limbs(ck["arrays"]["table"])
+            dense_limbs = (jnp.asarray(lo), jnp.asarray(hi))
+        else:
+            sparse.restore(ck["arrays"]["keys"], ck["arrays"]["counts"])
+
+    def _save_ckpt(offset):
+        from ..parallel.checkpoint import save_stream_checkpoint
+
+        if accumulate_dense:
+            table = (
+                np.zeros(4**k, np.int64)
+                if dense_limbs is None
+                else np.asarray(limbs_to_int64_array(*dense_limbs))
+            )
+            save_stream_checkpoint(
+                checkpoint_path, "count_dense", k, offset, n_bases,
+                {"table": table}, input_path=str(path),
+            )
+        else:
+            # finish() flushes (one sort) and leaves the accumulator live
+            keys, counts = sparse.finish()
+            save_stream_checkpoint(
+                checkpoint_path, "count_sparse", k, offset, n_bases,
+                {"keys": keys, "counts": counts}, input_path=str(path),
+            )
 
     if bucketed:
         from ..io.bucketed import bucketed_read_batches
 
         batches = bucketed_read_batches(path, batch_size=batch_size, max_len=max_len)
+    elif ckpt_mode:
+        batches = _checkpoint_source(
+            path, batch_size, max_len, quality_cutoff is not None,
+            packed, normalized, start_offset,
+        )
     else:
         batches, _ = _make_batch_source(
             path, batch_size, max_len, host_workers,
             with_quals=quality_cutoff is not None, spill_dir=spill_dir,
             packed=packed, normalized=normalized,
         )
+    def _maybe_ckpt(batches_done, offset):
+        if (
+            checkpoint_every is not None
+            and batches_done % checkpoint_every == 0
+            and offset is not None
+        ):
+            _save_ckpt(offset)
+
+    batches_done = 0
     for batch in batches:
         if batch.max_len < k:
             # no window fits; bases still count
             n_bases += batch.num_bases
+            batches_done += 1
+            _maybe_ckpt(batches_done, batch.file_offset)
             continue
         if packed:
             seqs = jnp.asarray(batch.codes)
@@ -238,6 +345,8 @@ def count_file(
             dense_limbs = _accumulate(*dense_limbs, seqs, lengths, quals, vbits)
         else:
             sparse.add(*_keys(seqs, lengths, quals, vbits))
+        batches_done += 1
+        _maybe_ckpt(batches_done, batch.file_offset)
     if accumulate_dense:
         if dense_limbs is None:
             return n_bases, np.zeros(4**k, np.int64)
@@ -370,6 +479,50 @@ def _make_batch_source(
             spill.__exit__(None, None, None)
 
     return gen(), host_workers
+
+
+def _checkpoint_source(
+    path, batch_size, max_len, with_quals, packed, normalized, start_offset
+):
+    """Single-stream, offset-reporting batch source for checkpoint/resume.
+
+    Resume = re-frame ``[start_offset, EOF)``; offsets come from the
+    batchers' record-aligned ``file_offset`` (io.fast_batch).  Compressed
+    input can't seek to a decompressed offset, and multi-worker framing
+    interleaves batches — both are rejected up front.
+    """
+    import os as _os
+
+    from ..io.compression import sniff_compression
+    from ..io.fast_batch import fast_read_batches_range
+
+    if str(path) == "-":
+        raise ValueError("checkpoint/resume needs a seekable file, not stdin")
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if len(magic) == 2 and sniff_compression(magic):
+        raise ValueError(
+            "checkpoint/resume needs an UNCOMPRESSED input (byte offsets "
+            "must be seekable); decompress first (e.g. io.spill)"
+        )
+    size = _os.path.getsize(path)
+    return fast_read_batches_range(
+        path, start_offset, size, batch_size=batch_size, max_len=max_len,
+        with_quals=with_quals, packed=packed, normalized=normalized,
+    )
+
+
+def _validate_checkpoint_args(checkpoint_every, checkpoint_path, host_workers):
+    if checkpoint_every is not None:
+        if checkpoint_path is None:
+            raise ValueError("checkpoint_every needs a checkpoint_path")
+        if checkpoint_every < 1:
+            raise ValueError("checkpoint_every must be >= 1 (batches)")
+    if host_workers is not None and host_workers > 1:
+        raise ValueError(
+            "checkpoint/resume is single-stream (offsets must be "
+            "monotonic); pass host_workers=1"
+        )
 
 
 def multi_k_count_file(
@@ -510,6 +663,9 @@ def hash_count_file(
     spill_dir: Optional[str] = None,
     double_buffer: bool = True,
     packed: bool = True,
+    checkpoint_every: Optional[int] = None,
+    checkpoint_path: Optional[str] = None,
+    resume_from: Optional[str] = None,
 ) -> Tuple[int, int, int, np.ndarray]:
     """Stream a FASTX file through the fused Pallas hash-counting pipeline
     (the headline bench path): canonical k-mer extraction -> -1-masked hash
@@ -532,6 +688,13 @@ def hash_count_file(
     decode-to-spill; ``double_buffer`` frames + uploads the next batch
     while the device runs) exists because one framing core cannot feed a
     chip.
+
+    ``checkpoint_every=N`` writes the full state (table limbs, tallies,
+    record-aligned byte offset) to ``checkpoint_path`` every N batches;
+    ``resume_from=`` restarts from such a file, re-framing ``[offset,
+    EOF)`` — the final table is bit-identical to an uninterrupted run
+    (integer adds commute).  Both need single-stream framing over an
+    uncompressed file.
     """
     import jax
 
@@ -545,6 +708,29 @@ def hash_count_file(
         raise ValueError("the MXU histogram shard is 2^16 bins; table_bits <= 16")
 
     from ..utils.limbs import acc64, limbs_to_int
+
+    ckpt_mode = checkpoint_every is not None or resume_from is not None
+    if ckpt_mode:
+        _validate_checkpoint_args(
+            checkpoint_every, checkpoint_path, host_workers
+        )
+    start_offset = 0
+    resume_bases = 0
+    resume_state = None
+    if resume_from is not None:
+        from ..parallel.checkpoint import load_stream_checkpoint
+
+        ck = load_stream_checkpoint(resume_from)
+        if ck["kind"] != "hash" or ck["k"] != k:
+            raise ValueError(
+                f"checkpoint {resume_from!r} is kind={ck['kind']} k={ck['k']}, "
+                f"expected kind=hash k={k}"
+            )
+        if int(ck["meta"]["table_bits"]) != table_bits:
+            raise ValueError("checkpoint table_bits mismatch")
+        start_offset = ck["file_offset"]
+        resume_bases = ck["n_bases"]
+        resume_state = ck
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(table_lo, table_hi, tallies, seqs, lengths, vbits):
@@ -565,18 +751,40 @@ def hash_count_file(
     table_lo = jnp.zeros((1 << table_bits,), jnp.uint32)
     table_hi = jnp.zeros((1 << table_bits,), jnp.uint32)
     tallies = jnp.zeros((4,), jnp.uint32)  # (total_lo, total_hi, fwd_lo, fwd_hi)
-    n_bases = 0
-    batches, _ = _make_batch_source(
-        path, batch_size, max_len, host_workers,
-        # the hash pipeline never reads qualities; don't ship them
-        # through the worker IPC queue
-        with_quals=False, spill_dir=spill_dir,
-        packed=packed, normalized=normalized,
-    )
+    n_bases = resume_bases
+    if resume_state is not None:
+        t64 = resume_state["arrays"]["table"].astype(np.int64, copy=False)
+        table_lo = jnp.asarray((t64 & 0xFFFFFFFF).astype(np.uint32))
+        table_hi = jnp.asarray((t64 >> 32).astype(np.uint32))
+        total0 = int(resume_state["meta"]["total"])
+        fwd0 = int(resume_state["meta"]["fwd"])
+        tallies = jnp.asarray(
+            np.array(
+                [
+                    total0 & 0xFFFFFFFF,
+                    total0 >> 32,
+                    fwd0 & 0xFFFFFFFF,
+                    fwd0 >> 32,
+                ],
+                dtype=np.uint32,
+            )
+        )
+    if ckpt_mode:
+        batches = _checkpoint_source(
+            path, batch_size, max_len, False, packed, normalized, start_offset
+        )
+    else:
+        batches, _ = _make_batch_source(
+            path, batch_size, max_len, host_workers,
+            # the hash pipeline never reads qualities; don't ship them
+            # through the worker IPC queue
+            with_quals=False, spill_dir=spill_dir,
+            packed=packed, normalized=normalized,
+        )
 
     def _place(batch):
         if batch.max_len < k:
-            return batch.num_bases, None, None, None
+            return batch.num_bases, None, None, None, batch.file_offset
         b = (
             batch
             if batch.num_reads == batch_size
@@ -589,8 +797,36 @@ def hash_count_file(
                 jnp.asarray(b.codes),
                 jnp.asarray(b.lengths),
                 jnp.asarray(vb) if vb is not None else None,
+                batch.file_offset,
             )
-        return batch.num_bases, jnp.asarray(b.seqs), jnp.asarray(b.lengths), None
+        return (
+            batch.num_bases,
+            jnp.asarray(b.seqs),
+            jnp.asarray(b.lengths),
+            None,
+            batch.file_offset,
+        )
+
+    def _save_checkpoint(offset):
+        from ..parallel.checkpoint import save_stream_checkpoint
+        from ..utils.limbs import limbs_to_int64_array
+
+        t = np.asarray(limbs_to_int64_array(table_lo, table_hi))
+        tal = np.asarray(tallies)
+        save_stream_checkpoint(
+            checkpoint_path,
+            "hash",
+            k,
+            offset,
+            n_bases,
+            {"table": t},
+            input_path=str(path),
+            meta={
+                "table_bits": np.int32(table_bits),
+                "total": np.int64(limbs_to_int(tal[0], tal[1])),
+                "fwd": np.int64(limbs_to_int(tal[2], tal[3])),
+            },
+        )
 
     if double_buffer:
         from ..io.feed import device_feed
@@ -598,13 +834,20 @@ def hash_count_file(
         placed = device_feed(batches, _place)
     else:
         placed = (_place(b) for b in batches)
-    for nb, seqs, lengths, vbits in placed:
+    batches_done = 0
+    for nb, seqs, lengths, vbits, offset in placed:
         n_bases += nb
-        if seqs is None:
-            continue
-        table_lo, table_hi, tallies = step(
-            table_lo, table_hi, tallies, seqs, lengths, vbits
-        )
+        if seqs is not None:
+            table_lo, table_hi, tallies = step(
+                table_lo, table_hi, tallies, seqs, lengths, vbits
+            )
+        batches_done += 1
+        if (
+            checkpoint_every is not None
+            and batches_done % checkpoint_every == 0
+            and offset is not None
+        ):
+            _save_checkpoint(offset)
     tallies = np.asarray(tallies)
     total = limbs_to_int(tallies[0], tallies[1])
     fwd = limbs_to_int(tallies[2], tallies[3])

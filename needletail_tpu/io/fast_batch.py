@@ -48,11 +48,15 @@ class _StreamWindow:
     the front.  ``eof`` is True once the stream is exhausted (the returned
     view then holds every remaining byte)."""
 
-    def __init__(self, stream) -> None:
+    def __init__(self, stream, base_offset: int = 0) -> None:
         self._stream = stream
         self._buf = np.empty(2 * _CHUNK, dtype=np.uint8)
         self._len = 0
         self.eof = False
+        # absolute stream offset of the window's first byte (for
+        # record-aligned checkpoint offsets; decompressed-space for
+        # compressed streams)
+        self.abs_offset = base_offset
 
     def fill(self, need: int) -> np.ndarray:
         while not self.eof and self._len < need:
@@ -79,6 +83,7 @@ class _StreamWindow:
             remaining = self._len - n
             self._buf[:remaining] = self._buf[n : self._len]
             self._len = remaining
+            self.abs_offset += n
 
     def remaining(self) -> np.ndarray:
         return self._buf[: self._len]
@@ -107,6 +112,11 @@ class _MmapWindow:
         self._pos = start
         self._end = self._arr.size if end is None else min(end, self._arr.size)
         self.eof = self._pos >= self._end
+
+    @property
+    def abs_offset(self) -> int:
+        """Absolute file offset of the window's first byte."""
+        return self._pos
 
     def fill(self, need: int) -> np.ndarray:
         stop = min(self._pos + max(need, 2 * _CHUNK), self._end)
@@ -261,6 +271,9 @@ class _FastqBatcher:
             self._lut = np.ascontiguousarray(encode_lut(normalized))
         self._dirty = 0  # invalid bases packed into the current batch
         self._count_base = 0  # records scanned in prior chunks (line accounting)
+        # absolute offset one past the last record filled into the current
+        # batch (record-aligned resume point); None until known
+        self._emit_offset = None
 
     def _alloc(self):
         ml = self._max_len
@@ -294,9 +307,11 @@ class _FastqBatcher:
                 vbits=quals if self._dirty else None,
                 ids=_take_ids(ids),
                 normalized=self._normalized,
+                file_offset=self._emit_offset,
             )
         return ReadBatch(
-            seqs=seqs, lengths=lengths, quals=quals, ids=_take_ids(ids)
+            seqs=seqs, lengths=lengths, quals=quals, ids=_take_ids(ids),
+            file_offset=self._emit_offset,
         )
 
     def _fill(self, pending, chunk_recs, seqs_rows, quals_rows, len_rows):
@@ -334,6 +349,7 @@ class _FastqBatcher:
 
         while True:
             pending = win.fill(need)
+            pending_abs = win.abs_offset
             if pending.size == 0 and win.eof:
                 break
 
@@ -376,6 +392,7 @@ class _FastqBatcher:
                     )
                 if self._with_ids:
                     ids.add_packed(*native.extract_ids_packed(pending, chunk_recs, fastq=True))
+                self._emit_offset = pending_abs + int(chunk_recs[-1, 4]) + 1
                 fill += take
                 idx += take
                 if fill == self._bs:
@@ -413,6 +430,7 @@ class _FastqBatcher:
                         seqs = quals = lengths = None
                         ids = _new_ids(self._with_ids)
                     raise
+                self._emit_offset = win.abs_offset + tail_arr.size
                 if row is not None:
                     if seqs is None:
                         seqs, quals, lengths = self._alloc()
@@ -506,6 +524,7 @@ class _FastaBatcher:
         self._dirty = 0
         self._vbits = None  # packed mode's validity plane
         self._lines_done = 0
+        self._emit_offset = None  # see _FastqBatcher
 
     def _alloc(self):
         if self._packed:
@@ -531,9 +550,11 @@ class _FastaBatcher:
             return PackedReadBatch(
                 codes=seqs, lengths=lengths, vbits=vbits,
                 ids=_take_ids(ids), normalized=self._normalized,
+                file_offset=self._emit_offset,
             )
         return ReadBatch(
-            seqs=seqs, lengths=lengths, quals=None, ids=_take_ids(ids)
+            seqs=seqs, lengths=lengths, quals=None, ids=_take_ids(ids),
+            file_offset=self._emit_offset,
         )
 
     def _fill(self, pending, chunk_recs, seqs_rows, vbits_rows, len_rows):
@@ -564,6 +585,7 @@ class _FastaBatcher:
 
         while True:
             pending = win.fill(need)
+            pending_abs = win.abs_offset
             if pending.size == 0 and win.eof:
                 break
             if not started:
@@ -609,6 +631,7 @@ class _FastaBatcher:
                     )
                 if self._with_ids:
                     ids.add_packed(*native.extract_ids_packed(pending, chunk_recs, fastq=False))
+                self._emit_offset = pending_abs + int(chunk_recs[-1, 2]) + 1
                 fill += take
                 idx += take
                 if fill == self._bs:
@@ -630,6 +653,8 @@ class _FastaBatcher:
                 # delegate the final (possibly truncated) record to the
                 # reference-exact streaming reader, offsetting line numbers
                 reader = FastaReader(bytes(tail_arr))
+                tail_end = win.abs_offset + tail_arr.size
+                self._emit_offset = None
                 try:
                     while (rec := reader.next()) is not None:
                         s = rec.seq()
@@ -661,6 +686,7 @@ class _FastaBatcher:
                             seqs = lengths = None
                             ids = _new_ids(self._with_ids)
                             fill = 0
+                    self._emit_offset = tail_end
                 except ParseError as exc:
                     if seqs is not None and fill > 0:
                         yield self._emit(seqs, lengths, ids, n=fill)

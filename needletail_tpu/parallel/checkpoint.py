@@ -26,7 +26,80 @@ __all__ = [
     "CountCheckpoint",
     "save_hash_state",
     "load_hash_state",
+    "save_stream_checkpoint",
+    "load_stream_checkpoint",
 ]
+
+
+def save_stream_checkpoint(
+    path: Union[str, Path],
+    kind: str,
+    k: int,
+    file_offset: int,
+    n_bases: int,
+    arrays: dict,
+    input_path: Optional[str] = None,
+    meta: Optional[dict] = None,
+) -> None:
+    """Atomically persist a mid-stream counting checkpoint.
+
+    ``kind`` names the driver ("hash" / "count_dense" / "count_sparse" /
+    "sharded_exact"); ``file_offset`` is the record-aligned byte offset the
+    batcher reported for the last folded batch (resume = re-frame
+    ``[file_offset, EOF)``; integer adds commute, so the final table is
+    bit-identical to an uninterrupted run — ref utils.rs:53-72 position
+    semantics, SURVEY §5).  Written to a temp file + ``os.replace`` so a
+    kill mid-save never corrupts the previous checkpoint.
+    """
+    import os
+    import tempfile
+
+    path = str(path)
+    payload = {
+        "kind": np.bytes_(kind.encode()),
+        "k": np.int32(k),
+        "file_offset": np.int64(file_offset),
+        "n_bases": np.int64(n_bases),
+        "input_path": np.bytes_(str(input_path or "").encode()),
+    }
+    for name, arr in arrays.items():
+        payload["arr_" + name] = np.asarray(arr)
+    for name, val in (meta or {}).items():
+        payload["meta_" + name] = np.asarray(val)
+    fd, tmp = tempfile.mkstemp(
+        suffix=".npz.tmp", dir=os.path.dirname(path) or "."
+    )
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez_compressed(f, **payload)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def load_stream_checkpoint(path: Union[str, Path]) -> dict:
+    """Load a :func:`save_stream_checkpoint` file.
+
+    Returns ``{kind, k, file_offset, n_bases, input_path, arrays: {...},
+    meta: {...}}``.
+    """
+    out = {"arrays": {}, "meta": {}}
+    with np.load(path, allow_pickle=False) as z:
+        for name in z.files:
+            if name.startswith("arr_"):
+                out["arrays"][name[4:]] = z[name]
+            elif name.startswith("meta_"):
+                out["meta"][name[5:]] = z[name]
+        out["kind"] = bytes(z["kind"]).decode()
+        out["k"] = int(z["k"])
+        out["file_offset"] = int(z["file_offset"])
+        out["n_bases"] = int(z["n_bases"])
+        out["input_path"] = bytes(z["input_path"]).decode() or None
+    return out
 
 
 class CountCheckpoint:

@@ -50,21 +50,56 @@ def initialize(
     )
 
 
-def _is_fastq_record_start(buf: bytes, pos: int) -> Optional[bool]:
-    """``True``/``False`` when ``pos`` does/doesn't start a plausible FASTQ
-    record (an ``@`` line whose third line starts with ``+``); ``None`` when
-    the window is too short to decide."""
+_SYNC_DEPTH = 2
+
+
+def _is_fastq_record_start(
+    buf: bytes, pos: int, depth: int = _SYNC_DEPTH
+) -> Optional[bool]:
+    """``True``/``False`` when ``pos`` does/doesn't start a FASTQ record;
+    ``None`` when the window is too short to decide (caller extends).
+
+    Validates ``depth`` consecutive full record structures — ``@`` start,
+    ``+`` separator AND seq/qual length equality (trailing-CR aware) —
+    because the cheap 2-line heuristic is foolable: a quality line starting
+    ``@`` followed by a read whose sequence starts ``+`` mimics a record
+    start (sequences may contain any byte; the reference validates only
+    markers + lengths, ref fastq.rs:240-285).  A chain of ``depth``
+    length-consistent fake records is vanishingly unlikely on real data.
+    Truncated-at-EOF candidates stay ``None`` → the caller skips them, so
+    near-EOF cuts degrade to range imbalance, never to misparsing.
+    """
+    from ..parser.utils import trim_cr
+
     if buf[pos : pos + 1] != b"@":
         return False
     if pos > 0 and buf[pos - 1 : pos] != b"\n":
         return False
-    nl1 = buf.find(b"\n", pos)
-    if nl1 < 0:
-        return None
-    nl2 = buf.find(b"\n", nl1 + 1)
-    if nl2 < 0 or nl2 + 1 >= len(buf):
-        return None
-    return buf[nl2 + 1 : nl2 + 2] == b"+"
+    p = pos
+    for d in range(depth):
+        nls = []
+        q = p
+        for _ in range(4):
+            i = buf.find(b"\n", q)
+            if i < 0:
+                return None  # undecidable in this window
+            nls.append(i)
+            q = i + 1
+        if buf[p : p + 1] != b"@":
+            return False
+        if buf[nls[1] + 1 : nls[1] + 2] != b"+":
+            return False
+        seq = trim_cr(buf[nls[0] + 1 : nls[1]])
+        qual = trim_cr(buf[nls[2] + 1 : nls[3]])
+        if len(seq) != len(qual):
+            return False
+        p = nls[3] + 1
+        if p >= len(buf) and d + 1 < depth:
+            # complete records up to the window's end, but depth not
+            # reached: undecidable — the caller extends, and at true EOF
+            # skips the candidate (conservative: imbalance, never misparse)
+            return None
+    return True
 
 
 def _sync_forward(path: Union[str, Path], offset: int, fasta: bool) -> int:

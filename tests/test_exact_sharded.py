@@ -136,3 +136,67 @@ def test_rejects_oversize_batch(mesh):
     acc = ShardedSpectrumAccumulator(mesh, k=4, shard_lanes=8)
     with pytest.raises(ValueError, match="lanes"):
         acc.add(np.full((8, 64), 65, np.uint8), np.full(8, 64, np.int32))
+
+
+def test_sharded_bucketed_matches_flat(tmp_path):
+    """Bucketed framing through the exact sharded path (VERDICT r2 #5):
+    per-bucket shapes + row padding to the batch size must be inert."""
+    import jax
+    import numpy as np
+
+    from needletail_tpu.parallel import make_mesh
+    from needletail_tpu.parallel.exact import sharded_count_file
+
+    rng = np.random.default_rng(13)
+    p = tmp_path / "mixed.fq"
+    with open(p, "wb") as f:
+        for i in range(500):
+            ln = int(rng.choice([36, 100, 150, 300]))
+            seq = rng.choice(np.frombuffer(b"ACGTN", np.uint8), ln).tobytes()
+            f.write(b"@r%d\n" % i + seq + b"\n+\n" + b"I" * ln + b"\n")
+    mesh = make_mesh(jax.devices(), data=8, table=1)
+    flat = sharded_count_file(
+        str(p), 21, mesh=mesh, batch_size=64, host_workers=1
+    )
+    buck = sharded_count_file(
+        str(p), 21, mesh=mesh, batch_size=64, bucketed=True
+    )
+    assert flat[0] == buck[0]
+    assert np.array_equal(flat[1][0], buck[1][0])
+    assert np.array_equal(flat[1][1], buck[1][1])
+
+
+def test_compact_runs_device_matches_host():
+    """compact_runs_device (the TPU default flush path) must agree with
+    host compaction bit-for-bit; exercised explicitly here because the
+    CPU backend defaults to the host path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from needletail_tpu.device import count as _count
+
+    rng = np.random.default_rng(31)
+    n = 1 << 14
+    hi = rng.integers(0, 4, n).astype(np.uint32)
+    lo = rng.integers(0, 50, n).astype(np.uint32)
+    mask = rng.random(n) < 0.3
+    hi[mask] = 0xFFFFFFFF
+    lo[mask] = 0xFFFFFFFF
+    hi_s, lo_s, counts = _count.unique_counts(jnp.asarray(hi), jnp.asarray(lo))
+    k_host, c_host = _count.compact_spectrum(
+        np.asarray(hi_s), np.asarray(lo_s), np.asarray(counts)
+    )
+    hi_c, lo_c, c_c, nn = _count.compact_runs_device(hi_s, lo_s, counts)
+    nn = int(nn)
+    assert nn == len(k_host)
+    k_dev = (
+        np.asarray(hi_c[:nn]).astype(np.uint64) << np.uint64(32)
+    ) | np.asarray(lo_c[:nn]).astype(np.uint64)
+    assert np.array_equal(k_dev, k_host)
+    assert np.array_equal(np.asarray(c_c[:nn]).astype(np.int64), c_host)
+
+    # finalize_sparse with forced device compaction equals the host route
+    parts = [(jnp.asarray(hi), jnp.asarray(lo))]
+    k1, c1 = _count.finalize_sparse(parts, device_compact=True)
+    k2, c2 = _count.finalize_sparse(parts, device_compact=False)
+    assert np.array_equal(k1, k2) and np.array_equal(c1, c2)
