@@ -157,6 +157,54 @@ def bench_multi_k_marginal(reps):
     return dt5
 
 
+def bench_sharded_multi_k_marginal(reps):
+    """Marginal per-k cost of the fused MESH multi-k step (VERDICT r2 #4):
+    one ShardedMultiKAccumulator step for ks=(21,) vs (4,21,31) on a
+    resident batch across every visible device; prints the ratio (encode
+    shared per chip; dense k adds a psum_scatter, sparse k a buffer
+    append)."""
+    import jax
+    import jax.numpy as jnp
+
+    from needletail_tpu.batch import read_batches
+    from needletail_tpu.parallel import ShardedMultiKAccumulator, make_mesh
+
+    n = len(jax.devices())
+    mesh = make_mesh(jax.devices(), data=n, table=1)
+    batch = next(iter(read_batches(FASTQ_FILE, batch_size=2000, max_len=128)))
+    rows = -(-2000 // n) * n
+    b = batch.pad_reads_to(rows)
+    seqs, lengths = b.seqs, b.lengths
+    inner = 5
+
+    def run_ks(ks):
+        acc = ShardedMultiKAccumulator(mesh, ks, shard_lanes=1 << 21)
+        acc.add(seqs, lengths)  # warmup/compile
+
+        def run():
+            for _ in range(inner):
+                acc.add(seqs, lengths)
+            jax.block_until_ready(
+                acc._dense[min(acc._dense_ks)][0]
+                if acc._dense_ks
+                else acc._bufs[acc._sparse_ks[0]][0]
+            )
+            return acc
+
+        dt, acc = timeit(run, reps)
+        return dt / inner, acc
+
+    dt1, _ = run_ks((21,))
+    dt3, acc3 = run_ks((4, 21, 31))
+    spec = acc3.finish()
+    assert int(spec[21][1].sum()) > 0
+    print(
+        f"{'sharded multi_k/1k -> 3k step ratio':45} {dt3/dt1:8.2f}x "
+        f"(vs 3.00x for separate passes, {n} devices)"
+    )
+    return dt3
+
+
 def bench_fastq_parse(reps):
     from needletail_tpu.parser import parse_fastx_file
 
@@ -210,6 +258,7 @@ def main() -> None:
         ("kmers/31mer canonical (device)", bench_kmers_device, GOLD_FASTA_BASES),
         ("kmers/31mer canonical (device resident)", bench_kmers_device_resident, GOLD_FASTA_BASES),
         ("multi_k/5-k single-pass tally (device)", bench_multi_k_marginal, GOLD_FASTQ_BASES),
+        ("multi_k/3-k fused mesh step (sharded)", bench_sharded_multi_k_marginal, GOLD_FASTQ_BASES),
         ("fastq/parse (streaming reader)", bench_fastq_parse, GOLD_FASTQ_BASES),
         ("fastq/parse (native batched)", bench_fastq_parse_native, GOLD_FASTQ_BASES),
         ("fasta/parse (streaming reader)", bench_fasta_parse, GOLD_FASTA_BASES),

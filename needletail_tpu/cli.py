@@ -75,9 +75,53 @@ def _cmd_count(args) -> int:
 
         from .parallel import make_mesh, sharded_count_file
 
-        if len(ks) > 1:
-            raise SystemExit("--sharded takes a single k")
         mesh = make_mesh(jax.devices(), data=len(jax.devices()), table=1)
+        if len(ks) > 1:
+            # single-pass multi-k over the mesh (encode shared across k)
+            from .parallel import sharded_multi_k_count_file
+
+            if args.bucketed or args.quality_cutoff is not None or any(
+                v is not None for v in ckpt_kwargs.values()
+            ):
+                raise SystemExit(
+                    "--sharded with a k list takes no --bucketed/"
+                    "--quality-cutoff/--checkpoint flags yet"
+                )
+            n_bases, spec = sharded_multi_k_count_file(
+                args.path, ks, mesh=mesh, batch_size=args.batch_size,
+                host_workers=args.host_workers,
+            )
+            out = {}
+            for k, sp in spec.items():
+                if isinstance(sp, tuple):
+                    keys, counts = sp
+                else:
+                    keys = np.flatnonzero(sp).astype(np.uint64)
+                    counts = sp[keys.astype(np.int64)]
+                out[k] = (keys, counts)
+                print(
+                    f"# k={k}: {int(counts.sum())} canonical k-mers, "
+                    f"{len(keys)} distinct",
+                    file=sys.stderr,
+                )
+            print(
+                f"# {n_bases} bases ({len(ks)} k values in one sharded pass, "
+                f"{len(jax.devices())} devices)",
+                file=sys.stderr,
+            )
+            if args.output:
+                np.savez_compressed(
+                    args.output,
+                    ks=np.asarray(ks),
+                    **{f"keys_{k}": v[0] for k, v in out.items()},
+                    **{f"counts_{k}": v[1] for k, v in out.items()},
+                )
+                print(f"# spectra written to {args.output}", file=sys.stderr)
+            if args.top:
+                for k, (keys, counts) in out.items():
+                    print(f"# top {args.top} for k={k}:")
+                    _top_kmers(keys, counts, k, args.top)
+            return 0
         n_bases, (keys, counts) = sharded_count_file(
             args.path, ks[0], mesh=mesh, batch_size=args.batch_size,
             host_workers=args.host_workers,

@@ -8,6 +8,7 @@ tables merge with ``psum`` over ICI.
 """
 
 from .exact import ShardedSpectrumAccumulator, sharded_count_file
+from .multik import ShardedMultiKAccumulator, sharded_multi_k_count_file
 from .mesh import make_mesh, mesh_shape_for
 from .sharded import (
     CountState,
@@ -29,4 +30,6 @@ __all__ = [
     "make_hash_update_step",
     "ShardedSpectrumAccumulator",
     "sharded_count_file",
+    "ShardedMultiKAccumulator",
+    "sharded_multi_k_count_file",
 ]

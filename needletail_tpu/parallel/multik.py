@@ -1,0 +1,361 @@
+"""Multi-k canonical counting over a device mesh in ONE fused step.
+
+The north-star workload is "canonical 4..31-mer counting" at pod scale
+(BASELINE.json); ``device.pipeline.multi_k_count_file`` covers one chip and
+``parallel.exact``/``parallel.sharded`` cover one k.  This module fuses
+both axes: every batch runs a single jitted ``shard_map`` step in which
+
+  * the 2-bit encode (or packed-transport unpack) happens ONCE per chip,
+    and the power-of-two window ladders are shared across k by XLA CSE
+    (k=21 reuses k=16's prefix, exactly like the single-chip multi-k path);
+  * each dense k (<= MAX_DENSE_K) histograms locally into a full [4^k]
+    table and routes counts to their owners with one ``psum_scatter`` over
+    ``data`` (chip d owns bins [d*4^k/N, (d+1)*4^k/N)) accumulated as
+    uint32 limb pairs — the hash-pipeline topology with exact bins;
+  * each sparse k appends its sentinel-masked (hi, lo) keys to a per-chip,
+    per-k device buffer; buffers resolve per chip with one lexicographic
+    sort + run-length count (+ distinct-to-front compaction on real
+    accelerators) and the host tree-merges sorted runs per k.
+
+Exactness: integer adds commute and each window's key lives on exactly one
+chip, so every per-k result is bit-identical to the corresponding
+single-device ``count_file`` / per-k ``sharded_count_file`` run.
+
+No reference equivalent (needletail is single-threaded; ref
+benches/benchmark.rs:43-44 supplies the per-k correctness vectors).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..device import count as _count
+from ..device import kmers as _kmers
+from ..utils.limbs import acc64, limbs_to_int64_array
+from .exact import DEFAULT_SHARD_LANES, _require_data_mesh
+
+__all__ = ["ShardedMultiKAccumulator", "sharded_multi_k_count_file"]
+
+_SENTINEL = 0xFFFFFFFF
+
+
+class ShardedMultiKAccumulator:
+    """Streaming multi-k spectra over a ``data`` mesh (one step per batch).
+
+    ``add(seqs, lengths)`` (or codes + vbits in packed mode) ingests one
+    batch with rows divisible by the data axis; ``finish()`` returns
+    ``{k: spectrum}`` where dense k yield int64 ``[4^k]`` arrays and
+    sparse k yield ``(keys_u64, counts_i64)`` sorted pairs.
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        ks: Sequence[int],
+        canonical: bool = True,
+        normalized: bool = True,
+        shard_lanes: int = DEFAULT_SHARD_LANES,
+        packed: bool = False,
+    ) -> None:
+        ks = tuple(sorted({int(k) for k in ks}))
+        if not ks:
+            raise ValueError("ks must be non-empty")
+        for k in ks:
+            if not 1 <= k <= 31:
+                raise ValueError(f"every k must be in [1, 31], got {k}")
+        self._mesh = mesh
+        self._n_data = _require_data_mesh(mesh)
+        self._ks = ks
+        self._dense_ks = tuple(k for k in ks if k <= _count.MAX_DENSE_K)
+        self._sparse_ks = tuple(k for k in ks if k > _count.MAX_DENSE_K)
+        for k in self._dense_ks:
+            if (4**k) % self._n_data:
+                raise ValueError(
+                    f"4^{k} bins don't divide over data={self._n_data}; "
+                    "use a power-of-4-compatible mesh or drop k={k} to the "
+                    "sparse path with dense output downstream"
+                )
+        self._cap = int(shard_lanes)
+        self._packed = packed
+        self._canonical = canonical
+        self._normalized = normalized
+        self._offsets = {k: 0 for k in self._sparse_ks}
+        self._keys = {k: np.zeros(0, np.uint64) for k in self._sparse_ks}
+        self._counts = {k: np.zeros(0, np.int64) for k in self._sparse_ks}
+
+        data_shard = NamedSharding(mesh, P("data"))
+        self._plane_shard = NamedSharding(mesh, P("data", None))
+        self._len_shard = NamedSharding(mesh, P("data"))
+        self._dense = {
+            k: (
+                jax.device_put(jnp.zeros(4**k, jnp.uint32), data_shard),
+                jax.device_put(jnp.zeros(4**k, jnp.uint32), data_shard),
+            )
+            for k in self._dense_ks
+        }
+        fill = jnp.full((self._n_data * self._cap,), _SENTINEL, jnp.uint32)
+        self._bufs = {
+            k: (jax.device_put(fill, data_shard), jax.device_put(fill, data_shard))
+            for k in self._sparse_ks
+        }
+
+        dense_ks, sparse_ks = self._dense_ks, self._sparse_ks
+        n_data = self._n_data
+
+        def _step(dense, bufs, offsets, seqs, lengths, vbits=None):
+            """Per-chip body: one encode, every k's windows, all updates."""
+            if packed:
+                from ..device.ops import unpack_codes
+
+                seqs = unpack_codes(seqs, vbits)
+            fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
+            max_l = seqs.shape[1]  # static per trace: ks wider than the
+            new_dense = []         # batch have no windows and pass through
+            new_bufs = []
+            for i, k in enumerate(dense_ks):
+                if k > max_l:
+                    new_dense.extend((dense[2 * i], dense[2 * i + 1]))
+                    continue
+                win = fn(seqs, lengths, k, normalized=normalized,
+                         precoded=packed)
+                keys = jnp.where(win.valid, win.lo.astype(jnp.int32), 0)
+                weights = win.valid.astype(jnp.int32)
+                local = (
+                    jnp.zeros((4**k,), jnp.int32)
+                    .at[keys.reshape(-1)]
+                    .add(weights.reshape(-1))
+                )
+                upd = jax.lax.psum_scatter(
+                    local, "data", scatter_dimension=0, tiled=True
+                )
+                lo, hi = acc64(dense[2 * i], dense[2 * i + 1], upd)
+                new_dense.extend((lo, hi))
+            for i, k in enumerate(sparse_ks):
+                if k > max_l:
+                    new_bufs.extend((bufs[2 * i], bufs[2 * i + 1]))
+                    continue
+                win = fn(seqs, lengths, k, normalized=normalized,
+                         precoded=packed)
+                khi, klo = _count.mask_keys(win)
+                bh = jax.lax.dynamic_update_slice(
+                    bufs[2 * i], khi, (offsets[i],)
+                )
+                bl = jax.lax.dynamic_update_slice(
+                    bufs[2 * i + 1], klo, (offsets[i],)
+                )
+                new_bufs.extend((bh, bl))
+            return tuple(new_dense), tuple(new_bufs)
+
+        n_dense = len(dense_ks)
+        n_sparse = len(sparse_ks)
+        base_specs = (
+            (P("data"),) * (2 * n_dense),
+            (P("data"),) * (2 * n_sparse),
+            (P(),) * n_sparse,
+            P("data", None),
+            P("data"),
+        )
+        out_specs = (
+            (P("data"),) * (2 * n_dense),
+            (P("data"),) * (2 * n_sparse),
+        )
+
+        def _shmap(body, in_specs):
+            return jax.jit(
+                jax.shard_map(
+                    body, mesh=mesh, in_specs=in_specs, out_specs=out_specs
+                ),
+                donate_argnums=(0, 1),
+            )
+
+        self._step = _shmap(_step, base_specs)
+        self._step_vb = (
+            _shmap(_step, base_specs + (P("data", None),)) if packed else None
+        )
+
+        device_compact = jax.default_backend() != "cpu"
+        self._device_compact = device_compact
+
+        def _resolve(buf_hi, buf_lo):
+            hi_s, lo_s, counts = _count.unique_counts(buf_hi, buf_lo)
+            if device_compact:
+                hi_s, lo_s, counts, n = _count.compact_runs_device(
+                    hi_s, lo_s, counts
+                )
+            else:
+                n = jnp.sum((counts > 0).astype(jnp.int32))
+            return hi_s, lo_s, counts, n.reshape(1)
+
+        self._resolve = jax.jit(
+            jax.shard_map(
+                _resolve,
+                mesh=mesh,
+                in_specs=(P("data"), P("data")),
+                out_specs=(P("data"),) * 4,
+            ),
+            donate_argnums=(0, 1),
+        )
+
+    def lanes_for(self, batch_rows: int, max_len: int, k: int) -> int:
+        w = max(max_len - k + 1, 0)
+        return (batch_rows // self._n_data) * w
+
+    def add(self, seqs, lengths, vbits=None) -> None:
+        seqs = jnp.asarray(seqs)
+        lengths = jnp.asarray(lengths)
+        b, l = seqs.shape
+        if self._packed:
+            l = l * 4
+        if b % self._n_data:
+            raise ValueError(
+                f"batch rows {b} must divide over data={self._n_data}; "
+                "pad with pad_reads_to"
+            )
+        if l < min(self._ks):
+            return
+        lanes = {k: self.lanes_for(b, l, k) for k in self._sparse_ks}
+        if any(v > self._cap for v in lanes.values()):
+            raise ValueError(
+                "one batch overflows the per-chip key buffer; raise "
+                "shard_lanes or shrink the batch"
+            )
+        if any(
+            self._offsets[k] + lanes[k] > self._cap for k in self._sparse_ks
+        ):
+            self._flush()
+        dense_flat = tuple(x for pair in self._dense.values() for x in pair)
+        buf_flat = tuple(x for pair in self._bufs.values() for x in pair)
+        offs = tuple(
+            jnp.int32(self._offsets[k]) for k in self._sparse_ks
+        )
+        seqs_p = jax.device_put(seqs, self._plane_shard)
+        lens_p = jax.device_put(lengths, self._len_shard)
+        if self._packed and vbits is not None:
+            vb = jax.device_put(jnp.asarray(vbits), self._plane_shard)
+            new_dense, new_bufs = self._step_vb(
+                dense_flat, buf_flat, offs, seqs_p, lens_p, vb
+            )
+        else:
+            new_dense, new_bufs = self._step(
+                dense_flat, buf_flat, offs, seqs_p, lens_p
+            )
+        for i, k in enumerate(self._dense_ks):
+            self._dense[k] = (new_dense[2 * i], new_dense[2 * i + 1])
+        for i, k in enumerate(self._sparse_ks):
+            self._bufs[k] = (new_bufs[2 * i], new_bufs[2 * i + 1])
+            self._offsets[k] += lanes[k]
+
+    def _flush(self) -> None:
+        data_shard = NamedSharding(self._mesh, P("data"))
+        for k in self._sparse_ks:
+            if self._offsets[k] == 0:
+                continue
+            hi_c, lo_c, counts_c, ns = self._resolve(*self._bufs[k])
+            for sh_h, sh_l, sh_c, sh_n in zip(
+                hi_c.addressable_shards,
+                lo_c.addressable_shards,
+                counts_c.addressable_shards,
+                ns.addressable_shards,
+            ):
+                if self._device_compact:
+                    n = int(np.asarray(sh_n.data)[0])
+                    if n == 0:
+                        continue
+                    hi = np.asarray(sh_h.data[:n]).astype(np.uint64)
+                    lo = np.asarray(sh_l.data[:n]).astype(np.uint64)
+                    keys = (hi << np.uint64(32)) | lo
+                    cnts = np.asarray(sh_c.data[:n]).astype(np.int64)
+                else:
+                    keys, cnts = _count.compact_spectrum(
+                        np.asarray(sh_h.data),
+                        np.asarray(sh_l.data),
+                        np.asarray(sh_c.data),
+                    )
+                self._keys[k], self._counts[k] = _count.merge_sorted_spectra(
+                    self._keys[k], self._counts[k], keys, cnts
+                )
+            fill = jnp.full(
+                (self._n_data * self._cap,), _SENTINEL, jnp.uint32
+            )
+            self._bufs[k] = (
+                jax.device_put(fill, data_shard),
+                jax.device_put(fill, data_shard),
+            )
+            self._offsets[k] = 0
+
+    def finish(
+        self,
+    ) -> Dict[int, Union[np.ndarray, Tuple[np.ndarray, np.ndarray]]]:
+        """``{k: spectrum}`` — dense int64 [4^k] arrays / sparse sorted
+        (keys, counts) pairs, each bit-identical to a per-k run."""
+        self._flush()
+        out: Dict[int, object] = {}
+        for k in self._dense_ks:
+            lo, hi = self._dense[k]
+            out[k] = limbs_to_int64_array(lo, hi)
+        for k in self._sparse_ks:
+            out[k] = (self._keys[k], self._counts[k])
+        return out
+
+
+def sharded_multi_k_count_file(
+    path,
+    ks: Sequence[int],
+    mesh: Mesh,
+    batch_size: int = 4096,
+    max_len: Optional[int] = None,
+    canonical: bool = True,
+    normalized: bool = True,
+    shard_lanes: int = DEFAULT_SHARD_LANES,
+    host_workers: Optional[int] = None,
+    spill_dir: Optional[str] = None,
+    packed: Optional[bool] = None,
+) -> Tuple[int, Dict[int, Union[np.ndarray, Tuple[np.ndarray, np.ndarray]]]]:
+    """Count several k values over the mesh in ONE pass over the file.
+
+    The pod-scale twin of ``multi_k_count_file``: same framer, one fused
+    per-batch step (encode shared across k), dense tables sharded over
+    ``data``, sparse keys per-chip-sorted and host-merged.  Returns
+    ``(n_bases, {k: spectrum})`` matching per-k ``sharded_count_file`` /
+    dense ``count_file`` outputs bit-for-bit.
+    """
+    from ..device.pipeline import _make_batch_source
+
+    ks = tuple(sorted({int(k) for k in ks}))
+    if packed is None:
+        packed = True
+    n_data = _require_data_mesh(mesh)
+    batch_size = -(-batch_size // n_data) * n_data
+    acc = ShardedMultiKAccumulator(
+        mesh, ks, canonical=canonical, normalized=normalized,
+        shard_lanes=shard_lanes, packed=packed,
+    )
+    # frame wide enough for the largest k even when the corpus is shorter
+    eff_max_len = max_len
+    n_bases = 0
+    batches, _ = _make_batch_source(
+        path, batch_size, eff_max_len, host_workers,
+        with_quals=False, spill_dir=spill_dir,
+        packed=packed, normalized=normalized,
+    )
+    for batch in batches:
+        n_bases += batch.num_bases
+        if batch.max_len < min(ks):
+            continue
+        b = (
+            batch
+            if batch.num_reads == batch_size
+            else batch.pad_reads_to(batch_size)
+        )
+        if packed:
+            acc.add(b.codes, b.lengths, vbits=b.vbits)
+        else:
+            acc.add(b.seqs, b.lengths)
+    return n_bases, acc.finish()
