@@ -520,6 +520,13 @@ def mxu_histogram16(
     roofline); interpret mode (CPU tests) keeps the compare-based kernel
     because the interpreter does not model sublane-expanding bitcasts.
     """
+    if idx.size >= (1 << 31):
+        # the int32 accumulator is exact because one call can never feed
+        # 2^31 same-bin keys; make that contract explicit at the boundary
+        raise ValueError(
+            f"mxu_histogram16 takes < 2^31 keys per call (got {idx.size}); "
+            "split the batch to keep the int32 bins exact"
+        )
     keys = idx if weight is None else jnp.where(weight > 0, idx, -1)
     keys = keys.reshape(-1)
     n = keys.shape[0]

@@ -41,6 +41,21 @@ _SENTINEL = 0xFFFFFFFF
 DEFAULT_SHARD_LANES = 1 << 23
 
 
+def _fresh_fill(n: int, sharding: "NamedSharding") -> jax.Array:
+    """A sentinel-filled uint32 buffer that is guaranteed its OWN storage.
+
+    ``jax.device_put(x, sharding)`` may return an ALIAS of ``x`` when the
+    array is already placed compatibly (observed on single-device meshes
+    on real accelerators; the CPU backend copies).  Building two buffers
+    by device_put-ing one fill array therefore hands the donation
+    machinery two names for one buffer, and donating both in a single
+    step is undefined behavior (backend InvalidArgument on TPU).  Each
+    call here materializes a distinct on-device constant first, so the
+    subsequent placement can alias safely.
+    """
+    return jax.device_put(jnp.full((n,), _SENTINEL, jnp.uint32), sharding)
+
+
 def _require_data_mesh(mesh: Mesh) -> int:
     if "data" not in mesh.shape:
         raise ValueError("exact spectrum needs a mesh with a 'data' axis")
@@ -94,9 +109,8 @@ class ShardedSpectrumAccumulator:
         buf_sharding = NamedSharding(mesh, P("data"))
         self._data_sharding = NamedSharding(mesh, P("data", None))
         self._len_sharding = NamedSharding(mesh, P("data"))
-        fill = jnp.full((self._n_data * self._cap,), _SENTINEL, jnp.uint32)
-        self._buf_hi = jax.device_put(fill, buf_sharding)
-        self._buf_lo = jax.device_put(fill, buf_sharding)
+        self._buf_hi = _fresh_fill(self._n_data * self._cap, buf_sharding)
+        self._buf_lo = _fresh_fill(self._n_data * self._cap, buf_sharding)
 
         k_ = k
 
@@ -277,9 +291,8 @@ class ShardedSpectrumAccumulator:
                 self._keys, self._counts, keys, cnts
             )
         buf_sharding = NamedSharding(self._mesh, P("data"))
-        fill = jnp.full((self._n_data * self._cap,), _SENTINEL, jnp.uint32)
-        self._buf_hi = jax.device_put(fill, buf_sharding)
-        self._buf_lo = jax.device_put(fill, buf_sharding)
+        self._buf_hi = _fresh_fill(self._n_data * self._cap, buf_sharding)
+        self._buf_lo = _fresh_fill(self._n_data * self._cap, buf_sharding)
         self._offset = 0
 
     def finish(self) -> Tuple[np.ndarray, np.ndarray]:

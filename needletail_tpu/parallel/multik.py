@@ -39,7 +39,7 @@ from jax.sharding import PartitionSpec as P
 from ..device import count as _count
 from ..device import kmers as _kmers
 from ..utils.limbs import acc64, limbs_to_int64_array
-from .exact import DEFAULT_SHARD_LANES, _require_data_mesh
+from .exact import DEFAULT_SHARD_LANES, _fresh_fill, _require_data_mesh
 
 __all__ = ["ShardedMultiKAccumulator", "sharded_multi_k_count_file"]
 
@@ -100,9 +100,13 @@ class ShardedMultiKAccumulator:
             )
             for k in self._dense_ks
         }
-        fill = jnp.full((self._n_data * self._cap,), _SENTINEL, jnp.uint32)
+        # one distinct buffer per plane per k: device_put of a shared fill
+        # can alias, and every plane is donated each step (see _fresh_fill)
         self._bufs = {
-            k: (jax.device_put(fill, data_shard), jax.device_put(fill, data_shard))
+            k: (
+                _fresh_fill(self._n_data * self._cap, data_shard),
+                _fresh_fill(self._n_data * self._cap, data_shard),
+            )
             for k in self._sparse_ks
         }
 
@@ -281,12 +285,9 @@ class ShardedMultiKAccumulator:
                 self._keys[k], self._counts[k] = _count.merge_sorted_spectra(
                     self._keys[k], self._counts[k], keys, cnts
                 )
-            fill = jnp.full(
-                (self._n_data * self._cap,), _SENTINEL, jnp.uint32
-            )
             self._bufs[k] = (
-                jax.device_put(fill, data_shard),
-                jax.device_put(fill, data_shard),
+                _fresh_fill(self._n_data * self._cap, data_shard),
+                _fresh_fill(self._n_data * self._cap, data_shard),
             )
             self._offsets[k] = 0
 

@@ -200,3 +200,53 @@ def test_compact_runs_device_matches_host():
     k1, c1 = _count.finalize_sparse(parts, device_compact=True)
     k2, c2 = _count.finalize_sparse(parts, device_compact=False)
     assert np.array_equal(k1, k2) and np.array_equal(c1, c2)
+
+
+class TestSingleDeviceMesh:
+    """A 1-device mesh is the aliasing danger zone: device_put of an
+    already-placed array returns an ALIAS there (reshard short-circuit),
+    so the two key planes must be materialized as distinct buffers or the
+    per-step donation deletes one buffer under two names (TPU backend
+    InvalidArgument in the wild)."""
+
+    def test_planes_have_distinct_storage(self):
+        mesh = make_mesh(jax.devices()[:1], data=1, table=1)
+        acc = ShardedSpectrumAccumulator(mesh, 21, shard_lanes=1 << 10)
+        ph = acc._buf_hi.addressable_shards[0].data.unsafe_buffer_pointer()
+        pl = acc._buf_lo.addressable_shards[0].data.unsafe_buffer_pointer()
+        assert ph != pl
+        # the aliasing premise itself (documents why _fresh_fill exists)
+        fill = jnp.full((1 << 10,), 7, jnp.uint32)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P("data"))
+        a = jax.device_put(fill, sh)
+        b = jax.device_put(fill, sh)
+        pa = a.addressable_shards[0].data.unsafe_buffer_pointer()
+        pb = b.addressable_shards[0].data.unsafe_buffer_pointer()
+        assert pa == pb, "device_put stopped aliasing; _fresh_fill is moot"
+
+    def test_multik_planes_distinct_and_exact(self, data_dir):
+        from needletail_tpu.parallel import ShardedMultiKAccumulator
+
+        mesh = make_mesh(jax.devices()[:1], data=1, table=1)
+        acc = ShardedMultiKAccumulator(mesh, (21, 31), shard_lanes=1 << 13)
+        ptrs = set()
+        for k in (21, 31):
+            for plane in acc._bufs[k]:
+                ptrs.add(plane.addressable_shards[0].data.unsafe_buffer_pointer())
+        assert len(ptrs) == 4  # every plane its own storage
+
+    def test_exact_spectrum_on_one_device(self, mesh, data_dir):
+        # end-to-end on the 1-device mesh equals the 8-device run
+        one = make_mesh(jax.devices()[:1], data=1, table=1)
+        path = str(data_dir / "PRJNA271013_head.fq")
+        nb1, (k1, c1) = sharded_count_file(
+            path, 21, mesh=one, batch_size=256, host_workers=1
+        )
+        nb8, (k8, c8) = sharded_count_file(
+            path, 21, mesh=mesh, batch_size=256, host_workers=1
+        )
+        assert nb1 == nb8
+        assert np.array_equal(k1, k8)
+        assert np.array_equal(c1, c8)
