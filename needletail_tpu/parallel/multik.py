@@ -89,6 +89,7 @@ class ShardedMultiKAccumulator:
         self._offsets = {k: 0 for k in self._sparse_ks}
         self._keys = {k: np.zeros(0, np.uint64) for k in self._sparse_ks}
         self._counts = {k: np.zeros(0, np.int64) for k in self._sparse_ks}
+        self._ingested = False
 
         data_shard = NamedSharding(mesh, P("data"))
         self._plane_shard = NamedSharding(mesh, P("data", None))
@@ -255,6 +256,7 @@ class ShardedMultiKAccumulator:
         for i, k in enumerate(self._sparse_ks):
             self._bufs[k] = (new_bufs[2 * i], new_bufs[2 * i + 1])
             self._offsets[k] += lanes[k]
+        self._ingested = True
 
     def _flush(self) -> None:
         data_shard = NamedSharding(self._mesh, P("data"))
@@ -291,6 +293,41 @@ class ShardedMultiKAccumulator:
             )
             self._offsets[k] = 0
 
+    def snapshot(self) -> Dict[str, np.ndarray]:
+        """Host snapshot for checkpointing: flushes the sparse buffers
+        (an incremental resolve, not a reset) and pulls the dense limb
+        tables; the accumulator stays live.  Keys: ``dense_{k}`` int64
+        arrays, ``keys_{k}``/``counts_{k}`` sorted sparse pairs."""
+        self._flush()
+        arrays: Dict[str, np.ndarray] = {}
+        for k in self._dense_ks:
+            lo, hi = self._dense[k]
+            arrays[f"dense_{k}"] = limbs_to_int64_array(lo, hi)
+        for k in self._sparse_ks:
+            arrays[f"keys_{k}"] = self._keys[k]
+            arrays[f"counts_{k}"] = self._counts[k]
+        return arrays
+
+    def restore(self, arrays: Dict[str, np.ndarray]) -> None:
+        """Re-seed from a :meth:`snapshot` (checkpoint resume; fresh only)."""
+        if self._ingested:
+            raise ValueError("restore() only applies to a fresh accumulator")
+        data_shard = NamedSharding(self._mesh, P("data"))
+        for k in self._dense_ks:
+            t64 = np.asarray(arrays[f"dense_{k}"]).astype(np.int64, copy=False)
+            lo = jax.device_put(
+                jnp.asarray((t64 & 0xFFFFFFFF).astype(np.uint32)), data_shard
+            )
+            hi = jax.device_put(
+                jnp.asarray((t64 >> 32).astype(np.uint32)), data_shard
+            )
+            self._dense[k] = (lo, hi)
+        for k in self._sparse_ks:
+            self._keys[k] = np.asarray(arrays[f"keys_{k}"], dtype=np.uint64)
+            self._counts[k] = np.asarray(
+                arrays[f"counts_{k}"], dtype=np.int64
+            )
+
     def finish(
         self,
     ) -> Dict[int, Union[np.ndarray, Tuple[np.ndarray, np.ndarray]]]:
@@ -318,6 +355,9 @@ def sharded_multi_k_count_file(
     host_workers: Optional[int] = None,
     spill_dir: Optional[str] = None,
     packed: Optional[bool] = None,
+    checkpoint_every: Optional[int] = None,
+    checkpoint_path: Optional[str] = None,
+    resume_from: Optional[str] = None,
 ) -> Tuple[int, Dict[int, Union[np.ndarray, Tuple[np.ndarray, np.ndarray]]]]:
     """Count several k values over the mesh in ONE pass over the file.
 
@@ -325,7 +365,9 @@ def sharded_multi_k_count_file(
     per-batch step (encode shared across k), dense tables sharded over
     ``data``, sparse keys per-chip-sorted and host-merged.  Returns
     ``(n_bases, {k: spectrum})`` matching per-k ``sharded_count_file`` /
-    dense ``count_file`` outputs bit-for-bit.
+    dense ``count_file`` outputs bit-for-bit.  ``checkpoint_every``/
+    ``resume_from`` behave as in ``sharded_count_file`` (record-aligned
+    byte offsets, bit-identical resume; single-stream uncompressed input).
     """
     from ..device.pipeline import _make_batch_source
 
@@ -341,22 +383,68 @@ def sharded_multi_k_count_file(
     # frame wide enough for the largest k even when the corpus is shorter
     eff_max_len = max_len
     n_bases = 0
-    batches, _ = _make_batch_source(
-        path, batch_size, eff_max_len, host_workers,
-        with_quals=False, spill_dir=spill_dir,
-        packed=packed, normalized=normalized,
-    )
+    ckpt_mode = checkpoint_every is not None or resume_from is not None
+    if ckpt_mode:
+        from ..device.pipeline import (
+            _checkpoint_source,
+            _validate_checkpoint_args,
+        )
+
+        _validate_checkpoint_args(
+            checkpoint_every, checkpoint_path, host_workers
+        )
+        start_offset = 0
+        if resume_from is not None:
+            from .checkpoint import load_stream_checkpoint
+
+            ck = load_stream_checkpoint(resume_from)
+            ck_ks = tuple(int(x) for x in ck["meta"].get("ks", ()))
+            if ck["kind"] != "sharded_multik" or ck_ks != ks:
+                raise ValueError(
+                    f"checkpoint {resume_from!r} is kind={ck['kind']} "
+                    f"ks={ck_ks}, expected kind=sharded_multik ks={ks}"
+                )
+            start_offset = ck["file_offset"]
+            n_bases = ck["n_bases"]
+            acc.restore(ck["arrays"])
+        batches = _checkpoint_source(
+            path, batch_size, eff_max_len, False, packed, normalized,
+            start_offset,
+        )
+    else:
+        batches, _ = _make_batch_source(
+            path, batch_size, eff_max_len, host_workers,
+            with_quals=False, spill_dir=spill_dir,
+            packed=packed, normalized=normalized,
+        )
+
+    def _save_ckpt(offset):
+        from .checkpoint import save_stream_checkpoint
+
+        save_stream_checkpoint(
+            checkpoint_path, "sharded_multik", 0, offset, n_bases,
+            acc.snapshot(), input_path=str(path),
+            meta={"ks": np.asarray(ks, np.int32)},
+        )
+
+    batches_done = 0
     for batch in batches:
         n_bases += batch.num_bases
-        if batch.max_len < min(ks):
-            continue
-        b = (
-            batch
-            if batch.num_reads == batch_size
-            else batch.pad_reads_to(batch_size)
-        )
-        if packed:
-            acc.add(b.codes, b.lengths, vbits=b.vbits)
-        else:
-            acc.add(b.seqs, b.lengths)
+        if batch.max_len >= min(ks):
+            b = (
+                batch
+                if batch.num_reads == batch_size
+                else batch.pad_reads_to(batch_size)
+            )
+            if packed:
+                acc.add(b.codes, b.lengths, vbits=b.vbits)
+            else:
+                acc.add(b.seqs, b.lengths)
+        batches_done += 1
+        if (
+            checkpoint_every is not None
+            and batches_done % checkpoint_every == 0
+            and batch.file_offset is not None
+        ):
+            _save_ckpt(batch.file_offset)
     return n_bases, acc.finish()

@@ -257,3 +257,53 @@ class TestCLICheckpointFlags:
             "count", corpus, "-k", "6", "--host-workers", "1",
             "--batch-size", "512", "--resume-from", ck,
         ]) == 0
+
+
+class TestMultiKShardedResume:
+    def test_sharded_multik(self, corpus, tmp_path):
+        import jax
+
+        from needletail_tpu.parallel import (
+            make_mesh,
+            sharded_multi_k_count_file,
+        )
+
+        mesh = make_mesh(jax.devices(), data=8, table=1)
+        ks = (4, 21)
+        ref = sharded_multi_k_count_file(
+            corpus, ks, mesh=mesh, batch_size=512, max_len=128,
+            host_workers=1,
+        )
+
+        def driver(path, **kw):
+            return sharded_multi_k_count_file(
+                path, ks, mesh=mesh, batch_size=512, max_len=128, **kw
+            )
+
+        def compare(a, b):
+            assert a[0] == b[0]
+            assert np.array_equal(a[1][4], b[1][4])  # dense table
+            assert np.array_equal(a[1][21][0], b[1][21][0])
+            assert np.array_equal(a[1][21][1], b[1][21][1])
+
+        _resume_equivalence(driver, corpus, tmp_path, ref, compare)
+
+    def test_wrong_ks_rejected(self, corpus, tmp_path):
+        import jax
+
+        from needletail_tpu.parallel import (
+            make_mesh,
+            sharded_multi_k_count_file,
+        )
+
+        mesh = make_mesh(jax.devices(), data=8, table=1)
+        ck = str(tmp_path / "mk.npz")
+        sharded_multi_k_count_file(
+            corpus, (4, 21), mesh=mesh, batch_size=512, max_len=128,
+            host_workers=1, checkpoint_every=1, checkpoint_path=ck,
+        )
+        with pytest.raises(ValueError, match="sharded_multik"):
+            sharded_multi_k_count_file(
+                corpus, (4, 31), mesh=mesh, batch_size=512, max_len=128,
+                host_workers=1, resume_from=ck,
+            )
