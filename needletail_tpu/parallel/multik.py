@@ -293,6 +293,20 @@ class ShardedMultiKAccumulator:
             )
             self._offsets[k] = 0
 
+    def _dense_to_host(self, k: int) -> np.ndarray:
+        """Host int64 view of a dense limb table.  Multi-process SPMD:
+        only this process's shards are addressable — the returned array
+        carries this process's bin ranges and zeros elsewhere (chip bin
+        ranges are disjoint, so per-process arrays SUM to the global
+        table, mirroring the sparse per-addressable-shard convention)."""
+        lo, hi = self._dense[k]
+        if lo.is_fully_addressable:
+            return limbs_to_int64_array(lo, hi)
+        out = np.zeros(4**k, np.int64)
+        for shl, shh in zip(lo.addressable_shards, hi.addressable_shards):
+            out[shl.index[0]] = limbs_to_int64_array(shl.data, shh.data)
+        return out
+
     def snapshot(self) -> Dict[str, np.ndarray]:
         """Host snapshot for checkpointing: flushes the sparse buffers
         (an incremental resolve, not a reset) and pulls the dense limb
@@ -301,8 +315,7 @@ class ShardedMultiKAccumulator:
         self._flush()
         arrays: Dict[str, np.ndarray] = {}
         for k in self._dense_ks:
-            lo, hi = self._dense[k]
-            arrays[f"dense_{k}"] = limbs_to_int64_array(lo, hi)
+            arrays[f"dense_{k}"] = self._dense_to_host(k)
         for k in self._sparse_ks:
             arrays[f"keys_{k}"] = self._keys[k]
             arrays[f"counts_{k}"] = self._counts[k]
@@ -332,12 +345,17 @@ class ShardedMultiKAccumulator:
         self,
     ) -> Dict[int, Union[np.ndarray, Tuple[np.ndarray, np.ndarray]]]:
         """``{k: spectrum}`` — dense int64 [4^k] arrays / sparse sorted
-        (keys, counts) pairs, each bit-identical to a per-k run."""
+        (keys, counts) pairs, each bit-identical to a per-k run.
+
+        Multi-process SPMD: each process returns its own devices'
+        portion — dense arrays SUM across processes (disjoint bin
+        ranges), sparse pairs merge with ``merge_sorted_spectra`` —
+        the same per-addressable-shard convention as
+        ``ShardedSpectrumAccumulator.finish``."""
         self._flush()
         out: Dict[int, object] = {}
         for k in self._dense_ks:
-            lo, hi = self._dense[k]
-            out[k] = limbs_to_int64_array(lo, hi)
+            out[k] = self._dense_to_host(k)
         for k in self._sparse_ks:
             out[k] = (self._keys[k], self._counts[k])
         return out

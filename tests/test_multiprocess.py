@@ -130,3 +130,64 @@ def test_two_process_exact_spectrum_matches_oracle(tmp_path):
     )
     assert np.array_equal(keys, ok)
     assert np.array_equal(counts, oc)
+
+
+def test_two_process_multik_matches_oracle(tmp_path):
+    """The fused multi-k pass in a 2-process SPMD job: per-process dense
+    partial tables SUM to the global k=4 spectrum (disjoint bin ranges)
+    and per-process sparse k=21 runs MERGE to the exact spectrum."""
+    src = (DATA_DIR / "PRJNA271013_head.fq").read_bytes()
+    head = b"\n".join(src.split(b"\n")[: 96 * 4]) + b"\n"  # 96 reads
+    path = tmp_path / "mpk.fq"
+    path.write_bytes(head)
+    out = tmp_path / "mpk_result"
+    port = _free_port()
+    worker = REPO_ROOT / "tests" / "_mp_multik_worker.py"
+
+    rows_local = 64
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(path), str(out), str(port), str(pid), "2", str(rows_local)],
+            cwd=str(REPO_ROOT),
+            env={
+                **os.environ,
+                "PYTHONPATH": str(REPO_ROOT)
+                + os.pathsep
+                + os.environ.get("PYTHONPATH", ""),
+            },
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=420)
+        logs.append(stdout.decode(errors="replace"))
+    assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+
+    from needletail_tpu.device.count import merge_sorted_spectra
+
+    dense4 = None
+    keys = np.zeros(0, np.uint64)
+    counts = np.zeros(0, np.int64)
+    n_records = 0
+    for pid in range(2):
+        with np.load(f"{out}.p{pid}.npz") as z:
+            dense4 = z["dense4"] if dense4 is None else dense4 + z["dense4"]
+            keys, counts = merge_sorted_spectra(
+                keys, counts, z["keys"], z["counts"]
+            )
+            n_records += int(z["local_records"])
+    assert n_records == 96
+
+    from needletail_tpu.device.pipeline import count_file
+
+    _, od4 = count_file(str(path), k=4, batch_size=64, host_workers=1)
+    assert np.array_equal(dense4, od4), "\n".join(logs)
+    _, (ok, oc) = count_file(
+        str(path), k=21, dense=False, sparse_format="arrays",
+        batch_size=64, host_workers=1,
+    )
+    assert np.array_equal(keys, ok)
+    assert np.array_equal(counts, oc)
