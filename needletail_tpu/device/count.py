@@ -36,6 +36,7 @@ __all__ = [
     "mask_keys",
     "compact_spectrum",
     "compact_runs_device",
+    "compact_runs_cascade",
     "finalize_sparse",
     "merge_sorted_spectra",
     "SparseSpectrumAccumulator",
@@ -192,6 +193,39 @@ def compact_runs_device(
     return hi_c, lo_c, c_c, n
 
 
+def compact_runs_cascade(
+    hi_s: jax.Array, lo_s: jax.Array, counts: jax.Array
+) -> Optional[Tuple[jax.Array, jax.Array, jax.Array, jax.Array]]:
+    """MXU slot-compaction cascade: same contract as
+    :func:`compact_runs_device` but ~6x cheaper on large flushes.
+
+    Two passes of :func:`pallas_kernels.mxu_compact_slots` (8x stream
+    reduction each, order-preserving, selection-as-matmul — no
+    scatter/gather and no big sort) shrink the lane stream up to 64x,
+    then the stable-sort compaction runs on the small remainder.  Each
+    pass is valid only if no 1024-lane chunk holds more than 128 distinct
+    runs; overflow of the FIRST pass returns ``None`` (caller falls back
+    to :func:`compact_runs_device` on the full stream), overflow of the
+    second keeps the first pass's 8x reduction.  On the bench flush shape
+    (55M lanes, ~200k distinct) this replaces a ~368 ms 4-array stable
+    sort with ~tens of ms of MXU work; high-diversity streams (singleton
+    runs clustered by the key sort) overflow and take the exact fallback.
+    """
+    from .pallas_kernels import mxu_compact_slots
+
+    h1, l1, c1, ok1 = mxu_compact_slots(hi_s, lo_s, counts)
+    h2, l2, c2, ok2 = mxu_compact_slots(h1, l1, c1)
+    # one stacked pull decides both levels (each bool() sync costs a full
+    # host round trip; pass 2 runs on 1/8 the lanes, so running it
+    # speculatively is cheaper than a second sync)
+    oks = np.asarray(jnp.stack([ok1, ok2]))
+    if not oks[0]:
+        return None
+    if oks[1]:
+        h1, l1, c1 = h2, l2, c2
+    return compact_runs_device(h1, l1, c1)
+
+
 def compact_spectrum(
     hi: np.ndarray, lo: np.ndarray, counts: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -236,7 +270,12 @@ def finalize_sparse(
         lo = jnp.concatenate([lo, fill])
     hi_s, lo_s, counts = unique_counts(hi, lo)
     if device_compact:
-        hi_c, lo_c, c_c, n = compact_runs_device(hi_s, lo_s, counts)
+        compacted = None
+        if jax.default_backend() == "tpu":
+            compacted = compact_runs_cascade(hi_s, lo_s, counts)
+        if compacted is None:
+            compacted = compact_runs_device(hi_s, lo_s, counts)
+        hi_c, lo_c, c_c, n = compacted
         n = int(n)
         keys = (
             np.asarray(hi_c[:n]).astype(np.uint64) << np.uint64(32)

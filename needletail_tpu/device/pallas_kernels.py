@@ -36,6 +36,7 @@ __all__ = [
     "canonical_key_planes_packed",
     "canonical_windows_pallas",
     "mxu_histogram16",
+    "mxu_compact_slots",
 ]
 
 _BLOCK_ROWS = 256
@@ -579,3 +580,137 @@ def canonical_windows_pallas(
     from . import kmers as _kmers
 
     return _kmers.canonical_kmers(seqs, lengths, k, normalized=normalized)
+
+
+def _compact_kernel(hi_ref, lo_ref, cnt_ref, oh_ref, ol_ref, oc_ref, *, chunk, slots):
+    """One grid step: compact the flagged entries of 8 chunks to per-chunk
+    slot prefixes — selection AS MATMUL, no scatter/gather.
+
+    flags = counts > 0 (the distinct-run starts of ``unique_counts``
+    output).  Per chunk: an inclusive prefix count of flags via one
+    triangular matmul on the MXU, then slot j of the chunk selects the
+    j-th flagged entry with a one-hot [slots, chunk] x [chunk] dot — the
+    one-hot row (prefix == j+1 & flag) has exactly one 1, so each output
+    is a single product accumulated in f32: exact.  u32 values ride as
+    four u8 quarters: bf16 represents every integer <= 256, so the
+    single-pass bf16 MXU path (Mosaic's DEFAULT f32 dot truncates inputs
+    to bf16 — 16-bit halves lose low bits on real hardware) is exact by
+    construction.  Chunks with more than ``slots`` flags overflow
+    silently here; the wrapper reports a validity flag computed in XLA
+    and callers fall back to the sort-based compaction.
+    """
+    f_bool = cnt_ref[:] > 0  # [8, C]
+    f_b16 = f_bool.astype(jnp.bfloat16)
+    a = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    b = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tri = (a <= b).astype(jnp.bfloat16)  # U[a, b] = a <= b
+    # inclusive prefix count: pc[r, i] = sum_{i' <= i} flags[r, i']
+    pc = jax.lax.dot_general(
+        f_b16, tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # exact: sums of 0/1 <= chunk << 2^24
+    jvec = jax.lax.broadcasted_iota(jnp.int32, (slots, chunk), 0) + 1
+    hi = hi_ref[:]
+    lo = lo_ref[:]
+    cnt = cnt_ref[:].astype(jnp.uint32)
+    m8 = jnp.uint32(0xFF)
+
+    def _bf16(x_u32):
+        # Mosaic has no u32->float convert; the quarters are < 2^8 so the
+        # i32 reinterpretation is value-preserving and bf16-exact
+        return x_u32.astype(jnp.int32).astype(jnp.bfloat16)
+
+    def _quarters(x):
+        return [_bf16((x >> (8 * (3 - q))) & m8) for q in range(4)]
+
+    for r in range(8):
+        sel = (
+            (pc[r : r + 1, :] == jvec) & f_bool[r : r + 1, :]
+        ).astype(jnp.bfloat16)  # [S, C]
+        vals = jnp.concatenate(
+            _quarters(hi[r : r + 1, :])
+            + _quarters(lo[r : r + 1, :])
+            + _quarters(cnt[r : r + 1, :]),
+            axis=0,
+        )  # [12, C]
+        out = (
+            jax.lax.dot_general(
+                vals, sel, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            .astype(jnp.int32)  # exact: one nonzero product per sum, < 2^8
+            .astype(jnp.uint32)
+        )  # [12, S]
+
+        def _join(base):
+            return (
+                (out[base : base + 1, :] << 24)
+                | (out[base + 1 : base + 2, :] << 16)
+                | (out[base + 2 : base + 3, :] << 8)
+                | out[base + 3 : base + 4, :]
+            )
+
+        oh_ref[r : r + 1, :] = _join(0)
+        ol_ref[r : r + 1, :] = _join(4)
+        oc_ref[r : r + 1, :] = _join(8).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("chunk", "slots"))
+def mxu_compact_slots(
+    hi: jax.Array,
+    lo: jax.Array,
+    counts: jax.Array,
+    chunk: int = 1024,
+    slots: int = 128,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Move each chunk's flagged (counts > 0) entries to a slot prefix.
+
+    Order-preserving 8x stream reduction for ``unique_counts`` output:
+    returns ``(hi_c, lo_c, counts_c, ok)`` of length ``ceil(N/chunk) *
+    slots`` where every chunk's distinct entries occupy its first slots
+    (in input order — so a key-sorted input stays key-sorted across the
+    used slots) and empty slots carry counts == 0.  ``ok`` is a scalar
+    bool: False iff some chunk had more than ``slots`` flagged entries
+    (results are then invalid — fall back to the sort-based compaction).
+
+    Cost is ~N/8 MXU one-hot MACs + one [chunk, chunk] triangular matmul
+    per 8 chunks — ~6x cheaper than the 4-array stable sort at 55M lanes,
+    and cascadable (apply twice for a 64x reduction, then sort the small
+    remainder).  See PERF_NOTES.md for the measured comparison.
+    """
+    n = hi.size
+    hi = hi.reshape(-1)
+    lo = lo.reshape(-1)
+    counts = counts.reshape(-1)
+    block = 8 * chunk
+    pad = (-n) % block
+    if pad:
+        zc = jnp.zeros((pad,), counts.dtype)
+        zk = jnp.zeros((pad,), hi.dtype)
+        hi = jnp.concatenate([hi, zk])
+        lo = jnp.concatenate([lo, zk])
+        counts = jnp.concatenate([counts, zc])
+        n += pad
+    rows = n // chunk
+    per_chunk = jnp.sum(
+        (counts > 0).reshape(rows, chunk).astype(jnp.int32), axis=1
+    )
+    ok = jnp.max(per_chunk) <= slots
+    hi2 = hi.reshape(rows, chunk)
+    lo2 = lo.reshape(rows, chunk)
+    c2 = counts.reshape(rows, chunk).astype(jnp.int32)
+    spec = pl.BlockSpec((8, chunk), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((8, slots), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    oh, ol, oc = pl.pallas_call(
+        partial(_compact_kernel, chunk=chunk, slots=slots),
+        grid=(rows // 8,),
+        in_specs=[spec, spec, spec],
+        out_specs=[ospec, ospec, ospec],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, slots), jnp.uint32),
+            jax.ShapeDtypeStruct((rows, slots), jnp.uint32),
+            jax.ShapeDtypeStruct((rows, slots), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(hi2, lo2, c2)
+    return oh.reshape(-1), ol.reshape(-1), oc.reshape(-1), ok

@@ -174,31 +174,15 @@ class ShardedSpectrumAccumulator:
                 self._append_vb = None
 
         # compact on device for real accelerators (bounds each shard's
-        # host pull to its distinct entries); skip the extra stable sort
-        # on the CPU backend where pulls are local copies
+        # host pull to its distinct entries; the MXU slot cascade replaces
+        # the stable-sort compaction when distinct density allows); skip
+        # both on the CPU backend where pulls are local copies
+        from ._resolve import make_sharded_resolver
+
         device_compact = jax.default_backend() != "cpu"
         self._device_compact = device_compact
-
-        def _resolve(buf_hi, buf_lo):
-            """Per-shard sort + run-length count (+ distinct-to-front
-            compaction, no collectives)."""
-            hi_s, lo_s, counts = _count.unique_counts(buf_hi, buf_lo)
-            if device_compact:
-                hi_s, lo_s, counts, n = _count.compact_runs_device(
-                    hi_s, lo_s, counts
-                )
-            else:
-                n = jnp.sum((counts > 0).astype(jnp.int32))
-            return hi_s, lo_s, counts, n.reshape(1)
-
-        self._resolve = jax.jit(
-            jax.shard_map(
-                _resolve,
-                mesh=mesh,
-                in_specs=(P("data"), P("data")),
-                out_specs=(P("data"), P("data"), P("data"), P("data")),
-            ),
-            donate_argnums=(0, 1),
+        self._resolve = make_sharded_resolver(
+            mesh, device_compact, cascade=jax.default_backend() == "tpu"
         )
 
     def place(self, seqs, lengths):

@@ -185,27 +185,12 @@ class ShardedMultiKAccumulator:
             _shmap(_step, base_specs + (P("data", None),)) if packed else None
         )
 
+        from ._resolve import make_sharded_resolver
+
         device_compact = jax.default_backend() != "cpu"
         self._device_compact = device_compact
-
-        def _resolve(buf_hi, buf_lo):
-            hi_s, lo_s, counts = _count.unique_counts(buf_hi, buf_lo)
-            if device_compact:
-                hi_s, lo_s, counts, n = _count.compact_runs_device(
-                    hi_s, lo_s, counts
-                )
-            else:
-                n = jnp.sum((counts > 0).astype(jnp.int32))
-            return hi_s, lo_s, counts, n.reshape(1)
-
-        self._resolve = jax.jit(
-            jax.shard_map(
-                _resolve,
-                mesh=mesh,
-                in_specs=(P("data"), P("data")),
-                out_specs=(P("data"),) * 4,
-            ),
-            donate_argnums=(0, 1),
+        self._resolve = make_sharded_resolver(
+            mesh, device_compact, cascade=jax.default_backend() == "tpu"
         )
 
     def lanes_for(self, batch_rows: int, max_len: int, k: int) -> int:

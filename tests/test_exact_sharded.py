@@ -250,3 +250,65 @@ class TestSingleDeviceMesh:
         assert nb1 == nb8
         assert np.array_equal(k1, k8)
         assert np.array_equal(c1, c8)
+
+
+class TestCascadeResolver:
+    """The MXU slot-cascade resolver must equal the stable-sort resolver
+    (it is TPU-only in production; forced here on the CPU mesh via
+    interpret-mode Pallas)."""
+
+    def _buffers(self, mesh, run_len, n_distinct, cap=1 << 14, seed=3):
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        rng = np.random.default_rng(seed)
+        n = 8 * cap
+        keys = np.full(n, 0xFFFFFFFFFFFFFFFF, np.uint64)
+        distinct = rng.choice(2**40, size=n_distinct, replace=False).astype(
+            np.uint64
+        )
+        lanes = np.repeat(distinct, run_len)[:n]
+        rng.shuffle(lanes)
+        keys[: lanes.size] = lanes
+        hi = (keys >> np.uint64(32)).astype(np.uint32)
+        lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        sh = NamedSharding(mesh, P("data"))
+        return (
+            jax.device_put(jnp.asarray(hi), sh),
+            jax.device_put(jnp.asarray(lo), sh),
+        )
+
+    def _compare(self, mesh, run_len, n_distinct):
+        from needletail_tpu.parallel._resolve import make_sharded_resolver
+
+        fast = make_sharded_resolver(mesh, True, cascade=True)
+        safe = make_sharded_resolver(mesh, True, cascade=False)
+        # resolvers donate: build two identical buffer pairs
+        fh, fl = self._buffers(mesh, run_len, n_distinct)
+        sh_, sl = self._buffers(mesh, run_len, n_distinct)
+        gh, gl, gc, gn = fast(fh, fl)
+        eh, el, ec, en = safe(sh_, sl)
+        assert np.array_equal(np.asarray(gn), np.asarray(en))
+        for s in range(8):
+            n = int(np.asarray(en)[s])
+            gs = slice(s * (gh.shape[0] // 8), None)
+            es = slice(s * (eh.shape[0] // 8), None)
+            g_h = np.asarray(gh)[gs][:n]
+            e_h = np.asarray(eh)[es][:n]
+            assert np.array_equal(g_h, e_h)
+            assert np.array_equal(np.asarray(gl)[gs][:n], np.asarray(el)[es][:n])
+            assert np.array_equal(np.asarray(gc)[gs][:n], np.asarray(ec)[es][:n])
+
+    def test_matches_safe_resolver(self, mesh):
+        # long runs: cascade succeeds (both levels)
+        self._compare(mesh, run_len=300, n_distinct=400)
+
+    def test_overflow_falls_back_exactly(self, mesh):
+        # singleton-dense stream: chunks overflow, full-stream fallback
+        self._compare(mesh, run_len=1, n_distinct=8 * (1 << 14))
+
+    def test_second_level_overflow(self, mesh):
+        # runs short enough that level 2 overflows but level 1 fits:
+        # ~12 flags per 1024-lane chunk -> level-2 chunks hold ~96 < 128,
+        # while run_len=16 keeps level 1 at ~64 flags/chunk
+        self._compare(mesh, run_len=16, n_distinct=8192)

@@ -92,3 +92,97 @@ def test_overlong_reads_rejected_with_guidance():
     big = jnp.zeros((8, 70000), jnp.uint8)
     with pytest.raises(ValueError, match="tile long records"):
         canonical_hash_keys(big, jnp.zeros(8, jnp.int32), 21)
+
+
+class TestMxuCompactSlots:
+    """mxu_compact_slots: order-preserving selection-as-matmul compaction."""
+
+    @staticmethod
+    def _oracle(hi, lo, counts, chunk=1024, slots=128):
+        pad = (-hi.size) % (8 * chunk)
+        hi = np.concatenate([hi, np.zeros(pad, np.uint32)])
+        lo = np.concatenate([lo, np.zeros(pad, np.uint32)])
+        counts = np.concatenate([counts, np.zeros(pad, np.int32)])
+        rows = hi.size // chunk
+        eh = np.zeros((rows, slots), np.uint32)
+        el = np.zeros((rows, slots), np.uint32)
+        ec = np.zeros((rows, slots), np.int32)
+        ok = True
+        for r in range(rows):
+            sl = slice(r * chunk, (r + 1) * chunk)
+            m = counts[sl] > 0
+            n = int(m.sum())
+            if n > slots:
+                ok = False
+                continue
+            eh[r, :n] = hi[sl][m]
+            el[r, :n] = lo[sl][m]
+            ec[r, :n] = counts[sl][m]
+        return eh.reshape(-1), el.reshape(-1), ec.reshape(-1), ok
+
+    def test_matches_oracle(self):
+        from needletail_tpu.device.pallas_kernels import mxu_compact_slots
+
+        rng = np.random.default_rng(42)
+        n = 30_000
+        hi = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+        lo = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+        counts = np.zeros(n, np.int32)
+        flags = rng.random(n) < 0.05
+        counts[flags] = rng.integers(1, 1 << 30, int(flags.sum()))
+        oh, ol, oc, ok = mxu_compact_slots(
+            jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(counts)
+        )
+        eh, el, ec, eok = self._oracle(hi, lo, counts)
+        assert bool(ok) and eok
+        m = ec > 0
+        assert np.array_equal(np.asarray(oc), ec)
+        assert np.array_equal(np.asarray(oh)[m], eh[m])
+        assert np.array_equal(np.asarray(ol)[m], el[m])
+
+    def test_overflow_flag(self):
+        from needletail_tpu.device.pallas_kernels import mxu_compact_slots
+
+        n = 8192
+        hi = np.arange(n, dtype=np.uint32)
+        args = (jnp.asarray(hi), jnp.asarray(hi), jnp.ones(n, jnp.int32))
+        assert not bool(mxu_compact_slots(*args)[3])
+
+    def test_cascade_matches_sort_compaction(self):
+        from needletail_tpu.device import count as dcount
+
+        rng = np.random.default_rng(7)
+        # sorted stream with long runs (the unique_counts output shape)
+        distinct = rng.choice(2**40, size=600, replace=False).astype(np.uint64)
+        distinct.sort()
+        reps = rng.integers(16, 200, size=600)
+        keys = np.repeat(distinct, reps)
+        hi = (keys >> 32).astype(np.uint32)
+        lo = (keys & 0xFFFFFFFF).astype(np.uint32)
+        pad = (-keys.size) % 8192
+        hi = np.concatenate([hi, np.full(pad, 0xFFFFFFFF, np.uint32)])
+        lo = np.concatenate([lo, np.full(pad, 0xFFFFFFFF, np.uint32)])
+        hi_s, lo_s, counts = dcount.unique_counts(
+            jnp.asarray(hi), jnp.asarray(lo)
+        )
+        got = dcount.compact_runs_cascade(hi_s, lo_s, counts)
+        assert got is not None
+        gh, gl, gc, gn = got
+        eh, el, ec, en = dcount.compact_runs_device(hi_s, lo_s, counts)
+        n = int(en)
+        assert int(gn) == n == 600
+        assert np.array_equal(np.asarray(gh)[:n], np.asarray(eh)[:n])
+        assert np.array_equal(np.asarray(gl)[:n], np.asarray(el)[:n])
+        assert np.array_equal(np.asarray(gc)[:n], np.asarray(ec)[:n])
+
+    def test_cascade_overflow_falls_back(self):
+        from needletail_tpu.device import count as dcount
+
+        # all-singleton sorted stream: every chunk overflows 128 slots
+        keys = np.arange(16384, dtype=np.uint64) * 7919
+        hi = (keys >> 32).astype(np.uint32)
+        lo = (keys & 0xFFFFFFFF).astype(np.uint32)
+        hi_s, lo_s, counts = dcount.unique_counts(
+            jnp.asarray(hi), jnp.asarray(lo)
+        )
+        assert dcount.compact_runs_cascade(hi_s, lo_s, counts) is None
