@@ -172,6 +172,12 @@ def main() -> None:
         exact_s = min(exact_s, time.perf_counter() - t_x)
     exact_bases_per_sec = ex_bases * STEPS_EXACT / exact_s
     exact_distinct = len(keys_x)
+    # the north star is GB/s of FASTQ *file bytes* (BASELINE.md); this
+    # corpus carries ~3.76 file bytes per base, so the apples-to-apples
+    # exact-path comparison converts at the same ratio the headline
+    # metric uses (file_bytes_per_sec / 625e6), not bases/s vs bytes/s
+    bytes_per_base = os.path.getsize("tests/data/PRJNA271013_head.fq") / GOLD_BASES
+    exact_file_bytes_equiv = exact_bases_per_sec * bytes_per_base
 
     bases_per_sec = n_bases_step * STEPS / elapsed
     file_bytes_step = os.path.getsize("tests/data/PRJNA271013_head.fq") * TILE
@@ -210,7 +216,10 @@ def main() -> None:
                     host_framing_bases_per_sec, 1
                 ),
                 "exact_bases_per_sec_per_chip": round(exact_bases_per_sec, 1),
-                "exact_vs_baseline": round(exact_bases_per_sec / 625e6, 4),
+                "exact_file_bytes_equiv_per_sec": round(exact_file_bytes_equiv, 1),
+                "exact_vs_baseline": round(
+                    exact_file_bytes_equiv / NORTH_STAR_BYTES_PER_CHIP, 4
+                ),
                 "exact_distinct_21mers": exact_distinct,
             }
         )

@@ -112,8 +112,8 @@ _SENTINEL = 0xFFFFFFFF
 
 @jax.jit
 def unique_counts(
-    hi: jax.Array, lo: jax.Array
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    hi: Optional[jax.Array], lo: jax.Array
+) -> Tuple[Optional[jax.Array], jax.Array, jax.Array]:
     """Exact run counts of flat (hi, lo) key streams (any shape, flattened).
 
     Invalid keys must already carry the sentinel (0xFFFFFFFF, 0xFFFFFFFF);
@@ -121,22 +121,28 @@ def unique_counts(
     where ``counts[i]`` is the run length at the first element of each
     distinct key's run and 0 elsewhere.
 
-    Scatter/gather-free: one lexicographic ``lax.sort`` (two keys), then
-    run lengths come from the distance to the next run boundary via a
-    suffix cummin — ~30 ms for 8M keys on v5e vs ~110 ms for the
-    lexsort+scatter formulation and ~1 s for host ``np.unique``.
+    ``hi=None`` selects the NARROW path for keys that fit one uint32
+    (k <= 15: 2k <= 30 bits, so no valid key collides with the 0xFFFFFFFF
+    sentinel): a single-key sort at ~3.2 ns/lane instead of the two-key
+    ~5.0 — the returned hi slot is ``None``.
+
+    Scatter/gather-free: one lexicographic ``lax.sort``, then run lengths
+    come from the distance to the next run boundary via a suffix cummin —
+    ~30 ms for 8M keys on v5e vs ~110 ms for the lexsort+scatter
+    formulation and ~1 s for host ``np.unique``.
     """
-    hi = hi.reshape(-1)
     lo = lo.reshape(-1)
-    hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2)
-    n = hi_s.shape[0]
+    if hi is None:
+        lo_s = jax.lax.sort(lo)
+        hi_s = None
+        boundary = lo_s[1:] != lo_s[:-1]
+    else:
+        hi = hi.reshape(-1)
+        hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2)
+        boundary = (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])
+    n = lo_s.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
-    first = jnp.concatenate(
-        [
-            jnp.ones((1,), dtype=bool),
-            (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
-        ]
-    )
+    first = jnp.concatenate([jnp.ones((1,), dtype=bool), boundary])
     boundary_pos = jnp.where(first, pos, n)
     suf_min = jnp.flip(jax.lax.cummin(jnp.flip(boundary_pos)))  # inclusive
     next_boundary = jnp.concatenate(
@@ -144,7 +150,10 @@ def unique_counts(
     )
     counts = jnp.where(first, next_boundary - pos, 0)
     sentinel = jnp.uint32(_SENTINEL)
-    counts = jnp.where((hi_s == sentinel) & (lo_s == sentinel), 0, counts)
+    is_sent = (
+        lo_s == sentinel if hi_s is None else (hi_s == sentinel) & (lo_s == sentinel)
+    )
+    counts = jnp.where(is_sent, 0, counts)
     return hi_s, lo_s, counts
 
 
@@ -173,11 +182,13 @@ def sorted_spectrum(windows: KmerWindows) -> Tuple[jax.Array, jax.Array, jax.Arr
 
 @jax.jit
 def compact_runs_device(
-    hi_s: jax.Array, lo_s: jax.Array, counts: jax.Array
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    hi_s: Optional[jax.Array], lo_s: jax.Array, counts: jax.Array
+) -> Tuple[Optional[jax.Array], jax.Array, jax.Array, jax.Array]:
     """Move the distinct run entries of ``unique_counts`` output to the
     FRONT on device (stable 1-key sort on the zero-count flag, so key
     order is preserved), returning ``(hi_c, lo_c, counts_c, n_distinct)``.
+    ``hi_s=None`` (the narrow k <= 15 path) drops one payload array from
+    the sort and returns ``None`` for ``hi_c``.
 
     This bounds the device->host pull of a sparse flush to the actual
     distinct entries (``[:n_distinct]``) instead of every window lane —
@@ -186,16 +197,22 @@ def compact_runs_device(
     bottleneck once the sort runs at device speed.
     """
     flag = (counts <= 0).astype(jnp.uint32)
-    _, hi_c, lo_c, c_c = jax.lax.sort(
-        (flag, hi_s, lo_s, counts), num_keys=1, is_stable=True
-    )
+    if hi_s is None:
+        _, lo_c, c_c = jax.lax.sort(
+            (flag, lo_s, counts), num_keys=1, is_stable=True
+        )
+        hi_c = None
+    else:
+        _, hi_c, lo_c, c_c = jax.lax.sort(
+            (flag, hi_s, lo_s, counts), num_keys=1, is_stable=True
+        )
     n = jnp.sum((counts > 0).astype(jnp.int32))
     return hi_c, lo_c, c_c, n
 
 
 def compact_runs_cascade(
-    hi_s: jax.Array, lo_s: jax.Array, counts: jax.Array
-) -> Optional[Tuple[jax.Array, jax.Array, jax.Array, jax.Array]]:
+    hi_s: Optional[jax.Array], lo_s: jax.Array, counts: jax.Array
+) -> Optional[Tuple[Optional[jax.Array], jax.Array, jax.Array, jax.Array]]:
     """MXU slot-compaction cascade: same contract as
     :func:`compact_runs_device` but ~6x cheaper on large flushes.
 
@@ -227,18 +244,18 @@ def compact_runs_cascade(
 
 
 def compact_spectrum(
-    hi: np.ndarray, lo: np.ndarray, counts: np.ndarray
+    hi: Optional[np.ndarray], lo: np.ndarray, counts: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host compaction of ``unique_counts`` output: (keys_u64, counts)
     numpy arrays for distinct valid k-mers (vectorized boolean indexing —
-    no per-key Python objects, unlike ``spectrum_to_dict``)."""
-    hi = np.asarray(hi)
+    no per-key Python objects, unlike ``spectrum_to_dict``).  ``hi=None``
+    = the narrow path (keys are the lo plane alone)."""
     lo = np.asarray(lo)
     counts = np.asarray(counts)
     keep = counts > 0
-    keys = (hi[keep].astype(np.uint64) << np.uint64(32)) | lo[keep].astype(
-        np.uint64
-    )
+    keys = lo[keep].astype(np.uint64)
+    if hi is not None:
+        keys |= np.asarray(hi)[keep].astype(np.uint64) << np.uint64(32)
     return keys, counts[keep].astype(np.int64)
 
 
@@ -254,6 +271,10 @@ def finalize_sparse(
     accelerators, where the host link — PCIe or worse — binds; off for
     the CPU backend, where the "pull" is a local copy and the extra
     stable sort is pure overhead).
+
+    Parts whose hi plane is ``None`` (narrow k <= 15 keys) resolve with
+    the single-key sort; mixing narrow and wide parts in one call is a
+    caller bug and raises.
     """
     import jax.numpy as jnp
 
@@ -261,13 +282,21 @@ def finalize_sparse(
         device_compact = jax.default_backend() != "cpu"
     if not key_parts:
         return np.zeros(0, np.uint64), np.zeros(0, np.int64)
-    hi = jnp.concatenate([h.reshape(-1) for h, _ in key_parts])
+    narrow = key_parts[0][0] is None
+    if any((h is None) != narrow for h, _ in key_parts):
+        raise ValueError("cannot mix narrow and wide key parts in one flush")
     lo = jnp.concatenate([l.reshape(-1) for _, l in key_parts])
-    pad = (-hi.shape[0]) % pad_multiple
+    hi = (
+        None
+        if narrow
+        else jnp.concatenate([h.reshape(-1) for h, _ in key_parts])
+    )
+    pad = (-lo.shape[0]) % pad_multiple
     if pad:
         fill = jnp.full((pad,), _SENTINEL, dtype=jnp.uint32)
-        hi = jnp.concatenate([hi, fill])
         lo = jnp.concatenate([lo, fill])
+        if hi is not None:
+            hi = jnp.concatenate([hi, fill])
     hi_s, lo_s, counts = unique_counts(hi, lo)
     if device_compact:
         compacted = None
@@ -277,9 +306,9 @@ def finalize_sparse(
             compacted = compact_runs_device(hi_s, lo_s, counts)
         hi_c, lo_c, c_c, n = compacted
         n = int(n)
-        keys = (
-            np.asarray(hi_c[:n]).astype(np.uint64) << np.uint64(32)
-        ) | np.asarray(lo_c[:n]).astype(np.uint64)
+        keys = np.asarray(lo_c[:n]).astype(np.uint64)
+        if hi_c is not None:
+            keys |= np.asarray(hi_c[:n]).astype(np.uint64) << np.uint64(32)
         return keys, np.asarray(c_c[:n]).astype(np.int64)
     return compact_spectrum(hi_s, lo_s, counts)
 
@@ -328,9 +357,11 @@ class SparseSpectrumAccumulator:
         self._keys = np.zeros(0, np.uint64)
         self._counts = np.zeros(0, np.int64)
 
-    def add(self, hi: jax.Array, lo: jax.Array) -> None:
+    def add(self, hi: Optional[jax.Array], lo: jax.Array) -> None:
+        """Buffer one batch's masked key planes.  ``hi=None`` = narrow
+        (k <= 15) keys; resolve then runs the single-key sort."""
         self._parts.append((hi, lo))
-        self._lanes += hi.size
+        self._lanes += lo.size
         if self._lanes >= self._flush_lanes:
             self._flush()
 

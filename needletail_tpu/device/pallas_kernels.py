@@ -582,7 +582,7 @@ def canonical_windows_pallas(
     return _kmers.canonical_kmers(seqs, lengths, k, normalized=normalized)
 
 
-def _compact_kernel(hi_ref, lo_ref, cnt_ref, oh_ref, ol_ref, oc_ref, *, chunk, slots):
+def _compact_kernel(*refs, chunk, slots):
     """One grid step: compact the flagged entries of 8 chunks to per-chunk
     slot prefixes — selection AS MATMUL, no scatter/gather.
 
@@ -598,7 +598,16 @@ def _compact_kernel(hi_ref, lo_ref, cnt_ref, oh_ref, ol_ref, oc_ref, *, chunk, s
     construction.  Chunks with more than ``slots`` flags overflow
     silently here; the wrapper reports a validity flag computed in XLA
     and callers fall back to the sort-based compaction.
+
+    ``refs`` is ``(hi, lo, cnt, oh, ol, oc)`` or — narrow single-u32 keys,
+    k <= 15 — ``(lo, cnt, ol, oc)``: the hi planes drop out entirely,
+    cutting the one-hot value planes 12 -> 8.
     """
+    if len(refs) == 6:
+        hi_ref, lo_ref, cnt_ref, oh_ref, ol_ref, oc_ref = refs
+    else:
+        lo_ref, cnt_ref, ol_ref, oc_ref = refs
+        hi_ref = oh_ref = None
     f_bool = cnt_ref[:] > 0  # [8, C]
     f_b16 = f_bool.astype(jnp.bfloat16)
     a = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
@@ -610,7 +619,7 @@ def _compact_kernel(hi_ref, lo_ref, cnt_ref, oh_ref, ol_ref, oc_ref, *, chunk, s
         preferred_element_type=jnp.float32,
     ).astype(jnp.int32)  # exact: sums of 0/1 <= chunk << 2^24
     jvec = jax.lax.broadcasted_iota(jnp.int32, (slots, chunk), 0) + 1
-    hi = hi_ref[:]
+    hi = None if hi_ref is None else hi_ref[:]
     lo = lo_ref[:]
     cnt = cnt_ref[:].astype(jnp.uint32)
     m8 = jnp.uint32(0xFF)
@@ -627,12 +636,13 @@ def _compact_kernel(hi_ref, lo_ref, cnt_ref, oh_ref, ol_ref, oc_ref, *, chunk, s
         sel = (
             (pc[r : r + 1, :] == jvec) & f_bool[r : r + 1, :]
         ).astype(jnp.bfloat16)  # [S, C]
+        planes = [] if hi is None else _quarters(hi[r : r + 1, :])
         vals = jnp.concatenate(
-            _quarters(hi[r : r + 1, :])
+            planes
             + _quarters(lo[r : r + 1, :])
             + _quarters(cnt[r : r + 1, :]),
             axis=0,
-        )  # [12, C]
+        )  # [12, C] (or [8, C] narrow)
         out = (
             jax.lax.dot_general(
                 vals, sel, (((1,), (1,)), ((), ())),
@@ -640,7 +650,7 @@ def _compact_kernel(hi_ref, lo_ref, cnt_ref, oh_ref, ol_ref, oc_ref, *, chunk, s
             )
             .astype(jnp.int32)  # exact: one nonzero product per sum, < 2^8
             .astype(jnp.uint32)
-        )  # [12, S]
+        )  # [12|8, S]
 
         def _join(base):
             return (
@@ -650,19 +660,22 @@ def _compact_kernel(hi_ref, lo_ref, cnt_ref, oh_ref, ol_ref, oc_ref, *, chunk, s
                 | out[base + 3 : base + 4, :]
             )
 
-        oh_ref[r : r + 1, :] = _join(0)
-        ol_ref[r : r + 1, :] = _join(4)
-        oc_ref[r : r + 1, :] = _join(8).astype(jnp.int32)
+        base = 0
+        if oh_ref is not None:
+            oh_ref[r : r + 1, :] = _join(0)
+            base = 4
+        ol_ref[r : r + 1, :] = _join(base)
+        oc_ref[r : r + 1, :] = _join(base + 4).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("chunk", "slots"))
 def mxu_compact_slots(
-    hi: jax.Array,
+    hi: Optional[jax.Array],
     lo: jax.Array,
     counts: jax.Array,
     chunk: int = 1024,
     slots: int = 128,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+) -> Tuple[Optional[jax.Array], jax.Array, jax.Array, jax.Array]:
     """Move each chunk's flagged (counts > 0) entries to a slot prefix.
 
     Order-preserving 8x stream reduction for ``unique_counts`` output:
@@ -677,33 +690,53 @@ def mxu_compact_slots(
     per 8 chunks — ~6x cheaper than the 4-array stable sort at 55M lanes,
     and cascadable (apply twice for a 64x reduction, then sort the small
     remainder).  See PERF_NOTES.md for the measured comparison.
+
+    ``hi=None`` = narrow single-u32 keys (k <= 15): 8 value planes
+    instead of 12 and ``hi_c`` comes back ``None``.
     """
-    n = hi.size
-    hi = hi.reshape(-1)
+    n = lo.size
     lo = lo.reshape(-1)
     counts = counts.reshape(-1)
+    if hi is not None:
+        hi = hi.reshape(-1)
     block = 8 * chunk
     pad = (-n) % block
     if pad:
         zc = jnp.zeros((pad,), counts.dtype)
-        zk = jnp.zeros((pad,), hi.dtype)
-        hi = jnp.concatenate([hi, zk])
+        zk = jnp.zeros((pad,), lo.dtype)
         lo = jnp.concatenate([lo, zk])
         counts = jnp.concatenate([counts, zc])
+        if hi is not None:
+            hi = jnp.concatenate([hi, zk])
         n += pad
     rows = n // chunk
     per_chunk = jnp.sum(
         (counts > 0).reshape(rows, chunk).astype(jnp.int32), axis=1
     )
     ok = jnp.max(per_chunk) <= slots
-    hi2 = hi.reshape(rows, chunk)
     lo2 = lo.reshape(rows, chunk)
     c2 = counts.reshape(rows, chunk).astype(jnp.int32)
     spec = pl.BlockSpec((8, chunk), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((8, slots), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    kspec = dict(
+        grid=(rows // 8,),
+        interpret=_interpret(),
+    )
+    if hi is None:
+        ol, oc = pl.pallas_call(
+            partial(_compact_kernel, chunk=chunk, slots=slots),
+            in_specs=[spec, spec],
+            out_specs=[ospec, ospec],
+            out_shape=[
+                jax.ShapeDtypeStruct((rows, slots), jnp.uint32),
+                jax.ShapeDtypeStruct((rows, slots), jnp.int32),
+            ],
+            **kspec,
+        )(lo2, c2)
+        return None, ol.reshape(-1), oc.reshape(-1), ok
+    hi2 = hi.reshape(rows, chunk)
     oh, ol, oc = pl.pallas_call(
         partial(_compact_kernel, chunk=chunk, slots=slots),
-        grid=(rows // 8,),
         in_specs=[spec, spec, spec],
         out_specs=[ospec, ospec, ospec],
         out_shape=[
@@ -711,6 +744,6 @@ def mxu_compact_slots(
             jax.ShapeDtypeStruct((rows, slots), jnp.uint32),
             jax.ShapeDtypeStruct((rows, slots), jnp.int32),
         ],
-        interpret=_interpret(),
+        **kspec,
     )(hi2, lo2, c2)
     return oh.reshape(-1), ol.reshape(-1), oc.reshape(-1), ok

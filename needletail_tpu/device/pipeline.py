@@ -227,6 +227,11 @@ def count_file(
         and jax.default_backend() == "tpu"
     )
 
+    # keys for k <= 15 fit one uint32 (2k <= 30 bits, below the sentinel):
+    # drop the hi plane so the flush sort runs single-key (~3.2 vs ~5.0
+    # ns/lane) and the compaction cascade carries 8 value planes, not 12
+    narrow_keys = k <= 15
+
     @jax.jit
     def _keys(seqs, lengths, quals, vbits):
         if use_pallas_keys:
@@ -246,8 +251,10 @@ def count_file(
             # windows only exist at positions [0, L-k+1); later lanes are
             # sentinel anyway — slicing them off shrinks the sort
             w = khi.shape[1] - k + 1
-            return khi[:, :w].reshape(-1), klo[:, :w].reshape(-1)
-        return _count.mask_keys(_windows(seqs, lengths, quals, vbits))
+            hi = None if narrow_keys else khi[:, :w].reshape(-1)
+            return hi, klo[:, :w].reshape(-1)
+        hi, lo = _count.mask_keys(_windows(seqs, lengths, quals, vbits))
+        return (None if narrow_keys else hi), lo
 
     start_offset = 0
     if resume_from is not None:
@@ -567,6 +574,13 @@ def multi_k_count_file(
 
     dense_ks = tuple(k for k in ks if k <= _count.MAX_DENSE_K)
     sparse_ks = tuple(k for k in ks if k > _count.MAX_DENSE_K)
+    # k <= 9 rides the MXU histogram in-step; dense OUTPUT for 10..12
+    # accumulates through the (narrow single-u32) sorted sparse path and
+    # densifies at the end — the per-batch XLA scatter-add is ~4x slower
+    # than one single-key sort per flush (count_file routes identically)
+    mxu_dense_ks = tuple(k for k in dense_ks if k <= 9)
+    densify_ks = tuple(k for k in dense_ks if k > 9)
+    acc_sparse_ks = densify_ks + sparse_ks
 
     def _windows(seqs, lengths, quals, k):
         if quals is not None:
@@ -589,18 +603,20 @@ def multi_k_count_file(
         sparse_keys = {}
         for k in active:
             win = _windows(seqs, lengths, quals, k)
-            if k <= _count.MAX_DENSE_K:
+            if k in mxu_dense_ks:
                 lo, hi = dense_limbs[k]
                 new_dense[k] = acc64(lo, hi, _count.dense_spectrum(win, k))
             else:
-                sparse_keys[k] = _count.mask_keys(win)
+                khi, klo = _count.mask_keys(win)
+                # k <= 15 keys fit one uint32: single-key flush sort
+                sparse_keys[k] = ((None if k <= 15 else khi), klo)
         return new_dense, sparse_keys
 
     dense_limbs = {
         k: (jnp.zeros(4**k, jnp.uint32), jnp.zeros(4**k, jnp.uint32))
-        for k in dense_ks
+        for k in mxu_dense_ks
     }
-    sparse_accs = {k: _count.SparseSpectrumAccumulator() for k in sparse_ks}
+    sparse_accs = {k: _count.SparseSpectrumAccumulator() for k in acc_sparse_ks}
     n_bases = 0
     batches, _ = _make_batch_source(
         path, batch_size, max_len, host_workers,
@@ -640,8 +656,13 @@ def multi_k_count_file(
     out: Dict[int, object] = {}
     from ..utils.limbs import limbs_to_int64_array as _combine
 
-    for k in dense_ks:
+    for k in mxu_dense_ks:
         out[k] = _combine(*dense_limbs[k])
+    for k in densify_ks:
+        keys, counts = sparse_accs[k].finish()
+        table = np.zeros(4**k, np.int64)
+        table[keys.astype(np.int64)] = counts
+        out[k] = table
     for k in sparse_ks:
         keys, counts = sparse_accs[k].finish()
         out[k] = (
@@ -883,7 +904,8 @@ def minimizer_spectrum_file(
     @jax.jit
     def _keys(seqs, lengths):
         win = _minimizers.window_minimizers(seqs, lengths, k, w, normalized=normalized)
-        return _count.mask_keys(win)
+        hi, lo = _count.mask_keys(win)
+        return (None if k <= 15 else hi), lo
 
     sparse = _count.SparseSpectrumAccumulator()
     n_bases = 0

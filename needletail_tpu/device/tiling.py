@@ -177,7 +177,9 @@ def genome_spectrum(
                 )
             dense_limbs = acc64(*dense_limbs, spec)
         else:
-            sparse.add(*_count.mask_keys(windows))
+            t_hi, t_lo = _count.mask_keys(windows)
+            # k <= 15 keys fit one uint32: single-key flush sort
+            sparse.add((None if k <= 15 else t_hi), t_lo)
     if dense:
         if dense_limbs is None:
             return n_bases, np.zeros(4**k, np.int64)

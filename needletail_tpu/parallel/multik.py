@@ -101,15 +101,28 @@ class ShardedMultiKAccumulator:
             )
             for k in self._dense_ks
         }
+        # k <= 15 keys fit one uint32 (2k <= 30 bits, below the sentinel):
+        # buffer only the lo plane — half the HBM and a single-key flush
+        # sort for those k (here that's k in 13..15; smaller k are dense)
+        narrow = {k: k <= 15 for k in self._sparse_ks}
+        self._narrow = narrow
         # one distinct buffer per plane per k: device_put of a shared fill
         # can alias, and every plane is donated each step (see _fresh_fill)
         self._bufs = {
-            k: (
-                _fresh_fill(self._n_data * self._cap, data_shard),
-                _fresh_fill(self._n_data * self._cap, data_shard),
+            k: tuple(
+                _fresh_fill(self._n_data * self._cap, data_shard)
+                for _ in range(1 if narrow[k] else 2)
             )
             for k in self._sparse_ks
         }
+        # position of each k's planes in the flattened buffer tuple
+        plane_slices = {}
+        _idx = 0
+        for k in self._sparse_ks:
+            n = 1 if narrow[k] else 2
+            plane_slices[k] = slice(_idx, _idx + n)
+            _idx += n
+        n_planes = _idx
 
         dense_ks, sparse_ks = self._dense_ks, self._sparse_ks
         n_data = self._n_data
@@ -143,33 +156,32 @@ class ShardedMultiKAccumulator:
                 lo, hi = acc64(dense[2 * i], dense[2 * i + 1], upd)
                 new_dense.extend((lo, hi))
             for i, k in enumerate(sparse_ks):
+                planes = bufs[plane_slices[k]]
                 if k > max_l:
-                    new_bufs.extend((bufs[2 * i], bufs[2 * i + 1]))
+                    new_bufs.extend(planes)
                     continue
                 win = fn(seqs, lengths, k, normalized=normalized,
                          precoded=packed)
                 khi, klo = _count.mask_keys(win)
-                bh = jax.lax.dynamic_update_slice(
-                    bufs[2 * i], khi, (offsets[i],)
+                vals = (klo,) if narrow[k] else (khi, klo)
+                new_bufs.extend(
+                    jax.lax.dynamic_update_slice(buf, v, (offsets[i],))
+                    for buf, v in zip(planes, vals)
                 )
-                bl = jax.lax.dynamic_update_slice(
-                    bufs[2 * i + 1], klo, (offsets[i],)
-                )
-                new_bufs.extend((bh, bl))
             return tuple(new_dense), tuple(new_bufs)
 
         n_dense = len(dense_ks)
         n_sparse = len(sparse_ks)
         base_specs = (
             (P("data"),) * (2 * n_dense),
-            (P("data"),) * (2 * n_sparse),
+            (P("data"),) * n_planes,
             (P(),) * n_sparse,
             P("data", None),
             P("data"),
         )
         out_specs = (
             (P("data"),) * (2 * n_dense),
-            (P("data"),) * (2 * n_sparse),
+            (P("data"),) * n_planes,
         )
 
         def _shmap(body, in_specs):
@@ -184,14 +196,19 @@ class ShardedMultiKAccumulator:
         self._step_vb = (
             _shmap(_step, base_specs + (P("data", None),)) if packed else None
         )
+        self._plane_slices = plane_slices
 
         from ._resolve import make_sharded_resolver
 
         device_compact = jax.default_backend() != "cpu"
         self._device_compact = device_compact
-        self._resolve = make_sharded_resolver(
-            mesh, device_compact, cascade=jax.default_backend() == "tpu"
-        )
+        cascade = jax.default_backend() == "tpu"
+        self._resolvers = {
+            nw: make_sharded_resolver(
+                mesh, device_compact, cascade=cascade, narrow=nw
+            )
+            for nw in sorted({narrow[k] for k in self._sparse_ks})
+        }
 
     def lanes_for(self, batch_rows: int, max_len: int, k: int) -> int:
         w = max(max_len - k + 1, 0)
@@ -238,8 +255,8 @@ class ShardedMultiKAccumulator:
             )
         for i, k in enumerate(self._dense_ks):
             self._dense[k] = (new_dense[2 * i], new_dense[2 * i + 1])
-        for i, k in enumerate(self._sparse_ks):
-            self._bufs[k] = (new_bufs[2 * i], new_bufs[2 * i + 1])
+        for k in self._sparse_ks:
+            self._bufs[k] = tuple(new_bufs[self._plane_slices[k]])
             self._offsets[k] += lanes[k]
         self._ingested = True
 
@@ -248,9 +265,15 @@ class ShardedMultiKAccumulator:
         for k in self._sparse_ks:
             if self._offsets[k] == 0:
                 continue
-            hi_c, lo_c, counts_c, ns = self._resolve(*self._bufs[k])
+            out = self._resolvers[self._narrow[k]](*self._bufs[k])
+            if self._narrow[k]:
+                lo_c, counts_c, ns = out
+                hi_shards = [None] * len(lo_c.addressable_shards)
+            else:
+                hi_c, lo_c, counts_c, ns = out
+                hi_shards = hi_c.addressable_shards
             for sh_h, sh_l, sh_c, sh_n in zip(
-                hi_c.addressable_shards,
+                hi_shards,
                 lo_c.addressable_shards,
                 counts_c.addressable_shards,
                 ns.addressable_shards,
@@ -259,22 +282,25 @@ class ShardedMultiKAccumulator:
                     n = int(np.asarray(sh_n.data)[0])
                     if n == 0:
                         continue
-                    hi = np.asarray(sh_h.data[:n]).astype(np.uint64)
-                    lo = np.asarray(sh_l.data[:n]).astype(np.uint64)
-                    keys = (hi << np.uint64(32)) | lo
+                    keys = np.asarray(sh_l.data[:n]).astype(np.uint64)
+                    if sh_h is not None:
+                        keys |= (
+                            np.asarray(sh_h.data[:n]).astype(np.uint64)
+                            << np.uint64(32)
+                        )
                     cnts = np.asarray(sh_c.data[:n]).astype(np.int64)
                 else:
                     keys, cnts = _count.compact_spectrum(
-                        np.asarray(sh_h.data),
+                        None if sh_h is None else np.asarray(sh_h.data),
                         np.asarray(sh_l.data),
                         np.asarray(sh_c.data),
                     )
                 self._keys[k], self._counts[k] = _count.merge_sorted_spectra(
                     self._keys[k], self._counts[k], keys, cnts
                 )
-            self._bufs[k] = (
-                _fresh_fill(self._n_data * self._cap, data_shard),
-                _fresh_fill(self._n_data * self._cap, data_shard),
+            self._bufs[k] = tuple(
+                _fresh_fill(self._n_data * self._cap, data_shard)
+                for _ in range(1 if self._narrow[k] else 2)
             )
             self._offsets[k] = 0
 

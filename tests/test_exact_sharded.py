@@ -212,8 +212,8 @@ class TestSingleDeviceMesh:
     def test_planes_have_distinct_storage(self):
         mesh = make_mesh(jax.devices()[:1], data=1, table=1)
         acc = ShardedSpectrumAccumulator(mesh, 21, shard_lanes=1 << 10)
-        ph = acc._buf_hi.addressable_shards[0].data.unsafe_buffer_pointer()
-        pl = acc._buf_lo.addressable_shards[0].data.unsafe_buffer_pointer()
+        ph = acc._bufs[0].addressable_shards[0].data.unsafe_buffer_pointer()
+        pl = acc._bufs[1].addressable_shards[0].data.unsafe_buffer_pointer()
         assert ph != pl
         # the aliasing premise itself (documents why _fresh_fill exists)
         fill = jnp.full((1 << 10,), 7, jnp.uint32)
@@ -257,14 +257,16 @@ class TestCascadeResolver:
     (it is TPU-only in production; forced here on the CPU mesh via
     interpret-mode Pallas)."""
 
-    def _buffers(self, mesh, run_len, n_distinct, cap=1 << 14, seed=3):
+    def _buffers(self, mesh, run_len, n_distinct, cap=1 << 14, seed=3,
+                 narrow=False):
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
 
         rng = np.random.default_rng(seed)
         n = 8 * cap
         keys = np.full(n, 0xFFFFFFFFFFFFFFFF, np.uint64)
-        distinct = rng.choice(2**40, size=n_distinct, replace=False).astype(
+        space = 2**28 if narrow else 2**40  # narrow keys stay one-u32
+        distinct = rng.choice(space, size=n_distinct, replace=False).astype(
             np.uint64
         )
         lanes = np.repeat(distinct, run_len)[:n]
@@ -273,29 +275,37 @@ class TestCascadeResolver:
         hi = (keys >> np.uint64(32)).astype(np.uint32)
         lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         sh = NamedSharding(mesh, P("data"))
+        if narrow:
+            return (jax.device_put(jnp.asarray(lo), sh),)
         return (
             jax.device_put(jnp.asarray(hi), sh),
             jax.device_put(jnp.asarray(lo), sh),
         )
 
-    def _compare(self, mesh, run_len, n_distinct):
+    def _compare(self, mesh, run_len, n_distinct, narrow=False):
         from needletail_tpu.parallel._resolve import make_sharded_resolver
 
-        fast = make_sharded_resolver(mesh, True, cascade=True)
-        safe = make_sharded_resolver(mesh, True, cascade=False)
-        # resolvers donate: build two identical buffer pairs
-        fh, fl = self._buffers(mesh, run_len, n_distinct)
-        sh_, sl = self._buffers(mesh, run_len, n_distinct)
-        gh, gl, gc, gn = fast(fh, fl)
-        eh, el, ec, en = safe(sh_, sl)
+        fast = make_sharded_resolver(mesh, True, cascade=True, narrow=narrow)
+        safe = make_sharded_resolver(mesh, True, cascade=False, narrow=narrow)
+        # resolvers donate: build two identical buffer sets
+        fb = self._buffers(mesh, run_len, n_distinct, narrow=narrow)
+        sb = self._buffers(mesh, run_len, n_distinct, narrow=narrow)
+        if narrow:
+            gl, gc, gn = fast(*fb)
+            el, ec, en = safe(*sb)
+            gh = eh = None
+        else:
+            gh, gl, gc, gn = fast(*fb)
+            eh, el, ec, en = safe(*sb)
         assert np.array_equal(np.asarray(gn), np.asarray(en))
         for s in range(8):
             n = int(np.asarray(en)[s])
-            gs = slice(s * (gh.shape[0] // 8), None)
-            es = slice(s * (eh.shape[0] // 8), None)
-            g_h = np.asarray(gh)[gs][:n]
-            e_h = np.asarray(eh)[es][:n]
-            assert np.array_equal(g_h, e_h)
+            gs = slice(s * (gl.shape[0] // 8), None)
+            es = slice(s * (el.shape[0] // 8), None)
+            if not narrow:
+                assert np.array_equal(
+                    np.asarray(gh)[gs][:n], np.asarray(eh)[es][:n]
+                )
             assert np.array_equal(np.asarray(gl)[gs][:n], np.asarray(el)[es][:n])
             assert np.array_equal(np.asarray(gc)[gs][:n], np.asarray(ec)[es][:n])
 
@@ -312,3 +322,47 @@ class TestCascadeResolver:
         # ~12 flags per 1024-lane chunk -> level-2 chunks hold ~96 < 128,
         # while run_len=16 keeps level 1 at ~64 flags/chunk
         self._compare(mesh, run_len=16, n_distinct=8192)
+
+    def test_narrow_matches_safe_resolver(self, mesh):
+        # single-u32 (k <= 15) resolvers: cascade path
+        self._compare(mesh, run_len=300, n_distinct=400, narrow=True)
+
+    def test_narrow_overflow_falls_back(self, mesh):
+        self._compare(mesh, run_len=1, n_distinct=8 * (1 << 14), narrow=True)
+
+
+class TestNarrowShardedEquality:
+    """k <= 15 buffers only the lo plane; results must equal the wide
+    single-device sparse path bit-for-bit."""
+
+    def test_k13_equals_single_device(self, mesh, data_dir):
+        from needletail_tpu.device.pipeline import count_file
+
+        fa = str(data_dir / "28S.fasta")
+        nb, (ks_, cs_) = sharded_count_file(fa, 13, mesh=mesh, host_workers=1)
+        nb1, (sk, sc) = count_file(
+            fa, k=13, sparse_format="arrays", host_workers=1, dense=False
+        )
+        assert nb == nb1
+        assert np.array_equal(ks_, sk)
+        assert np.array_equal(cs_, sc)
+        assert ks_.size and ks_.max() < (1 << 26)  # genuinely narrow keys
+
+    def test_multi_k_narrow_wide_densify_mix(self, mesh, data_dir):
+        from needletail_tpu.device.pipeline import multi_k_count_file
+        from needletail_tpu.parallel import sharded_multi_k_count_file
+
+        fa = str(data_dir / "28S.fasta")
+        ks = (11, 13, 21)  # densified dense + narrow sparse + wide sparse
+        nb, spec = sharded_multi_k_count_file(
+            fa, ks=ks, mesh=mesh, host_workers=1
+        )
+        nb1, single = multi_k_count_file(fa, ks=ks, host_workers=1)
+        assert nb == nb1
+        for k in ks:
+            a, b = spec[k], single[k]
+            if isinstance(a, tuple):
+                assert np.array_equal(a[0], b[0]), k
+                assert np.array_equal(a[1], b[1]), k
+            else:
+                assert np.array_equal(np.asarray(a), np.asarray(b)), k

@@ -148,6 +148,25 @@ class TestMxuCompactSlots:
         args = (jnp.asarray(hi), jnp.asarray(hi), jnp.ones(n, jnp.int32))
         assert not bool(mxu_compact_slots(*args)[3])
 
+    def test_narrow_matches_wide_with_zero_hi(self):
+        from needletail_tpu.device.pallas_kernels import mxu_compact_slots
+
+        rng = np.random.default_rng(11)
+        n = 30_000
+        lo = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+        counts = np.zeros(n, np.int32)
+        flags = rng.random(n) < 0.05
+        counts[flags] = rng.integers(1, 1 << 30, int(flags.sum()))
+        oh, ol, oc, ok = mxu_compact_slots(
+            None, jnp.asarray(lo), jnp.asarray(counts)
+        )
+        assert oh is None and bool(ok)
+        wh, wl, wc, wok = mxu_compact_slots(
+            jnp.zeros(n, jnp.uint32), jnp.asarray(lo), jnp.asarray(counts)
+        )
+        assert np.array_equal(np.asarray(ol), np.asarray(wl))
+        assert np.array_equal(np.asarray(oc), np.asarray(wc))
+
     def test_cascade_matches_sort_compaction(self):
         from needletail_tpu.device import count as dcount
 
