@@ -80,14 +80,11 @@ def _cmd_count(args) -> int:
             # single-pass multi-k over the mesh (encode shared across k)
             from .parallel import sharded_multi_k_count_file
 
-            if args.bucketed or args.quality_cutoff is not None:
-                raise SystemExit(
-                    "--sharded with a k list takes no --bucketed/"
-                    "--quality-cutoff flags yet"
-                )
             n_bases, spec = sharded_multi_k_count_file(
                 args.path, ks, mesh=mesh, batch_size=args.batch_size,
                 host_workers=args.host_workers,
+                quality_cutoff=args.quality_cutoff,
+                bucketed=args.bucketed,
                 **ckpt_kwargs,
             )
             out = {}

@@ -63,6 +63,8 @@ class ShardedMultiKAccumulator:
         normalized: bool = True,
         shard_lanes: int = DEFAULT_SHARD_LANES,
         packed: bool = False,
+        quality_cutoff: Optional[int] = None,
+        phred_offset: int = 33,
     ) -> None:
         ks = tuple(sorted({int(k) for k in ks}))
         if not ks:
@@ -70,6 +72,8 @@ class ShardedMultiKAccumulator:
         for k in ks:
             if not 1 <= k <= 31:
                 raise ValueError(f"every k must be in [1, 31], got {k}")
+        if packed and quality_cutoff is not None:
+            raise ValueError("packed transport carries no quality planes")
         self._mesh = mesh
         self._n_data = _require_data_mesh(mesh)
         self._ks = ks
@@ -86,6 +90,8 @@ class ShardedMultiKAccumulator:
         self._packed = packed
         self._canonical = canonical
         self._normalized = normalized
+        self._quality_cutoff = quality_cutoff
+        self._phred_offset = phred_offset
         self._offsets = {k: 0 for k in self._sparse_ks}
         self._keys = {k: np.zeros(0, np.uint64) for k in self._sparse_ks}
         self._counts = {k: np.zeros(0, np.int64) for k in self._sparse_ks}
@@ -127,12 +133,21 @@ class ShardedMultiKAccumulator:
         dense_ks, sparse_ks = self._dense_ks, self._sparse_ks
         n_data = self._n_data
 
-        def _step(dense, bufs, offsets, seqs, lengths, vbits=None):
+        def _step(dense, bufs, offsets, seqs, lengths, quals=None, vbits=None):
             """Per-chip body: one encode, every k's windows, all updates."""
             if packed:
                 from ..device.ops import unpack_codes
 
                 seqs = unpack_codes(seqs, vbits)
+            if quals is not None:
+                from ..device.ops import quality_mask
+
+                # mask ONCE per chip; every k's windows then skip the
+                # low-quality bases (same semantics as the per-k paths)
+                seqs = quality_mask(
+                    seqs, quals,
+                    jnp.int32(phred_offset + (quality_cutoff or 0)),
+                )
             fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
             max_l = seqs.shape[1]  # static per trace: ks wider than the
             new_dense = []         # batch have no windows and pass through
@@ -192,10 +207,24 @@ class ShardedMultiKAccumulator:
                 donate_argnums=(0, 1),
             )
 
-        self._step = _shmap(_step, base_specs)
-        self._step_vb = (
-            _shmap(_step, base_specs + (P("data", None),)) if packed else None
-        )
+        def _plain(dense, bufs, offsets, seqs, lengths):
+            return _step(dense, bufs, offsets, seqs, lengths)
+
+        self._step = _shmap(_plain, base_specs)
+        if quality_cutoff is not None:
+            def _with_q(dense, bufs, offsets, seqs, lengths, quals):
+                return _step(dense, bufs, offsets, seqs, lengths, quals=quals)
+
+            self._step_q = _shmap(_with_q, base_specs + (P("data", None),))
+        else:
+            self._step_q = None
+        if packed:
+            def _with_vb(dense, bufs, offsets, seqs, lengths, vbits):
+                return _step(dense, bufs, offsets, seqs, lengths, vbits=vbits)
+
+            self._step_vb = _shmap(_with_vb, base_specs + (P("data", None),))
+        else:
+            self._step_vb = None
         self._plane_slices = plane_slices
 
         from ._resolve import make_sharded_resolver
@@ -214,7 +243,7 @@ class ShardedMultiKAccumulator:
         w = max(max_len - k + 1, 0)
         return (batch_rows // self._n_data) * w
 
-    def add(self, seqs, lengths, vbits=None) -> None:
+    def add(self, seqs, lengths, quals=None, vbits=None) -> None:
         seqs = jnp.asarray(seqs)
         lengths = jnp.asarray(lengths)
         b, l = seqs.shape
@@ -244,7 +273,14 @@ class ShardedMultiKAccumulator:
         )
         seqs_p = jax.device_put(seqs, self._plane_shard)
         lens_p = jax.device_put(lengths, self._len_shard)
-        if self._packed and vbits is not None:
+        if self._quality_cutoff is not None:
+            if quals is None:
+                raise ValueError("quality_cutoff needs FASTQ qualities")
+            q = jax.device_put(jnp.asarray(quals), self._plane_shard)
+            new_dense, new_bufs = self._step_q(
+                dense_flat, buf_flat, offs, seqs_p, lens_p, q
+            )
+        elif self._packed and vbits is not None:
             vb = jax.device_put(jnp.asarray(vbits), self._plane_shard)
             new_dense, new_bufs = self._step_vb(
                 dense_flat, buf_flat, offs, seqs_p, lens_p, vb
@@ -383,10 +419,13 @@ def sharded_multi_k_count_file(
     shard_lanes: int = DEFAULT_SHARD_LANES,
     host_workers: Optional[int] = None,
     spill_dir: Optional[str] = None,
+    quality_cutoff: Optional[int] = None,
+    phred_offset: int = 33,
     packed: Optional[bool] = None,
     checkpoint_every: Optional[int] = None,
     checkpoint_path: Optional[str] = None,
     resume_from: Optional[str] = None,
+    bucketed: bool = False,
 ) -> Tuple[int, Dict[int, Union[np.ndarray, Tuple[np.ndarray, np.ndarray]]]]:
     """Count several k values over the mesh in ONE pass over the file.
 
@@ -397,23 +436,44 @@ def sharded_multi_k_count_file(
     dense ``count_file`` outputs bit-for-bit.  ``checkpoint_every``/
     ``resume_from`` behave as in ``sharded_count_file`` (record-aligned
     byte offsets, bit-identical resume; single-stream uncompressed input).
+    ``quality_cutoff`` masks low-quality bases once per chip (shared by
+    every k); ``bucketed=True`` length-buckets batches before sharding —
+    both compose exactly as in ``sharded_count_file``.
     """
     from ..device.pipeline import _make_batch_source
 
     ks = tuple(sorted({int(k) for k in ks}))
     if packed is None:
-        packed = True
+        packed = quality_cutoff is None and not bucketed
+    elif packed and quality_cutoff is not None:
+        raise ValueError("packed transport carries no quality planes")
+    elif packed and bucketed:
+        raise ValueError(
+            "bucketed framing is ASCII-shaped; drop packed=True or bucketed"
+        )
     n_data = _require_data_mesh(mesh)
     batch_size = -(-batch_size // n_data) * n_data
     acc = ShardedMultiKAccumulator(
         mesh, ks, canonical=canonical, normalized=normalized,
         shard_lanes=shard_lanes, packed=packed,
+        quality_cutoff=quality_cutoff, phred_offset=phred_offset,
     )
     # frame wide enough for the largest k even when the corpus is shorter
     eff_max_len = max_len
     n_bases = 0
     ckpt_mode = checkpoint_every is not None or resume_from is not None
-    if ckpt_mode:
+    if ckpt_mode and bucketed:
+        raise ValueError(
+            "checkpoint/resume needs the single-shape stream, not bucketed"
+        )
+    if bucketed:
+        from ..io.bucketed import bucketed_read_batches
+
+        batches = bucketed_read_batches(
+            path, batch_size=batch_size, max_len=eff_max_len,
+            with_quals=quality_cutoff is not None,
+        )
+    elif ckpt_mode:
         from ..device.pipeline import (
             _checkpoint_source,
             _validate_checkpoint_args,
@@ -437,13 +497,13 @@ def sharded_multi_k_count_file(
             n_bases = ck["n_bases"]
             acc.restore(ck["arrays"])
         batches = _checkpoint_source(
-            path, batch_size, eff_max_len, False, packed, normalized,
-            start_offset,
+            path, batch_size, eff_max_len, quality_cutoff is not None,
+            packed, normalized, start_offset,
         )
     else:
         batches, _ = _make_batch_source(
             path, batch_size, eff_max_len, host_workers,
-            with_quals=False, spill_dir=spill_dir,
+            with_quals=quality_cutoff is not None, spill_dir=spill_dir,
             packed=packed, normalized=normalized,
         )
 
@@ -468,7 +528,14 @@ def sharded_multi_k_count_file(
             if packed:
                 acc.add(b.codes, b.lengths, vbits=b.vbits)
             else:
-                acc.add(b.seqs, b.lengths)
+                if quality_cutoff is not None and b.quals is None:
+                    raise ValueError(
+                        "quality_cutoff needs FASTQ input with qualities"
+                    )
+                acc.add(
+                    b.seqs, b.lengths,
+                    b.quals if quality_cutoff is not None else None,
+                )
         batches_done += 1
         if (
             checkpoint_every is not None

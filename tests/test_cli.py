@@ -136,11 +136,15 @@ def test_count_flag_matrix(tmp_path):
     # same base count across all 8 combinations
     assert len(set(results.values())) == 1, results
 
-    # multi-k now composes with --sharded (single fused pass over the
-    # mesh); --bucketed stays a clear error
-    proc = _run_raw(*(base + ["-k", "4,7", "--sharded"]))
-    assert proc.returncode == 0, proc.stderr.decode(errors="replace")[-2000:]
-    assert "one sharded pass" in proc.stderr.decode(errors="replace")
+    # multi-k composes with --sharded (single fused pass over the mesh),
+    # including --bucketed / --quality-cutoff; single-device multi-k
+    # --bucketed stays a clear error
+    for extra in ([], ["--bucketed"], ["--quality-cutoff", "20"]):
+        proc = _run_raw(*(base + ["-k", "4,7", "--sharded"] + extra))
+        assert proc.returncode == 0, (
+            extra, proc.stderr.decode(errors="replace")[-2000:]
+        )
+        assert "one sharded pass" in proc.stderr.decode(errors="replace")
     proc = _run_raw(*(base + ["-k", "4,7", "--bucketed"]))
     assert proc.returncode != 0
     msg = proc.stderr.decode(errors="replace")

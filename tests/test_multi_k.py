@@ -128,6 +128,72 @@ class TestShardedMultiK:
         assert np.array_equal(s1[21][0], s2[21][0])
         assert np.array_equal(s1[21][1], s2[21][1])
 
+    def test_quality_cutoff_matches_per_k(self):
+        """Quality masking shared across k equals per-k sharded runs."""
+        import jax
+
+        from needletail_tpu.parallel import (
+            make_mesh,
+            sharded_count_file,
+            sharded_multi_k_count_file,
+        )
+
+        mesh = make_mesh(jax.devices(), data=8, table=1)
+        path = "tests/data/PRJNA271013_head.fq"
+        nb, spec = sharded_multi_k_count_file(
+            path, (5, 17), mesh=mesh, batch_size=256, host_workers=1,
+            quality_cutoff=20,
+        )
+        assert nb == 250_000
+        from needletail_tpu.device.pipeline import count_file
+
+        _, d5 = count_file(path, k=5, quality_cutoff=20, batch_size=256)
+        assert np.array_equal(spec[5], d5)
+        _, (rk, rc) = sharded_count_file(
+            path, 17, mesh=mesh, batch_size=256, host_workers=1,
+            quality_cutoff=20,
+        )
+        assert np.array_equal(spec[17][0], rk)
+        assert np.array_equal(spec[17][1], rc)
+
+    def test_bucketed_matches_plain(self, tmp_path):
+        """Length-bucketed framing yields a bit-identical multi-k result."""
+        import jax
+
+        from needletail_tpu.parallel import make_mesh, sharded_multi_k_count_file
+
+        rng = np.random.default_rng(23)
+        p = tmp_path / "mix.fa"
+        with open(p, "wb") as f:
+            for i in range(160):
+                ln = int(rng.choice([30, 80, 150]))
+                seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), ln).tobytes()
+                f.write(b">r%d\n" % i + seq + b"\n")
+        mesh = make_mesh(jax.devices(), data=8, table=1)
+        nb1, s1 = sharded_multi_k_count_file(
+            p, (6, 19), mesh=mesh, batch_size=64, host_workers=1,
+        )
+        nb2, s2 = sharded_multi_k_count_file(
+            p, (6, 19), mesh=mesh, batch_size=64, host_workers=1,
+            bucketed=True,
+        )
+        assert nb1 == nb2
+        assert np.array_equal(s1[6], s2[6])
+        assert np.array_equal(s1[19][0], s2[19][0])
+        assert np.array_equal(s1[19][1], s2[19][1])
+
+    def test_packed_quality_conflict(self):
+        import jax
+
+        from needletail_tpu.parallel import make_mesh, sharded_multi_k_count_file
+
+        mesh = make_mesh(jax.devices(), data=8, table=1)
+        with pytest.raises(ValueError, match="quality"):
+            sharded_multi_k_count_file(
+                "tests/data/PRJNA271013_head.fq", (5, 17), mesh=mesh,
+                quality_cutoff=20, packed=True,
+            )
+
     def test_short_batches_skip_wide_ks(self, tmp_path):
         import jax
 
