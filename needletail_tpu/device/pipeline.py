@@ -268,6 +268,12 @@ def count_file(
                 f"checkpoint {resume_from!r} is kind={ck['kind']} "
                 f"k={ck['k']}, expected kind={want} k={k}"
             )
+        from ..parallel.checkpoint import check_counting_meta
+
+        check_counting_meta(
+            ck, resume_from, canonical=canonical, normalized=normalized,
+            quality_cutoff=quality_cutoff, phred_offset=phred_offset,
+        )
         start_offset = ck["file_offset"]
         n_bases = ck["n_bases"]
         if accumulate_dense:
@@ -277,8 +283,12 @@ def count_file(
             sparse.restore(ck["arrays"]["keys"], ck["arrays"]["counts"])
 
     def _save_ckpt(offset):
-        from ..parallel.checkpoint import save_stream_checkpoint
+        from ..parallel.checkpoint import counting_meta, save_stream_checkpoint
 
+        sem = counting_meta(
+            canonical=canonical, normalized=normalized,
+            quality_cutoff=quality_cutoff, phred_offset=phred_offset,
+        )
         if accumulate_dense:
             table = (
                 np.zeros(4**k, np.int64)
@@ -287,7 +297,7 @@ def count_file(
             )
             save_stream_checkpoint(
                 checkpoint_path, "count_dense", k, offset, n_bases,
-                {"table": table}, input_path=str(path),
+                {"table": table}, input_path=str(path), meta=sem,
             )
         else:
             # finish() flushes (one sort) and leaves the accumulator live
@@ -295,6 +305,7 @@ def count_file(
             save_stream_checkpoint(
                 checkpoint_path, "count_sparse", k, offset, n_bases,
                 {"keys": keys, "counts": counts}, input_path=str(path),
+                meta=sem,
             )
 
     if bucketed:
@@ -749,6 +760,9 @@ def hash_count_file(
             )
         if int(ck["meta"]["table_bits"]) != table_bits:
             raise ValueError("checkpoint table_bits mismatch")
+        from ..parallel.checkpoint import check_counting_meta
+
+        check_counting_meta(ck, resume_from, normalized=normalized)
         start_offset = ck["file_offset"]
         resume_bases = ck["n_bases"]
         resume_state = ck
@@ -829,7 +843,7 @@ def hash_count_file(
         )
 
     def _save_checkpoint(offset):
-        from ..parallel.checkpoint import save_stream_checkpoint
+        from ..parallel.checkpoint import counting_meta, save_stream_checkpoint
         from ..utils.limbs import limbs_to_int64_array
 
         t = np.asarray(limbs_to_int64_array(table_lo, table_hi))
@@ -846,6 +860,7 @@ def hash_count_file(
                 "table_bits": np.int32(table_bits),
                 "total": np.int64(limbs_to_int(tal[0], tal[1])),
                 "fwd": np.int64(limbs_to_int(tal[2], tal[3])),
+                **counting_meta(normalized=normalized),
             },
         )
 

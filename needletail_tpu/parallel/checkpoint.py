@@ -28,7 +28,58 @@ __all__ = [
     "load_hash_state",
     "save_stream_checkpoint",
     "load_stream_checkpoint",
+    "counting_meta",
+    "check_counting_meta",
 ]
+
+
+def counting_meta(
+    canonical: bool = True,
+    normalized: bool = True,
+    quality_cutoff: Optional[int] = None,
+    phred_offset: int = 33,
+) -> dict:
+    """Semantic counting parameters to embed in a stream checkpoint.
+
+    A count table is only meaningful under fixed (canonical, normalized,
+    quality) semantics; recording them lets resume refuse a flag mismatch
+    instead of silently blending two different counting modes into one
+    spectrum."""
+    return {
+        "canonical": np.int32(bool(canonical)),
+        "normalized": np.int32(bool(normalized)),
+        "quality_cutoff": np.int32(
+            -1 if quality_cutoff is None else int(quality_cutoff)
+        ),
+        "phred_offset": np.int32(int(phred_offset)),
+    }
+
+
+def check_counting_meta(
+    ck: dict,
+    resume_from: Union[str, Path],
+    canonical: bool = True,
+    normalized: bool = True,
+    quality_cutoff: Optional[int] = None,
+    phred_offset: int = 33,
+) -> None:
+    """Refuse to resume ``ck`` under different counting semantics.
+
+    Keys absent from the checkpoint (older files) pass unchecked."""
+    want = counting_meta(
+        canonical=canonical,
+        normalized=normalized,
+        quality_cutoff=quality_cutoff,
+        phred_offset=phred_offset,
+    )
+    meta = ck.get("meta", {})
+    for name, val in want.items():
+        if name in meta and int(meta[name]) != int(val):
+            raise ValueError(
+                f"checkpoint {str(resume_from)!r} was written with "
+                f"{name}={int(meta[name])} but this run uses {int(val)}; "
+                "resume with the original counting flags"
+            )
 
 
 def save_stream_checkpoint(

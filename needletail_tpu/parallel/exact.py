@@ -408,6 +408,12 @@ def sharded_count_file(
                     f"checkpoint {resume_from!r} is kind={ck['kind']} "
                     f"k={ck['k']}, expected kind=sharded_exact k={k}"
                 )
+            from .checkpoint import check_counting_meta
+
+            check_counting_meta(
+                ck, resume_from, canonical=canonical, normalized=normalized,
+                quality_cutoff=quality_cutoff, phred_offset=phred_offset,
+            )
             start_offset = ck["file_offset"]
             n_bases = ck["n_bases"]
             acc.restore(ck["arrays"]["keys"], ck["arrays"]["counts"])
@@ -423,13 +429,17 @@ def sharded_count_file(
         )
 
     def _save_ckpt(offset):
-        from .checkpoint import save_stream_checkpoint
+        from .checkpoint import counting_meta, save_stream_checkpoint
 
         # snapshot = flush (one per-shard sort) + the merged host spectrum
         keys, counts = acc.finish()
         save_stream_checkpoint(
             checkpoint_path, "sharded_exact", k, offset, n_bases,
             {"keys": keys, "counts": counts}, input_path=str(path),
+            meta=counting_meta(
+                canonical=canonical, normalized=normalized,
+                quality_cutoff=quality_cutoff, phred_offset=phred_offset,
+            ),
         )
 
     batches_done = 0

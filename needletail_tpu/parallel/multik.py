@@ -493,6 +493,12 @@ def sharded_multi_k_count_file(
                     f"checkpoint {resume_from!r} is kind={ck['kind']} "
                     f"ks={ck_ks}, expected kind=sharded_multik ks={ks}"
                 )
+            from .checkpoint import check_counting_meta
+
+            check_counting_meta(
+                ck, resume_from, canonical=canonical, normalized=normalized,
+                quality_cutoff=quality_cutoff, phred_offset=phred_offset,
+            )
             start_offset = ck["file_offset"]
             n_bases = ck["n_bases"]
             acc.restore(ck["arrays"])
@@ -508,12 +514,19 @@ def sharded_multi_k_count_file(
         )
 
     def _save_ckpt(offset):
-        from .checkpoint import save_stream_checkpoint
+        from .checkpoint import counting_meta, save_stream_checkpoint
 
         save_stream_checkpoint(
             checkpoint_path, "sharded_multik", 0, offset, n_bases,
             acc.snapshot(), input_path=str(path),
-            meta={"ks": np.asarray(ks, np.int32)},
+            meta={
+                "ks": np.asarray(ks, np.int32),
+                **counting_meta(
+                    canonical=canonical, normalized=normalized,
+                    quality_cutoff=quality_cutoff,
+                    phred_offset=phred_offset,
+                ),
+            },
         )
 
     batches_done = 0

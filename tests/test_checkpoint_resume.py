@@ -128,6 +128,37 @@ class TestHashResume:
                 corpus, 11, batch_size=512, max_len=128, resume_from=ck
             )
 
+    def test_resume_semantics_mismatch_rejected(self, corpus, tmp_path):
+        """Resuming under different counting semantics must refuse, not
+        silently blend two counting modes into one table."""
+        from needletail_tpu.device.pipeline import count_file, hash_count_file
+
+        ck = str(tmp_path / "c.npz")
+        count_file(
+            corpus, 5, batch_size=512, max_len=128, quality_cutoff=20,
+            checkpoint_every=2, checkpoint_path=ck, host_workers=1,
+        )
+        with pytest.raises(ValueError, match="quality_cutoff"):
+            count_file(
+                corpus, 5, batch_size=512, max_len=128, resume_from=ck,
+                host_workers=1,
+            )
+        with pytest.raises(ValueError, match="phred_offset"):
+            count_file(
+                corpus, 5, batch_size=512, max_len=128, quality_cutoff=20,
+                phred_offset=64, resume_from=ck, host_workers=1,
+            )
+        hk = str(tmp_path / "h.npz")
+        hash_count_file(
+            corpus, 9, batch_size=512, max_len=128,
+            checkpoint_every=4, checkpoint_path=hk, host_workers=1,
+        )
+        with pytest.raises(ValueError, match="normalized"):
+            hash_count_file(
+                corpus, 9, batch_size=512, max_len=128, normalized=False,
+                resume_from=hk, host_workers=1,
+            )
+
     def test_checkpoint_needs_path_and_single_stream(self, corpus):
         from needletail_tpu.device.pipeline import hash_count_file
 
@@ -306,4 +337,10 @@ class TestMultiKShardedResume:
             sharded_multi_k_count_file(
                 corpus, (4, 31), mesh=mesh, batch_size=512, max_len=128,
                 host_workers=1, resume_from=ck,
+            )
+        # same ks but different counting semantics must refuse too
+        with pytest.raises(ValueError, match="canonical"):
+            sharded_multi_k_count_file(
+                corpus, (4, 21), mesh=mesh, batch_size=512, max_len=128,
+                host_workers=1, resume_from=ck, canonical=False,
             )

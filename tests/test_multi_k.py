@@ -182,6 +182,54 @@ class TestShardedMultiK:
         assert np.array_equal(s1[19][0], s2[19][0])
         assert np.array_equal(s1[19][1], s2[19][1])
 
+    def test_differential_fuzz_vs_per_k(self, tmp_path):
+        """Random corpora (N bases, mixed lengths, random qualities): the
+        fused mesh pass must equal per-k single-device runs bit-for-bit.
+        Shapes/ks are pinned so every trial reuses one compiled step."""
+        import jax
+
+        from needletail_tpu.device.pipeline import count_file
+        from needletail_tpu.parallel import make_mesh, sharded_multi_k_count_file
+
+        mesh = make_mesh(jax.devices(), data=8, table=1)
+        ks = (4, 13, 21)  # dense + narrow-sparse + wide-sparse
+        rng = np.random.default_rng(777)
+        for trial in range(3):
+            quality = trial == 2
+            p = tmp_path / f"fz{trial}.{'fq' if quality else 'fa'}"
+            with open(p, "wb") as f:
+                for i in range(96):
+                    ln = int(rng.integers(1, 90))
+                    seq = rng.choice(
+                        np.frombuffer(b"ACGTN", np.uint8), ln
+                    ).tobytes()
+                    if quality:
+                        q = rng.integers(33, 74, ln, dtype=np.uint8).tobytes()
+                        f.write(b"@r%d\n" % i + seq + b"\n+\n" + q + b"\n")
+                    else:
+                        f.write(b">r%d\n" % i + seq + b"\n")
+            qc = 20 if quality else None
+            nb, spec = sharded_multi_k_count_file(
+                p, ks, mesh=mesh, batch_size=96, max_len=96,
+                host_workers=1, quality_cutoff=qc,
+            )
+            for k in ks:
+                if k <= 12:
+                    nbr, ref = count_file(
+                        p, k=k, batch_size=96, max_len=96,
+                        quality_cutoff=qc, host_workers=1,
+                    )
+                    assert nbr == nb
+                    assert np.array_equal(spec[k], ref), (trial, k)
+                else:
+                    _, (rk, rc) = count_file(
+                        p, k=k, dense=False, sparse_format="arrays",
+                        batch_size=96, max_len=96, quality_cutoff=qc,
+                        host_workers=1,
+                    )
+                    assert np.array_equal(spec[k][0], rk), (trial, k)
+                    assert np.array_equal(spec[k][1], rc), (trial, k)
+
     def test_packed_quality_conflict(self):
         import jax
 
