@@ -156,7 +156,11 @@ def count_file(
             "bucketed=True and host_workers>1 are mutually exclusive: "
             "bucketed framing is single-process (pass one or the other)"
         )
-    ckpt_mode = checkpoint_every is not None or resume_from is not None
+    ckpt_mode = (
+        checkpoint_every is not None
+        or resume_from is not None
+        or checkpoint_path is not None
+    )
     if ckpt_mode:
         if bucketed:
             raise ValueError(
@@ -316,6 +320,7 @@ def count_file(
         batches = _checkpoint_source(
             path, batch_size, max_len, quality_cutoff is not None,
             packed, normalized, start_offset,
+            require_offsets=checkpoint_every is not None,
         )
     else:
         batches, _ = _make_batch_source(
@@ -500,14 +505,18 @@ def _make_batch_source(
 
 
 def _checkpoint_source(
-    path, batch_size, max_len, with_quals, packed, normalized, start_offset
+    path, batch_size, max_len, with_quals, packed, normalized, start_offset,
+    require_offsets: bool = False,
 ):
     """Single-stream, offset-reporting batch source for checkpoint/resume.
 
     Resume = re-frame ``[start_offset, EOF)``; offsets come from the
     batchers' record-aligned ``file_offset`` (io.fast_batch).  Compressed
     input can't seek to a decompressed offset, and multi-worker framing
-    interleaves batches — both are rejected up front.
+    interleaves batches — both are rejected up front.  With
+    ``require_offsets`` (checkpoint WRITING was requested) a framing path
+    that reports no offsets raises on its first batch instead of letting
+    the run finish with zero checkpoints written.
     """
     import os as _os
 
@@ -524,10 +533,26 @@ def _checkpoint_source(
             "must be seekable); decompress first (e.g. io.spill)"
         )
     size = _os.path.getsize(path)
-    return fast_read_batches_range(
+    batches = fast_read_batches_range(
         path, start_offset, size, batch_size=batch_size, max_len=max_len,
         with_quals=with_quals, packed=packed, normalized=normalized,
     )
+    if not require_offsets:
+        return batches
+
+    def _checked():
+        for b in batches:
+            if b.file_offset is None:
+                raise ValueError(
+                    "checkpoint_every was requested but this framing path "
+                    "reports no record-aligned byte offsets (native framer "
+                    "unavailable?); rebuild the C extension "
+                    "(NEEDLETAIL_TPU_NO_NATIVE must be unset) or drop "
+                    "checkpoint_every"
+                )
+            yield b
+
+    return _checked()
 
 
 def _validate_checkpoint_args(checkpoint_every, checkpoint_path, host_workers):
@@ -536,6 +561,13 @@ def _validate_checkpoint_args(checkpoint_every, checkpoint_path, host_workers):
             raise ValueError("checkpoint_every needs a checkpoint_path")
         if checkpoint_every < 1:
             raise ValueError("checkpoint_every must be >= 1 (batches)")
+    elif checkpoint_path is not None:
+        # a path alone writes nothing — refuse instead of letting the user
+        # believe the run was protected
+        raise ValueError(
+            "checkpoint_path without checkpoint_every writes no "
+            "checkpoints; pass checkpoint_every=N (batches)"
+        )
     if host_workers is not None and host_workers > 1:
         raise ValueError(
             "checkpoint/resume is single-stream (offsets must be "
@@ -741,7 +773,11 @@ def hash_count_file(
 
     from ..utils.limbs import acc64, limbs_to_int
 
-    ckpt_mode = checkpoint_every is not None or resume_from is not None
+    ckpt_mode = (
+        checkpoint_every is not None
+        or resume_from is not None
+        or checkpoint_path is not None
+    )
     if ckpt_mode:
         _validate_checkpoint_args(
             checkpoint_every, checkpoint_path, host_workers
@@ -788,9 +824,11 @@ def hash_count_file(
     tallies = jnp.zeros((4,), jnp.uint32)  # (total_lo, total_hi, fwd_lo, fwd_hi)
     n_bases = resume_bases
     if resume_state is not None:
-        t64 = resume_state["arrays"]["table"].astype(np.int64, copy=False)
-        table_lo = jnp.asarray((t64 & 0xFFFFFFFF).astype(np.uint32))
-        table_hi = jnp.asarray((t64 >> 32).astype(np.uint32))
+        from ..utils.limbs import int64_array_to_limbs
+
+        lo0, hi0 = int64_array_to_limbs(resume_state["arrays"]["table"])
+        table_lo = jnp.asarray(lo0)
+        table_hi = jnp.asarray(hi0)
         total0 = int(resume_state["meta"]["total"])
         fwd0 = int(resume_state["meta"]["fwd"])
         tallies = jnp.asarray(
@@ -806,7 +844,8 @@ def hash_count_file(
         )
     if ckpt_mode:
         batches = _checkpoint_source(
-            path, batch_size, max_len, False, packed, normalized, start_offset
+            path, batch_size, max_len, False, packed, normalized,
+            start_offset, require_offsets=checkpoint_every is not None,
         )
     else:
         batches, _ = _make_batch_source(

@@ -88,6 +88,11 @@ class _StreamWindow:
     def remaining(self) -> np.ndarray:
         return self._buf[: self._len]
 
+    def close(self) -> None:
+        close = getattr(self._stream, "close", None)
+        if close is not None:
+            close()
+
 
 class _MmapWindow:
     """Zero-copy window over an uncompressed file (VERDICT-6 mmap path):
@@ -724,11 +729,17 @@ def _pack_fallback(batches, normalized: bool):
         yield PackedReadBatch.from_read_batch(b, normalized=normalized)
 
 
-def _check_packed_max_len(packed: bool, max_len: Optional[int]) -> None:
+def _effective_packed_max_len(
+    packed: bool, max_len: Optional[int]
+) -> Optional[int]:
+    """Packed planes are byte-quantized (4 codes / 8 validity bits per
+    byte), so an explicit ``max_len`` rounds UP to the next multiple of 8
+    — never an error, because the counting drivers auto-select packed
+    transport and must accept every ``max_len`` the ASCII path accepts.
+    The widened columns stay masked by per-read lengths."""
     if packed and max_len is not None and max_len % 8:
-        raise ValueError(
-            f"packed transport needs max_len divisible by 8, got {max_len}"
-        )
+        return max_len + (8 - max_len % 8)
+    return max_len
 
 
 class RangeStream(io.RawIOBase):
@@ -781,7 +792,7 @@ def fast_read_batches_range(
     ``packed=True`` yields ``PackedReadBatch``es (2-bit codes + validity
     bitplane, no quality plane) packed by the C framer — the transport
     format of the counting pipelines."""
-    _check_packed_max_len(packed, max_len)
+    max_len = _effective_packed_max_len(packed, max_len)
     if packed:
         with_quals = False
     try:
@@ -799,8 +810,13 @@ def fast_read_batches_range(
         try:
             stream = _MmapWindow(path, start, end)  # zero-copy framing
         except (OSError, ValueError):
-            stream = None
+            # base_offset keeps batch.file_offset ABSOLUTE (checkpoints
+            # written mid-resume must not record range-relative offsets)
+            stream = _StreamWindow(
+                RangeStream(path, start, end), base_offset=start
+            )
     if stream is None:
+        # non-native fallback: the streaming readers take a raw stream
         stream = RangeStream(path, start, end)
     try:
         if first == b"@" and native.available():
@@ -861,7 +877,7 @@ def fast_read_batches(
     0.25-0.375 B/base on the host->device wire instead of 1 (quality
     planes are never carried; see ``needletail_tpu.encoding``).
     """
-    _check_packed_max_len(packed, max_len)
+    max_len = _effective_packed_max_len(packed, max_len)
     if packed:
         with_quals = False
 

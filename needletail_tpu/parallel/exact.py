@@ -376,7 +376,11 @@ def sharded_count_file(
         phred_offset=phred_offset,
         packed=packed,
     )
-    ckpt_mode = checkpoint_every is not None or resume_from is not None
+    ckpt_mode = (
+        checkpoint_every is not None
+        or resume_from is not None
+        or checkpoint_path is not None
+    )
     if ckpt_mode and bucketed:
         raise ValueError(
             "checkpoint/resume needs the single-shape stream, not bucketed"
@@ -420,6 +424,7 @@ def sharded_count_file(
         batches = _checkpoint_source(
             path, batch_size, max_len, quality_cutoff is not None,
             packed, normalized, start_offset,
+            require_offsets=checkpoint_every is not None,
         )
     else:
         batches, _ = _make_batch_source(

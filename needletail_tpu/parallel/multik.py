@@ -8,14 +8,17 @@ both axes: every batch runs a single jitted ``shard_map`` step in which
   * the 2-bit encode (or packed-transport unpack) happens ONCE per chip,
     and the power-of-two window ladders are shared across k by XLA CSE
     (k=21 reuses k=16's prefix, exactly like the single-chip multi-k path);
-  * each dense k (<= MAX_DENSE_K) histograms locally into a full [4^k]
-    table and routes counts to their owners with one ``psum_scatter`` over
-    ``data`` (chip d owns bins [d*4^k/N, (d+1)*4^k/N)) accumulated as
-    uint32 limb pairs — the hash-pipeline topology with exact bins;
-  * each sparse k appends its sentinel-masked (hi, lo) keys to a per-chip,
-    per-k device buffer; buffers resolve per chip with one lexicographic
-    sort + run-length count (+ distinct-to-front compaction on real
-    accelerators) and the host tree-merges sorted runs per k.
+  * each dense k <= 9 histograms locally into a full [4^k] table with the
+    int4 MXU kernel (``dense_spectrum``) and routes counts to their owners
+    with one ``psum_scatter`` over ``data`` (chip d owns bins
+    [d*4^k/N, (d+1)*4^k/N)) accumulated as uint32 limb pairs — the
+    hash-pipeline topology with exact bins;
+  * every k > 9 appends its sentinel-masked keys to a per-chip, per-k
+    device buffer (one u32 plane for k <= 15, (hi, lo) pairs above);
+    buffers resolve per chip with one lexicographic sort + run-length
+    count (+ distinct-to-front compaction on real accelerators) and the
+    host tree-merges sorted runs per k; k = 10..12 densify at finish so
+    the dense [4^k] output contract of MAX_DENSE_K holds.
 
 Exactness: integer adds commute and each window's key lives on exactly one
 chip, so every per-k result is bit-identical to the corresponding
@@ -44,6 +47,9 @@ from .exact import DEFAULT_SHARD_LANES, _fresh_fill, _require_data_mesh
 __all__ = ["ShardedMultiKAccumulator", "sharded_multi_k_count_file"]
 
 _SENTINEL = 0xFFFFFFFF
+
+# largest k whose [4^k] per-step histogram rides the int4 MXU kernel
+_MXU_DENSE_K = 9
 
 
 class ShardedMultiKAccumulator:
@@ -77,14 +83,23 @@ class ShardedMultiKAccumulator:
         self._mesh = mesh
         self._n_data = _require_data_mesh(mesh)
         self._ks = ks
-        self._dense_ks = tuple(k for k in ks if k <= _count.MAX_DENSE_K)
-        self._sparse_ks = tuple(k for k in ks if k > _count.MAX_DENSE_K)
+        # per-step dense limb tables ride the int4 MXU histogram, which
+        # reaches 4^9 (masked 2^16-bin passes); k = 10..12 keeps the dense
+        # OUTPUT contract but accumulates through the narrow sparse
+        # buffers and densifies at finish — the same routing count_file
+        # uses (the per-batch XLA scatter-add it replaces is ~25x slower,
+        # see PERF_NOTES.md)
+        self._dense_ks = tuple(k for k in ks if k <= _MXU_DENSE_K)
+        self._densify_ks = frozenset(
+            k for k in ks if _MXU_DENSE_K < k <= _count.MAX_DENSE_K
+        )
+        self._sparse_ks = tuple(k for k in ks if k > _MXU_DENSE_K)
         for k in self._dense_ks:
             if (4**k) % self._n_data:
                 raise ValueError(
                     f"4^{k} bins don't divide over data={self._n_data}; "
-                    "use a power-of-4-compatible mesh or drop k={k} to the "
-                    "sparse path with dense output downstream"
+                    f"use a power-of-4-compatible mesh or drop k={k} to "
+                    "the sparse path with dense output downstream"
                 )
         self._cap = int(shard_lanes)
         self._packed = packed
@@ -158,13 +173,7 @@ class ShardedMultiKAccumulator:
                     continue
                 win = fn(seqs, lengths, k, normalized=normalized,
                          precoded=packed)
-                keys = jnp.where(win.valid, win.lo.astype(jnp.int32), 0)
-                weights = win.valid.astype(jnp.int32)
-                local = (
-                    jnp.zeros((4**k,), jnp.int32)
-                    .at[keys.reshape(-1)]
-                    .add(weights.reshape(-1))
-                )
+                local = _count.dense_spectrum(win, k)
                 upd = jax.lax.psum_scatter(
                     local, "data", scatter_dimension=0, tiled=True
                 )
@@ -202,7 +211,11 @@ class ShardedMultiKAccumulator:
         def _shmap(body, in_specs):
             return jax.jit(
                 jax.shard_map(
-                    body, mesh=mesh, in_specs=in_specs, out_specs=out_specs
+                    body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                    # pallas_call outputs (the MXU histogram) carry no
+                    # varying-mesh-axes metadata; skip the vma check as the
+                    # other Pallas-in-shard_map pipelines do
+                    check_vma=False,
                 ),
                 donate_argnums=(0, 1),
             )
@@ -373,16 +386,22 @@ class ShardedMultiKAccumulator:
         if self._ingested:
             raise ValueError("restore() only applies to a fresh accumulator")
         data_shard = NamedSharding(self._mesh, P("data"))
+        from ..utils.limbs import int64_array_to_limbs
+
         for k in self._dense_ks:
-            t64 = np.asarray(arrays[f"dense_{k}"]).astype(np.int64, copy=False)
-            lo = jax.device_put(
-                jnp.asarray((t64 & 0xFFFFFFFF).astype(np.uint32)), data_shard
-            )
-            hi = jax.device_put(
-                jnp.asarray((t64 >> 32).astype(np.uint32)), data_shard
-            )
+            lo0, hi0 = int64_array_to_limbs(arrays[f"dense_{k}"])
+            lo = jax.device_put(jnp.asarray(lo0), data_shard)
+            hi = jax.device_put(jnp.asarray(hi0), data_shard)
             self._dense[k] = (lo, hi)
         for k in self._sparse_ks:
+            if f"keys_{k}" not in arrays and f"dense_{k}" in arrays:
+                # checkpoint written when k=10..12 rode the per-step dense
+                # state: convert the table back to the sorted sparse form
+                t = np.asarray(arrays[f"dense_{k}"]).astype(np.int64)
+                nz = np.flatnonzero(t)
+                self._keys[k] = nz.astype(np.uint64)
+                self._counts[k] = t[nz]
+                continue
             self._keys[k] = np.asarray(arrays[f"keys_{k}"], dtype=np.uint64)
             self._counts[k] = np.asarray(
                 arrays[f"counts_{k}"], dtype=np.int64
@@ -395,16 +414,24 @@ class ShardedMultiKAccumulator:
         (keys, counts) pairs, each bit-identical to a per-k run.
 
         Multi-process SPMD: each process returns its own devices'
-        portion — dense arrays SUM across processes (disjoint bin
-        ranges), sparse pairs merge with ``merge_sorted_spectra`` —
-        the same per-addressable-shard convention as
-        ``ShardedSpectrumAccumulator.finish``."""
+        portion — dense arrays SUM across processes (for k <= 9 the bin
+        ranges are disjoint; for the densified k = 10..12 duplicates add,
+        which is the same invariant), sparse pairs merge with
+        ``merge_sorted_spectra`` — the same per-addressable-shard
+        convention as ``ShardedSpectrumAccumulator.finish``."""
         self._flush()
         out: Dict[int, object] = {}
         for k in self._dense_ks:
             out[k] = self._dense_to_host(k)
         for k in self._sparse_ks:
-            out[k] = (self._keys[k], self._counts[k])
+            if k in self._densify_ks:
+                # dense OUTPUT contract for k <= MAX_DENSE_K: densify the
+                # merged sparse spectrum (count_file's routing for 10..12)
+                table = np.zeros(4**k, np.int64)
+                table[self._keys[k].astype(np.int64)] = self._counts[k]
+                out[k] = table
+            else:
+                out[k] = (self._keys[k], self._counts[k])
         return out
 
 
@@ -461,7 +488,11 @@ def sharded_multi_k_count_file(
     # frame wide enough for the largest k even when the corpus is shorter
     eff_max_len = max_len
     n_bases = 0
-    ckpt_mode = checkpoint_every is not None or resume_from is not None
+    ckpt_mode = (
+        checkpoint_every is not None
+        or resume_from is not None
+        or checkpoint_path is not None
+    )
     if ckpt_mode and bucketed:
         raise ValueError(
             "checkpoint/resume needs the single-shape stream, not bucketed"
@@ -505,6 +536,7 @@ def sharded_multi_k_count_file(
         batches = _checkpoint_source(
             path, batch_size, eff_max_len, quality_cutoff is not None,
             packed, normalized, start_offset,
+            require_offsets=checkpoint_every is not None,
         )
     else:
         batches, _ = _make_batch_source(

@@ -169,6 +169,52 @@ class TestHashResume:
                 corpus, 9, checkpoint_every=2, checkpoint_path="x.npz",
                 host_workers=2,
             )
+        # a path alone writes nothing — refuse instead of false security
+        with pytest.raises(ValueError, match="checkpoint_every"):
+            hash_count_file(corpus, 9, checkpoint_path="x.npz")
+        from needletail_tpu.device.pipeline import count_file
+
+        with pytest.raises(ValueError, match="checkpoint_every"):
+            count_file(corpus, 5, checkpoint_path="x.npz")
+
+    def test_checkpoint_requires_offset_reporting(self, corpus, tmp_path,
+                                                  monkeypatch):
+        """checkpoint_every with a framing path that reports no offsets
+        (no native framer) must raise, not finish with zero checkpoints."""
+        from needletail_tpu.device.pipeline import count_file
+        from needletail_tpu.io import native
+
+        monkeypatch.setattr(native, "available", lambda: False)
+        with pytest.raises(ValueError, match="offsets"):
+            count_file(
+                corpus, 5, batch_size=512, max_len=128,
+                checkpoint_every=1,
+                checkpoint_path=str(tmp_path / "n.npz"), host_workers=1,
+            )
+
+    def test_range_fallback_reports_absolute_offsets(self, corpus,
+                                                     monkeypatch):
+        """When mmap framing is unavailable the RangeStream fallback must
+        still report ABSOLUTE file offsets (checkpoints written mid-resume
+        would otherwise double-count on the next resume)."""
+        from needletail_tpu.io import fast_batch
+
+        ref = list(fast_batch.fast_read_batches_range(
+            corpus, 0, os.path.getsize(corpus), batch_size=256, max_len=128,
+        ))
+        assert len(ref) >= 2 and ref[0].file_offset is not None
+        start = ref[0].file_offset  # record-aligned absolute offset
+
+        def _boom(*a, **kw):
+            raise OSError("mmap disabled for this test")
+
+        monkeypatch.setattr(fast_batch, "_MmapWindow", _boom)
+        got = list(fast_batch.fast_read_batches_range(
+            corpus, start, os.path.getsize(corpus), batch_size=256,
+            max_len=128,
+        ))
+        assert got[0].file_offset == ref[1].file_offset
+        assert got[0].file_offset > start
 
     def test_compressed_input_rejected(self, tmp_path):
         import gzip

@@ -192,7 +192,9 @@ class TestShardedMultiK:
         from needletail_tpu.parallel import make_mesh, sharded_multi_k_count_file
 
         mesh = make_mesh(jax.devices(), data=8, table=1)
-        ks = (4, 13, 21)  # dense + narrow-sparse + wide-sparse
+        # every routing class: MXU-dense (<=9), densify-at-finish (10..12),
+        # narrow sparse (13..15), wide sparse (>15)
+        ks = (4, 11, 13, 21)
         rng = np.random.default_rng(777)
         for trial in range(3):
             quality = trial == 2

@@ -106,9 +106,17 @@ class TestHostPacking:
             np.where(in_len, u, 0), np.where(in_len, expect, 0)
         )
 
-    def test_packed_rejects_bad_max_len(self):
-        with pytest.raises(ValueError, match="divisible by 8"):
-            list(fast_read_batches(FQ, packed=True, max_len=130))
+    def test_packed_rounds_max_len(self):
+        """An explicit max_len not divisible by 8 rounds UP (the drivers
+        auto-select packed transport, so every ASCII-legal max_len must
+        work) — planes quantize, results stay identical."""
+        got = list(fast_read_batches(FQ, packed=True, max_len=130))
+        ref = list(fast_read_batches(FQ, packed=True, max_len=136))
+        assert len(got) == len(ref)
+        for a, b in zip(got, ref):
+            assert a.num_bases == b.num_bases
+            assert np.array_equal(a.codes, b.codes)
+            assert np.array_equal(a.lengths, b.lengths)
 
     def test_pad_reads_to(self):
         (b,) = fast_read_batches(FQ, batch_size=4096, packed=True)
