@@ -258,8 +258,15 @@ def _cmd_minimizers(args) -> int:
 
     from .device.pipeline import minimizer_spectrum_file
 
+    mesh = None
+    if args.sharded:
+        import jax
+
+        from .parallel import make_mesh
+
+        mesh = make_mesh(jax.devices(), data=len(jax.devices()), table=1)
     n_bases, (keys, counts) = minimizer_spectrum_file(
-        args.path, k=args.k, w=args.w, batch_size=args.batch_size
+        args.path, k=args.k, w=args.w, batch_size=args.batch_size, mesh=mesh
     )
     print(
         f"# {n_bases} bases, {len(keys)} distinct ({args.w},{args.k})-minimizers, "
@@ -380,6 +387,8 @@ def main(argv=None) -> int:
     p.add_argument("--top", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=4096)
     p.add_argument("-o", "--output", help="write spectrum .npz")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard the sketch over every device")
     p.set_defaults(fn=_cmd_minimizers)
 
     p = sub.add_parser("spectrum", help="whole-genome spectrum via halo tiling")

@@ -940,6 +940,7 @@ def minimizer_spectrum_file(
     max_len: Optional[int] = None,
     normalized: bool = True,
     sparse_format: str = "arrays",
+    mesh=None,
 ) -> Tuple[int, Union[Dict[int, int], Tuple[np.ndarray, np.ndarray]]]:
     """(w, k) minimizer spectrum of a FASTX file: counts of each canonical
     k-mer value that wins at least one w-window (the sketch-level analogue
@@ -950,10 +951,48 @@ def minimizer_spectrum_file(
     counts once per window), matching the usual (w, k)-sketch density.
     Returns ``(n_bases, (keys_u64, counts))`` (or a dict with
     ``sparse_format="dict"``).
+
+    ``mesh=`` shards the sketch over a data mesh: per-chip minimizer
+    extraction + per-chip sorts inside ``shard_map``, host merge — the
+    same machinery as ``parallel.sharded_count_file``, bit-identical to
+    the single-device run.
     """
     import jax
 
     from . import minimizers as _minimizers
+
+    if mesh is not None:
+        from ..parallel.exact import (
+            ShardedSpectrumAccumulator,
+            _require_data_mesh,
+        )
+
+        n_data = _require_data_mesh(mesh)
+        batch_size = -(-batch_size // n_data) * n_data
+        acc = ShardedSpectrumAccumulator(
+            mesh, k, normalized=normalized,
+            window_fn=lambda s, l: _minimizers.window_minimizers(
+                s, l, k, w, normalized=normalized
+            ),
+            window_lanes=lambda max_l: max(max_l - k - w + 2, 0),
+        )
+        n_bases = 0
+        for batch in read_batches(
+            path, batch_size=batch_size, max_len=max_len, prefetch=True
+        ):
+            n_bases += batch.num_bases
+            if batch.max_len < k + w - 1:
+                continue
+            b = (
+                batch
+                if batch.num_reads == batch_size
+                else batch.pad_reads_to(batch_size)
+            )
+            acc.add(b.seqs, b.lengths)
+        keys, counts = acc.finish()
+        if sparse_format == "dict":
+            return n_bases, _count.spectrum_arrays_to_dict(keys, counts)
+        return n_bases, (keys, counts)
 
     @jax.jit
     def _keys(seqs, lengths):

@@ -88,11 +88,22 @@ class ShardedSpectrumAccumulator:
         quality_cutoff: Optional[int] = None,
         phred_offset: int = 33,
         packed: bool = False,
+        window_fn=None,
+        window_lanes=None,
     ) -> None:
+        """``window_fn(seqs, lengths) -> KmerWindows`` overrides the
+        canonical k-mer extraction (e.g. (w, k) minimizer sketches);
+        ``window_lanes(max_len) -> int`` must then give the per-read lane
+        count that extraction emits.  Keys stay 2k-bit packed values, so
+        the narrow-key/sort/cascade machinery is unchanged."""
         if not 1 <= k <= 31:
             raise ValueError(f"k must be in [1, 31], got {k}")
         if packed and quality_cutoff is not None:
             raise ValueError("packed transport carries no quality planes")
+        if window_fn is not None and packed:
+            raise ValueError("window_fn extraction consumes ASCII planes")
+        if (window_fn is None) != (window_lanes is None):
+            raise ValueError("window_fn and window_lanes come together")
         self._mesh = mesh
         self._n_data = _require_data_mesh(mesh)
         self._k = k
@@ -105,6 +116,9 @@ class ShardedSpectrumAccumulator:
         self._quality_cutoff = quality_cutoff
         self._phred_offset = phred_offset
         self._packed = packed
+        self._lanes_per_read = window_lanes or (
+            lambda max_len: max(max_len - k + 1, 0)
+        )
         # k <= 15 keys fit one uint32 (2k <= 30 bits, below the sentinel):
         # buffer only the lo plane — half the buffer HBM, a single-key
         # flush sort (~3.2 vs ~5.0 ns/lane), an 8-plane compaction cascade
@@ -137,8 +151,13 @@ class ShardedSpectrumAccumulator:
                 seqs = quality_mask(
                     seqs, quals, jnp.int32(phred_offset + (quality_cutoff or 0))
                 )
-            fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
-            win = fn(seqs, lengths, k_, normalized=normalized, precoded=packed)
+            if window_fn is not None:
+                win = window_fn(seqs, lengths)
+            else:
+                fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
+                win = fn(
+                    seqs, lengths, k_, normalized=normalized, precoded=packed
+                )
             hi, lo = _count.mask_keys(win)
             planes = (lo,) if narrow else (hi, lo)
             return tuple(
@@ -207,8 +226,7 @@ class ShardedSpectrumAccumulator:
 
     def lanes_for(self, batch_rows: int, max_len: int) -> int:
         """Per-shard key lanes one (batch_rows, max_len) batch produces."""
-        w = max(max_len - self._k + 1, 0)
-        return (batch_rows // self._n_data) * w
+        return (batch_rows // self._n_data) * self._lanes_per_read(max_len)
 
     def add(self, seqs, lengths, quals=None, vbits=None) -> None:
         """Ingest one batch.  In packed mode ``seqs`` is the [B, L/4] code
@@ -223,8 +241,8 @@ class ShardedSpectrumAccumulator:
                 f"batch rows {b} must be divisible by the data axis "
                 f"({self._n_data}); pad with ReadBatch.pad_reads_to"
             )
-        if l < self._k:
-            return
+        if self._lanes_per_read(l) < 1:
+            return  # no window fits (l < k, or < k + w - 1 for sketches)
         lanes = self.lanes_for(b, l)
         if lanes > self._cap:
             raise ValueError(

@@ -147,6 +147,26 @@ class TestMinimizerSpectrumFile:
         n_bases, (keys, counts) = minimizer_spectrum_file(str(p), k=k, w=w, batch_size=8)
         assert dict(zip(keys.tolist(), counts.tolist())) == dict(host)
 
+    def test_sharded_matches_single_device(self, tmp_path, data_dir):
+        """minimizer_spectrum_file(mesh=...) — per-chip sketches inside
+        shard_map + host merge — equals the single-device run bit-for-bit
+        (narrow k<=15 and wide k>15 both)."""
+        import jax
+
+        from needletail_tpu.device.pipeline import minimizer_spectrum_file
+        from needletail_tpu.parallel import make_mesh
+
+        mesh = make_mesh(jax.devices(), data=8, table=1)
+        fa = str(data_dir / "28S.fasta")
+        for k, w in ((9, 11), (21, 5)):
+            nb, (rk, rc) = minimizer_spectrum_file(fa, k=k, w=w, batch_size=64)
+            nbm, (mk, mc) = minimizer_spectrum_file(
+                fa, k=k, w=w, batch_size=64, mesh=mesh
+            )
+            assert nb == nbm == 738_580
+            assert np.array_equal(rk, mk), (k, w)
+            assert np.array_equal(rc, mc), (k, w)
+
 
 class TestQualityFilterFile:
     def test_filters_by_mean_quality(self, tmp_path):
