@@ -62,6 +62,15 @@ def test_count_multi_k(tmp_path):
         assert z["counts_4"].sum() == 8
 
 
+def test_minimizers_sharded_matches_single(tmp_path):
+    fq = str(DATA_DIR / "PRJNA271013_head.fq")
+    args = ["minimizers", fq, "-k", "9", "-w", "5", "--batch-size", "512"]
+    _, err1 = _run(*args)
+    _, err2 = _run(*args, "--sharded")
+    # same distinct/window totals through the mesh path
+    assert err1.split("bases,")[1] == err2.split("bases,")[1]
+
+
 def test_bgzip_roundtrip(tmp_path):
     out = tmp_path / "r.fq.bgz"
     _run("bgzip", str(DATA_DIR / "PRJNA271013_head.fq"), "-o", str(out))

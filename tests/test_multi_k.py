@@ -232,6 +232,43 @@ class TestShardedMultiK:
                     assert np.array_equal(spec[k][0], rk), (trial, k)
                     assert np.array_equal(spec[k][1], rc), (trial, k)
 
+    def test_north_star_full_range_4_to_31(self, tmp_path):
+        """The BASELINE north-star workload verbatim: canonical 4..31-mer
+        counting — all 28 k values in ONE fused pass over the mesh, each
+        equal to its per-k single-device run bit-for-bit."""
+        import jax
+
+        from needletail_tpu.device.pipeline import count_file
+        from needletail_tpu.parallel import make_mesh, sharded_multi_k_count_file
+
+        mesh = make_mesh(jax.devices(), data=8, table=1)
+        rng = np.random.default_rng(41)
+        p = tmp_path / "ns.fa"
+        with open(p, "wb") as f:
+            for i in range(64):
+                ln = int(rng.integers(20, 70))
+                seq = rng.choice(np.frombuffer(b"ACGTN", np.uint8), ln)
+                f.write(b">r%d\n" % i + seq.tobytes() + b"\n")
+        ks = tuple(range(4, 32))
+        nb, spec = sharded_multi_k_count_file(
+            p, ks, mesh=mesh, batch_size=64, max_len=72, host_workers=1,
+            shard_lanes=1 << 12,
+        )
+        assert set(spec) == set(ks)
+        for k in ks:
+            if k <= 12:
+                _, ref = count_file(
+                    p, k=k, batch_size=64, max_len=72, host_workers=1
+                )
+                assert np.array_equal(spec[k], ref), k
+            else:
+                _, (rk, rc) = count_file(
+                    p, k=k, dense=False, sparse_format="arrays",
+                    batch_size=64, max_len=72, host_workers=1,
+                )
+                assert np.array_equal(spec[k][0], rk), k
+                assert np.array_equal(spec[k][1], rc), k
+
     def test_packed_quality_conflict(self):
         import jax
 
