@@ -45,9 +45,15 @@ __all__ = [
     "spectrum_to_dict",
     "merge_spectra",
     "MAX_DENSE_K",
+    "MXU_DENSE_K",
 ]
 
 MAX_DENSE_K = 12
+
+# largest k whose [4^k] histogram rides the int4 MXU kernel (4^9 runs as
+# four masked 2^16-bin passes); beyond it, dense OUTPUT accumulates via
+# the sorted sparse path and densifies at the end
+MXU_DENSE_K = 9
 
 
 @partial(jax.jit, static_argnames=("k", "use_mxu"))
@@ -64,7 +70,7 @@ def dense_spectrum(windows: KmerWindows, k: int, use_mxu=None) -> jax.Array:
         raise ValueError(f"dense spectrum needs k <= {MAX_DENSE_K}, got {k}")
     n_bins = 4**k
     if use_mxu is None:
-        use_mxu = k <= 9 and jax.default_backend() == "tpu"
+        use_mxu = k <= MXU_DENSE_K and jax.default_backend() == "tpu"
     if use_mxu:
         from .pallas_kernels import mxu_histogram16
 

@@ -201,7 +201,7 @@ def count_file(
     # densifies at the end: beyond the MXU histogram's reach the per-batch
     # XLA scatter-add is ~4x slower than one sort per flush (measured 126 ms
     # vs 32 ms per 8.4M keys on v5e)
-    densify_after = dense and k > 9
+    densify_after = dense and k > _count.MXU_DENSE_K
     accumulate_dense = dense and not densify_after
 
     def _windows(seqs, lengths, quals, vbits):
@@ -415,6 +415,15 @@ def multi_k_tally(
     return run(seqs, lengths, tuple(ks), canonical, normalized)
 
 
+def _quantize_max_len(max_len: Optional[int]) -> Optional[int]:
+    """Driver-level max_len quantum: round an explicit max_len up to a
+    multiple of 8 regardless of transport, so the packed (byte-quantized
+    planes) and ASCII paths accept exactly the same reads."""
+    if max_len is not None and max_len % 8:
+        return max_len + (8 - max_len % 8)
+    return max_len
+
+
 def _make_batch_source(
     path,
     batch_size: int,
@@ -437,9 +446,16 @@ def _make_batch_source(
     decompressed size degrades to streaming with a warning instead of
     filling the disk.  Returns a generator; the spill file (if any) is
     removed when the generator is exhausted or closed.
+
+    An explicit ``max_len`` quantizes UP to a multiple of 8 in BOTH
+    transports (packed planes are byte-quantized; the ASCII path rounds
+    identically so toggling packed/quality never flips a read between
+    accepted and 'exceeds max_len').
     """
     from ..io.compression import sniff_compression
     from ..io.parallel_host import auto_host_workers, parallel_read_batches
+
+    max_len = _quantize_max_len(max_len)
 
     compressed = False
     if str(path) != "-":
@@ -532,27 +548,27 @@ def _checkpoint_source(
             "checkpoint/resume needs an UNCOMPRESSED input (byte offsets "
             "must be seekable); decompress first (e.g. io.spill)"
         )
+    if require_offsets:
+        from ..io import native
+
+        if not native.available():
+            # the pure-Python fallback batchers report no record-aligned
+            # offsets, so every _maybe_ckpt would silently skip — refuse
+            # up front instead of finishing with zero checkpoints written.
+            # (A batch-level check would misfire: the native framers
+            # legitimately emit their final EOF-tail batch with
+            # file_offset=None.)
+            raise ValueError(
+                "checkpoint_every needs the native framer's record-aligned "
+                "byte offsets; rebuild the C extension (and unset "
+                "NEEDLETAIL_TPU_NO_NATIVE) or drop checkpoint_every"
+            )
     size = _os.path.getsize(path)
-    batches = fast_read_batches_range(
-        path, start_offset, size, batch_size=batch_size, max_len=max_len,
+    return fast_read_batches_range(
+        path, start_offset, size, batch_size=batch_size,
+        max_len=_quantize_max_len(max_len),
         with_quals=with_quals, packed=packed, normalized=normalized,
     )
-    if not require_offsets:
-        return batches
-
-    def _checked():
-        for b in batches:
-            if b.file_offset is None:
-                raise ValueError(
-                    "checkpoint_every was requested but this framing path "
-                    "reports no record-aligned byte offsets (native framer "
-                    "unavailable?); rebuild the C extension "
-                    "(NEEDLETAIL_TPU_NO_NATIVE must be unset) or drop "
-                    "checkpoint_every"
-                )
-            yield b
-
-    return _checked()
 
 
 def _validate_checkpoint_args(checkpoint_every, checkpoint_path, host_workers):
@@ -621,8 +637,8 @@ def multi_k_count_file(
     # accumulates through the (narrow single-u32) sorted sparse path and
     # densifies at the end — the per-batch XLA scatter-add is ~4x slower
     # than one single-key sort per flush (count_file routes identically)
-    mxu_dense_ks = tuple(k for k in dense_ks if k <= 9)
-    densify_ks = tuple(k for k in dense_ks if k > 9)
+    mxu_dense_ks = tuple(k for k in dense_ks if k <= _count.MXU_DENSE_K)
+    densify_ks = tuple(k for k in dense_ks if k > _count.MXU_DENSE_K)
     acc_sparse_ks = densify_ks + sparse_ks
 
     def _windows(seqs, lengths, quals, k):

@@ -180,9 +180,10 @@ class CountCheckpoint:
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
 
-        t64 = np.asarray(self.table).astype(np.int64, copy=False)
-        lo = jnp.asarray((t64 & 0xFFFFFFFF).astype(np.uint32))
-        hi = jnp.asarray((t64 >> 32).astype(np.uint32))
+        from ..utils.limbs import int64_array_to_limbs
+
+        lo0, hi0 = int64_array_to_limbs(self.table)
+        lo, hi = jnp.asarray(lo0), jnp.asarray(hi0)
         if mesh is not None:
             sharding = NamedSharding(mesh, P("table"))
             lo = jax.device_put(lo, sharding)
@@ -260,10 +261,11 @@ def load_hash_state(
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
+    from ..utils.limbs import int64_array_to_limbs
+
     with np.load(path, allow_pickle=False) as z:
-        t64 = np.asarray(z["table"]).astype(np.int64, copy=False)
-        lo = jnp.asarray((t64 & 0xFFFFFFFF).astype(np.uint32))
-        hi = jnp.asarray((t64 >> 32).astype(np.uint32))
+        lo0, hi0 = int64_array_to_limbs(z["table"])
+        lo, hi = jnp.asarray(lo0), jnp.asarray(hi0)
         if mesh is not None:
             sharding = NamedSharding(mesh, P("data"))
             lo = jax.device_put(lo, sharding)

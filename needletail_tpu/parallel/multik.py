@@ -48,8 +48,7 @@ __all__ = ["ShardedMultiKAccumulator", "sharded_multi_k_count_file"]
 
 _SENTINEL = 0xFFFFFFFF
 
-# largest k whose [4^k] per-step histogram rides the int4 MXU kernel
-_MXU_DENSE_K = 9
+_MXU_DENSE_K = _count.MXU_DENSE_K
 
 
 class ShardedMultiKAccumulator:

@@ -192,6 +192,25 @@ class TestHashResume:
                 checkpoint_path=str(tmp_path / "n.npz"), host_workers=1,
             )
 
+    def test_fasta_final_tail_batch_completes(self, tmp_path):
+        """The native FASTA framer emits its final EOF-tail batch with
+        file_offset=None; a checkpointed run must complete (skipping that
+        save), not abort on a bogus 'no offsets' error."""
+        from needletail_tpu.device.pipeline import count_file
+
+        p = tmp_path / "even.fa"
+        with open(p, "wb") as f:
+            for i in range(64):  # record count an exact batch multiple
+                f.write(b">r%d\nACGTACGTACGTACGT\n" % i)
+        ck = str(tmp_path / "f.npz")
+        nb, ref = count_file(str(p), 5, batch_size=32, host_workers=1)
+        nb2, t2 = count_file(
+            str(p), 5, batch_size=32, host_workers=1,
+            checkpoint_every=1, checkpoint_path=ck,
+        )
+        assert nb2 == nb and np.array_equal(t2, ref)
+        assert os.path.exists(ck)
+
     def test_range_fallback_reports_absolute_offsets(self, corpus,
                                                      monkeypatch):
         """When mmap framing is unavailable the RangeStream fallback must

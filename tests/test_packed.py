@@ -187,6 +187,27 @@ class TestDeviceConsumers:
 
 
 class TestDriverParity:
+    def test_max_len_quantum_uniform_across_transports(self, tmp_path):
+        """An explicit max_len quantizes up to a multiple of 8 in the
+        drivers for BOTH transports: toggling packed/quality must never
+        flip a read between accepted and 'exceeds max_len'."""
+        from needletail_tpu.device.pipeline import count_file
+
+        p = tmp_path / "long.fq"
+        rng = np.random.default_rng(3)
+        seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), 133).tobytes()
+        p.write_bytes(b"@r0\n" + seq + b"\n+\n" + b"I" * 133 + b"\n")
+        # packed (auto) path accepts the 133-base read under max_len=130
+        nb1, t1 = count_file(str(p), 5, max_len=130, host_workers=1)
+        # quality path forces ASCII transport — must accept identically
+        nb2, t2 = count_file(
+            str(p), 5, max_len=130, quality_cutoff=1, host_workers=1
+        )
+        nb3, t3 = count_file(str(p), 5, max_len=136, host_workers=1)
+        assert nb1 == nb2 == nb3 == 133
+        assert np.array_equal(t1, t3)
+        assert np.array_equal(t1, t2)  # 'I' quals are all above cutoff 1
+
     def test_hash_count_file(self):
         from needletail_tpu.device.pipeline import hash_count_file
 
