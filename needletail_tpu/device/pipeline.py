@@ -132,7 +132,11 @@ def count_file(
                 "multi-k counting does not take bucketed/dense; call "
                 "multi_k_count_file directly for full control"
             )
-        if checkpoint_every is not None or resume_from is not None:
+        if (
+            checkpoint_every is not None
+            or resume_from is not None
+            or checkpoint_path is not None
+        ):
             raise ValueError(
                 "checkpoint/resume supports a single k per stream today; "
                 "run per-k count_file calls to checkpoint multi-k work"
@@ -418,10 +422,11 @@ def multi_k_tally(
 def _quantize_max_len(max_len: Optional[int]) -> Optional[int]:
     """Driver-level max_len quantum: round an explicit max_len up to a
     multiple of 8 regardless of transport, so the packed (byte-quantized
-    planes) and ASCII paths accept exactly the same reads."""
-    if max_len is not None and max_len % 8:
-        return max_len + (8 - max_len % 8)
-    return max_len
+    planes) and ASCII paths accept exactly the same reads.  Delegates to
+    the one packed-quantum rule in io.fast_batch."""
+    from ..io.fast_batch import _effective_packed_max_len
+
+    return _effective_packed_max_len(True, max_len)
 
 
 def _make_batch_source(
@@ -981,8 +986,10 @@ def minimizer_spectrum_file(
         from ..parallel.exact import (
             ShardedSpectrumAccumulator,
             _require_data_mesh,
+            _require_single_process,
         )
 
+        _require_single_process("minimizer_spectrum_file(mesh=...)")
         n_data = _require_data_mesh(mesh)
         batch_size = -(-batch_size // n_data) * n_data
         acc = ShardedSpectrumAccumulator(

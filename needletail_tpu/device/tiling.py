@@ -140,8 +140,12 @@ def genome_spectrum(
         )
 
     if mesh is not None:
-        from ..parallel.exact import ShardedSpectrumAccumulator
+        from ..parallel.exact import (
+            ShardedSpectrumAccumulator,
+            _require_single_process,
+        )
 
+        _require_single_process("genome_spectrum(mesh=...)")
         # round the tile-batch rows up to the data axis (extra rows are
         # zero tiles whose windows are all invalid — exact no-ops), so any
         # mesh size works without the caller reasoning about divisibility

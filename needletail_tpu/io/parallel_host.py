@@ -157,10 +157,14 @@ def parallel_read_batches(
     pickle's serialize + pipe-write + pipe-read + deserialize.  Pass
     ``shared_mem=False`` to force the pickle path.
     """
-    from .fast_batch import fast_read_batches
+    from .fast_batch import _effective_packed_max_len, fast_read_batches
 
     if packed:
         with_quals = False
+    # quantize BEFORE sizing the shm pool: the workers' range framers apply
+    # the same rule (idempotently), so pool plane widths and worker plane
+    # widths must agree or every packed write raises a broadcast error
+    max_len = _effective_packed_max_len(packed, max_len)
     if workers <= 1 or str(path) == "-":
         # stdin cannot be range-split: stream it single-process
         yield from fast_read_batches(

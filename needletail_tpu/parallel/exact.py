@@ -56,6 +56,84 @@ def _fresh_fill(n: int, sharding: "NamedSharding") -> jax.Array:
     return jax.device_put(jnp.full((n,), _SENTINEL, jnp.uint32), sharding)
 
 
+def merge_resolved_shards(
+    out,
+    narrow: bool,
+    device_compact: bool,
+    keys0: np.ndarray,
+    counts0: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge one resolver output into a running host spectrum.
+
+    ``out`` is a per-shard sorted/compacted resolve (see
+    ``_resolve.make_sharded_resolver``): ``(lo, counts, n)`` for narrow
+    single-u32 keys or ``(hi, lo, counts, n)`` for (hi, lo) pairs.  Merges
+    per ADDRESSABLE shard: in a multi-process (multi-host) job each
+    process merges only its own devices' sorted runs — shards are
+    disjoint, so the per-process spectra union to the global one
+    (single-process sees every shard).  With ``device_compact`` each
+    shard's distinct entries sit in a device-compacted prefix, so only
+    its n_distinct entries cross the host link (the lanes:distinct ratio
+    is routinely 50-1000x); otherwise the full shard compacts on host.
+    Shared by the per-k exact accumulator and the fused multi-k one."""
+    if narrow:
+        lo_c, counts_c, ns = out
+        hi_shards = [None] * len(lo_c.addressable_shards)
+    else:
+        hi_c, lo_c, counts_c, ns = out
+        hi_shards = hi_c.addressable_shards
+    for sh_h, sh_l, sh_c, sh_n in zip(
+        hi_shards,
+        lo_c.addressable_shards,
+        counts_c.addressable_shards,
+        ns.addressable_shards,
+    ):
+        if device_compact:
+            n = int(np.asarray(sh_n.data)[0])
+            if n == 0:
+                continue
+            keys = np.asarray(sh_l.data[:n]).astype(np.uint64)
+            if sh_h is not None:
+                keys |= (
+                    np.asarray(sh_h.data[:n]).astype(np.uint64)
+                    << np.uint64(32)
+                )
+            cnts = np.asarray(sh_c.data[:n]).astype(np.int64)
+        else:
+            keys, cnts = _count.compact_spectrum(
+                None if sh_h is None else np.asarray(sh_h.data),
+                np.asarray(sh_l.data),
+                np.asarray(sh_c.data),
+            )
+        keys0, counts0 = _count.merge_sorted_spectra(
+            keys0, counts0, keys, cnts
+        )
+    return keys0, counts0
+
+
+def _require_single_process(driver: str) -> None:
+    """The *_file drivers frame the whole file and place batches with
+    ``device_put`` over the full mesh — both single-controller actions.
+    In a multi-process SPMD job each process must frame its own
+    ``host_shard_ranges()`` and drive the accumulator directly with
+    globally-sharded arrays (see tests/_mp_exact_worker.py); a shared
+    ``checkpoint_path`` would also race (every process would overwrite it
+    with its process-local partial).  Fail up front with directions
+    instead of deep in ``device_put``."""
+    import jax
+
+    if jax.process_count() > 1:
+        raise ValueError(
+            f"{driver} is a single-process driver; in a jax.distributed "
+            "job, frame this process's host_shard_ranges() and feed the "
+            "accumulator (ShardedSpectrumAccumulator / "
+            "ShardedMultiKAccumulator) with "
+            "jax.make_array_from_process_local_data, then merge the "
+            "per-process partial spectra on the host "
+            "(see tests/_mp_exact_worker.py for the full recipe)"
+        )
+
+
 def _require_data_mesh(mesh: Mesh) -> int:
     if "data" not in mesh.shape:
         raise ValueError("exact spectrum needs a mesh with a 'data' axis")
@@ -273,47 +351,9 @@ class ShardedSpectrumAccumulator:
         if self._offset == 0:
             return
         out = self._resolve(*self._bufs)
-        if self._narrow:
-            lo_c, counts_c, ns = out
-            hi_shards = [None] * len(lo_c.addressable_shards)
-        else:
-            hi_c, lo_c, counts_c, ns = out
-            hi_shards = hi_c.addressable_shards
-        # merge per ADDRESSABLE shard: in a multi-process (multi-host)
-        # job each process merges only its own devices' sorted runs —
-        # shards are disjoint, so the per-process spectra union to the
-        # global one (see finish(); single-process sees every shard).
-        # Each shard was compacted on device, so only its n_distinct
-        # entries cross the host link (the lanes:distinct ratio is
-        # routinely 50-1000x).
-        for sh_h, sh_l, sh_c, sh_n in zip(
-            hi_shards,
-            lo_c.addressable_shards,
-            counts_c.addressable_shards,
-            ns.addressable_shards,
-        ):
-            if self._device_compact:
-                # distinct entries were moved to a prefix on device:
-                # pull exactly n of them
-                n = int(np.asarray(sh_n.data)[0])
-                if n == 0:
-                    continue
-                keys = np.asarray(sh_l.data[:n]).astype(np.uint64)
-                if sh_h is not None:
-                    keys |= (
-                        np.asarray(sh_h.data[:n]).astype(np.uint64)
-                        << np.uint64(32)
-                    )
-                cnts = np.asarray(sh_c.data[:n]).astype(np.int64)
-            else:
-                keys, cnts = _count.compact_spectrum(
-                    None if sh_h is None else np.asarray(sh_h.data),
-                    np.asarray(sh_l.data),
-                    np.asarray(sh_c.data),
-                )
-            self._keys, self._counts = _count.merge_sorted_spectra(
-                self._keys, self._counts, keys, cnts
-            )
+        self._keys, self._counts = merge_resolved_shards(
+            out, self._narrow, self._device_compact, self._keys, self._counts
+        )
         self._bufs = tuple(
             _fresh_fill(self._n_data * self._cap, self._buf_sharding)
             for _ in range(self._nbuf)
@@ -374,6 +414,7 @@ def sharded_count_file(
     """
     from ..device.pipeline import _make_batch_source
 
+    _require_single_process("sharded_count_file")
     if packed is None:
         packed = quality_cutoff is None and not bucketed
     elif packed and quality_cutoff is not None:

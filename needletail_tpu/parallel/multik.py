@@ -42,7 +42,13 @@ from jax.sharding import PartitionSpec as P
 from ..device import count as _count
 from ..device import kmers as _kmers
 from ..utils.limbs import acc64, limbs_to_int64_array
-from .exact import DEFAULT_SHARD_LANES, _fresh_fill, _require_data_mesh
+from .exact import (
+    DEFAULT_SHARD_LANES,
+    _fresh_fill,
+    _require_data_mesh,
+    _require_single_process,
+    merge_resolved_shards,
+)
 
 __all__ = ["ShardedMultiKAccumulator", "sharded_multi_k_count_file"]
 
@@ -314,38 +320,10 @@ class ShardedMultiKAccumulator:
             if self._offsets[k] == 0:
                 continue
             out = self._resolvers[self._narrow[k]](*self._bufs[k])
-            if self._narrow[k]:
-                lo_c, counts_c, ns = out
-                hi_shards = [None] * len(lo_c.addressable_shards)
-            else:
-                hi_c, lo_c, counts_c, ns = out
-                hi_shards = hi_c.addressable_shards
-            for sh_h, sh_l, sh_c, sh_n in zip(
-                hi_shards,
-                lo_c.addressable_shards,
-                counts_c.addressable_shards,
-                ns.addressable_shards,
-            ):
-                if self._device_compact:
-                    n = int(np.asarray(sh_n.data)[0])
-                    if n == 0:
-                        continue
-                    keys = np.asarray(sh_l.data[:n]).astype(np.uint64)
-                    if sh_h is not None:
-                        keys |= (
-                            np.asarray(sh_h.data[:n]).astype(np.uint64)
-                            << np.uint64(32)
-                        )
-                    cnts = np.asarray(sh_c.data[:n]).astype(np.int64)
-                else:
-                    keys, cnts = _count.compact_spectrum(
-                        None if sh_h is None else np.asarray(sh_h.data),
-                        np.asarray(sh_l.data),
-                        np.asarray(sh_c.data),
-                    )
-                self._keys[k], self._counts[k] = _count.merge_sorted_spectra(
-                    self._keys[k], self._counts[k], keys, cnts
-                )
+            self._keys[k], self._counts[k] = merge_resolved_shards(
+                out, self._narrow[k], self._device_compact,
+                self._keys[k], self._counts[k],
+            )
             self._bufs[k] = tuple(
                 _fresh_fill(self._n_data * self._cap, data_shard)
                 for _ in range(1 if self._narrow[k] else 2)
@@ -477,6 +455,7 @@ def sharded_multi_k_count_file(
         raise ValueError(
             "bucketed framing is ASCII-shaped; drop packed=True or bucketed"
         )
+    _require_single_process("sharded_multi_k_count_file")
     n_data = _require_data_mesh(mesh)
     batch_size = -(-batch_size // n_data) * n_data
     acc = ShardedMultiKAccumulator(
@@ -484,8 +463,6 @@ def sharded_multi_k_count_file(
         shard_lanes=shard_lanes, packed=packed,
         quality_cutoff=quality_cutoff, phred_offset=phred_offset,
     )
-    # frame wide enough for the largest k even when the corpus is shorter
-    eff_max_len = max_len
     n_bases = 0
     ckpt_mode = (
         checkpoint_every is not None
@@ -500,7 +477,7 @@ def sharded_multi_k_count_file(
         from ..io.bucketed import bucketed_read_batches
 
         batches = bucketed_read_batches(
-            path, batch_size=batch_size, max_len=eff_max_len,
+            path, batch_size=batch_size, max_len=max_len,
             with_quals=quality_cutoff is not None,
         )
     elif ckpt_mode:
@@ -533,13 +510,13 @@ def sharded_multi_k_count_file(
             n_bases = ck["n_bases"]
             acc.restore(ck["arrays"])
         batches = _checkpoint_source(
-            path, batch_size, eff_max_len, quality_cutoff is not None,
+            path, batch_size, max_len, quality_cutoff is not None,
             packed, normalized, start_offset,
             require_offsets=checkpoint_every is not None,
         )
     else:
         batches, _ = _make_batch_source(
-            path, batch_size, eff_max_len, host_workers,
+            path, batch_size, max_len, host_workers,
             with_quals=quality_cutoff is not None, spill_dir=spill_dir,
             packed=packed, normalized=normalized,
         )

@@ -312,6 +312,42 @@ class TestCountResume:
         _resume_equivalence(driver, corpus, tmp_path, ref, compare)
 
 
+class TestGuards:
+    def test_multi_k_checkpoint_path_alone_rejected(self, corpus, tmp_path):
+        """Multi-k count_file must REJECT checkpoint_path even without
+        checkpoint_every — silently finishing a run the caller believed
+        was checkpointed is the exact failure _validate_checkpoint_args
+        exists to prevent (review finding)."""
+        from needletail_tpu.device.pipeline import count_file
+
+        with pytest.raises(ValueError, match="single k"):
+            count_file(
+                corpus, k=(4, 21), batch_size=512, max_len=128,
+                checkpoint_path=str(tmp_path / "mk.npz"),
+            )
+
+    def test_sharded_drivers_refuse_multiprocess(self, corpus, monkeypatch):
+        """The sharded *_file drivers are single-controller (whole-file
+        framing, full-mesh device_put, one shared checkpoint file); under
+        jax.distributed they must fail up front with directions to the
+        accumulator API rather than racing or crashing deep in
+        device_put."""
+        import jax
+
+        from needletail_tpu.parallel import make_mesh
+        from needletail_tpu.parallel.exact import sharded_count_file
+        from needletail_tpu.parallel.multik import sharded_multi_k_count_file
+
+        mesh = make_mesh(jax.devices(), data=8, table=1)
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        with pytest.raises(ValueError, match="single-process driver"):
+            sharded_count_file(corpus, 21, mesh=mesh, host_workers=1)
+        with pytest.raises(ValueError, match="single-process driver"):
+            sharded_multi_k_count_file(
+                corpus, (4, 21), mesh=mesh, host_workers=1
+            )
+
+
 class TestShardedResume:
     def test_sharded_exact(self, corpus, tmp_path):
         import jax

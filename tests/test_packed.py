@@ -282,6 +282,32 @@ class TestWorkerTransport:
         assert single == multi
         assert single[0] == 250_000
 
+    def test_parallel_packed_unquantized_max_len(self):
+        """A non-multiple-of-8 explicit max_len must quantize ONCE at the
+        driver so the shm pool's plane widths agree with the workers'
+        (review finding: the pool was sized with the raw max_len while
+        workers quantized, crashing every packed write)."""
+        from needletail_tpu.io.parallel_host import parallel_read_batches
+
+        def digest(batches):
+            bs = list(batches)
+            return sum(b.num_bases for b in bs), sum(
+                int(b.codes.astype(np.int64).sum()) for b in bs
+            )
+
+        # FQ reads are 125 bases: 125 quantizes to 128 in both paths
+        single = digest(
+            fast_read_batches(FQ, batch_size=256, max_len=125, packed=True)
+        )
+        multi = digest(
+            parallel_read_batches(
+                FQ, workers=2, batch_size=256, max_len=125, packed=True,
+                shared_mem=True,
+            )
+        )
+        assert single == multi
+        assert single[0] == 250_000
+
 
 class TestShardedPacked:
     def test_sharded_count_file_parity(self):
