@@ -266,20 +266,13 @@ def count_file(
 
     start_offset = 0
     if resume_from is not None:
-        from ..parallel.checkpoint import load_stream_checkpoint
+        from ..parallel.checkpoint import load_resume_checkpoint
         from ..utils.limbs import int64_array_to_limbs
 
-        ck = load_stream_checkpoint(resume_from)
-        want = "count_dense" if accumulate_dense else "count_sparse"
-        if ck["kind"] != want or ck["k"] != k:
-            raise ValueError(
-                f"checkpoint {resume_from!r} is kind={ck['kind']} "
-                f"k={ck['k']}, expected kind={want} k={k}"
-            )
-        from ..parallel.checkpoint import check_counting_meta
-
-        check_counting_meta(
-            ck, resume_from, canonical=canonical, normalized=normalized,
+        ck = load_resume_checkpoint(
+            resume_from,
+            "count_dense" if accumulate_dense else "count_sparse", k,
+            canonical=canonical, normalized=normalized,
             quality_cutoff=quality_cutoff, phred_offset=phred_offset,
         )
         start_offset = ck["file_offset"]
@@ -807,19 +800,16 @@ def hash_count_file(
     resume_bases = 0
     resume_state = None
     if resume_from is not None:
-        from ..parallel.checkpoint import load_stream_checkpoint
+        from ..parallel.checkpoint import load_resume_checkpoint
 
-        ck = load_stream_checkpoint(resume_from)
-        if ck["kind"] != "hash" or ck["k"] != k:
-            raise ValueError(
-                f"checkpoint {resume_from!r} is kind={ck['kind']} k={ck['k']}, "
-                f"expected kind=hash k={k}"
-            )
-        if int(ck["meta"]["table_bits"]) != table_bits:
-            raise ValueError("checkpoint table_bits mismatch")
-        from ..parallel.checkpoint import check_counting_meta
+        def _check_table_bits(ck):
+            if int(ck["meta"]["table_bits"]) != table_bits:
+                raise ValueError("checkpoint table_bits mismatch")
 
-        check_counting_meta(ck, resume_from, normalized=normalized)
+        ck = load_resume_checkpoint(
+            resume_from, "hash", k,
+            validate=_check_table_bits, normalized=normalized,
+        )
         start_offset = ck["file_offset"]
         resume_bases = ck["n_bases"]
         resume_state = ck

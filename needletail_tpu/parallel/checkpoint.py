@@ -82,6 +82,34 @@ def check_counting_meta(
             )
 
 
+def load_resume_checkpoint(
+    resume_from: Union[str, Path],
+    kind: str,
+    k: Optional[int] = None,
+    validate=None,
+    **meta_kwargs,
+) -> dict:
+    """Load + validate a resume checkpoint for one stream driver.
+
+    The shared front half of every driver's resume path: identity check
+    (``kind`` and, when given, ``k``), counting-semantics check
+    (:func:`check_counting_meta` with ``meta_kwargs``), then any
+    driver-specific ``validate(ck)`` (e.g. the hash table_bits or the
+    multi-k ``ks`` tuple).  Returns the loaded dict; callers read
+    ``file_offset`` / ``n_bases`` / ``arrays`` and re-seed their state."""
+    ck = load_stream_checkpoint(resume_from)
+    if ck["kind"] != kind or (k is not None and ck["k"] != k):
+        raise ValueError(
+            f"checkpoint {str(resume_from)!r} is kind={ck['kind']} "
+            f"k={ck['k']}, expected kind={kind}"
+            + ("" if k is None else f" k={k}")
+        )
+    check_counting_meta(ck, resume_from, **meta_kwargs)
+    if validate is not None:
+        validate(ck)
+    return ck
+
+
 def save_stream_checkpoint(
     path: Union[str, Path],
     kind: str,

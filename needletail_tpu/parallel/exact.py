@@ -463,18 +463,11 @@ def sharded_count_file(
         )
         start_offset = 0
         if resume_from is not None:
-            from .checkpoint import load_stream_checkpoint
+            from .checkpoint import load_resume_checkpoint
 
-            ck = load_stream_checkpoint(resume_from)
-            if ck["kind"] != "sharded_exact" or ck["k"] != k:
-                raise ValueError(
-                    f"checkpoint {resume_from!r} is kind={ck['kind']} "
-                    f"k={ck['k']}, expected kind=sharded_exact k={k}"
-                )
-            from .checkpoint import check_counting_meta
-
-            check_counting_meta(
-                ck, resume_from, canonical=canonical, normalized=normalized,
+            ck = load_resume_checkpoint(
+                resume_from, "sharded_exact", k,
+                canonical=canonical, normalized=normalized,
                 quality_cutoff=quality_cutoff, phred_offset=phred_offset,
             )
             start_offset = ck["file_offset"]

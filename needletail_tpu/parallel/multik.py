@@ -491,19 +491,19 @@ def sharded_multi_k_count_file(
         )
         start_offset = 0
         if resume_from is not None:
-            from .checkpoint import load_stream_checkpoint
+            from .checkpoint import load_resume_checkpoint
 
-            ck = load_stream_checkpoint(resume_from)
-            ck_ks = tuple(int(x) for x in ck["meta"].get("ks", ()))
-            if ck["kind"] != "sharded_multik" or ck_ks != ks:
-                raise ValueError(
-                    f"checkpoint {resume_from!r} is kind={ck['kind']} "
-                    f"ks={ck_ks}, expected kind=sharded_multik ks={ks}"
-                )
-            from .checkpoint import check_counting_meta
+            def _check_ks(ck):
+                ck_ks = tuple(int(x) for x in ck["meta"].get("ks", ()))
+                if ck_ks != ks:
+                    raise ValueError(
+                        f"checkpoint {resume_from!r} is kind=sharded_multik "
+                        f"with ks={ck_ks}, expected ks={ks}"
+                    )
 
-            check_counting_meta(
-                ck, resume_from, canonical=canonical, normalized=normalized,
+            ck = load_resume_checkpoint(
+                resume_from, "sharded_multik", validate=_check_ks,
+                canonical=canonical, normalized=normalized,
                 quality_cutoff=quality_cutoff, phred_offset=phred_offset,
             )
             start_offset = ck["file_offset"]
