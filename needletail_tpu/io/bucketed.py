@@ -63,8 +63,13 @@ def bucketed_read_batches(
     reads, so device FLOPs scale with real bases instead of the corpus's
     longest read.  Record order is preserved within a bucket; buckets
     interleave as they fill.  An explicit ``max_len`` keeps the flat
-    paths' contract: reads longer than it raise.
+    paths' contract: reads longer than it raise — after the same
+    round-up-to-8 quantum the flat transports apply, so toggling
+    ``bucketed`` never flips a read between accepted and rejected.
     """
+    from .fast_batch import _effective_packed_max_len
+
+    max_len = _effective_packed_max_len(True, max_len)
     buckets = tuple(sorted(buckets))
     barr = np.asarray(buckets, np.int64)
     accs = {}

@@ -312,6 +312,26 @@ class TestBucketedEdgeCases:
         with pytest.raises(ValueError, match="max_len"):
             list(bucketed_read_batches(str(p), batch_size=4, max_len=128))
 
+    def test_max_len_quantum_matches_flat_paths(self, tmp_path):
+        # the flat transports round an explicit max_len UP to a multiple
+        # of 8 (packed planes are byte-quantized); bucketed framing must
+        # apply the identical quantum so toggling `bucketed` never flips
+        # a read between accepted and "exceeds max_len"
+        from needletail_tpu.device.pipeline import count_file
+        from needletail_tpu.io.bucketed import bucketed_read_batches
+
+        p = tmp_path / "x.fa"
+        p.write_bytes(b">a\n" + b"ACGT" * 33 + b"A\n")  # 133 bases
+        batches = list(bucketed_read_batches(str(p), batch_size=4, max_len=130))
+        assert sum(b.num_reads for b in batches) == 1
+        n_flat, t_flat = count_file(str(p), k=4, max_len=130)
+        n_bkt, t_bkt = count_file(str(p), k=4, max_len=130, bucketed=True)
+        assert (n_flat, n_bkt) == (133, 133)
+        assert np.array_equal(t_flat, t_bkt)
+        # past the quantized cap both paths still refuse
+        with pytest.raises(ValueError, match="max_len"):
+            list(bucketed_read_batches(str(p), batch_size=4, max_len=120))
+
 
 class TestBatchIds:
     """Opt-in id extraction on the fast path must match the streaming
