@@ -13,8 +13,14 @@
 #include <cstdint>
 #include <cstring>
 
-#if defined(__AVX2__)
+// x86 SIMD is compiled as a target("avx2") clone behind a RUNTIME cpu
+// check (never a compile-time -march gate): the checked-in/wheel binary
+// must run on any x86-64 host and still use AVX2 where present.
+#if defined(__x86_64__) && (defined(__GNUC__) || defined(__clang__))
+#define NT_X86_SIMD 1
 #include <immintrin.h>
+#else
+#define NT_X86_SIMD 0
 #endif
 
 namespace {
@@ -359,13 +365,13 @@ inline void ensure_pair_tables(const uint8_t* lut) {
     tl_init = true;
 }
 
-#if defined(__AVX2__)
+#if NT_X86_SIMD
 // Pack 32 bases at `p` (pos must be 32-aligned in the row): 8 code bytes +
 // one 32-bit validity mask via byte compares — the SIMD twin of the encode
 // LUT (valid iff the compare model matches; ensure tl_simd_mode != 0).
 // ~6x the pair-LUT loop; the movemask bit order IS the vbits layout.
-inline int64_t pack32_avx2(const uint8_t* p, bool u_valid, uint8_t* code_out,
-                           uint8_t* valid_out) {
+__attribute__((target("avx2"))) static int64_t pack32_avx2(
+    const uint8_t* p, bool u_valid, uint8_t* code_out, uint8_t* valid_out) {
     __m256i x = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(p));
     __m256i up = _mm256_and_si256(x, _mm256_set1_epi8(static_cast<char>(0xDF)));
     __m256i eqC = _mm256_cmpeq_epi8(up, _mm256_set1_epi8(0x43));
@@ -399,6 +405,33 @@ inline int64_t pack32_avx2(const uint8_t* p, bool u_valid, uint8_t* code_out,
     memcpy(valid_out, &vmask, 4);
     return 32 - __builtin_popcount(vmask);
 }
+
+// One call per span (not per 32 bases) so the dispatch/call overhead is
+// amortized; advances *pp/*ppos past every full 32-base chunk.
+__attribute__((target("avx2"))) static int64_t pack_bulk_avx2(
+    const uint8_t** pp, const uint8_t* e, bool u_valid, uint8_t* code_row,
+    uint8_t* valid_row, int64_t* ppos) {
+    const uint8_t* p = *pp;
+    int64_t pos = *ppos;
+    int64_t n_invalid = 0;
+    while (e - p >= 32) {
+        n_invalid += pack32_avx2(p, u_valid, code_row + (pos >> 2),
+                                 valid_row + (pos >> 3));
+        p += 32;
+        pos += 32;
+    }
+    *pp = p;
+    *ppos = pos;
+    return n_invalid;
+}
+
+static bool detect_avx2() {
+    __builtin_cpu_init();
+    return __builtin_cpu_supports("avx2");
+}
+// runtime dispatch flag: the clones above exist in every build of this
+// file; whether they ever execute is decided here, per host
+static const bool nt_has_avx2 = detect_avx2();
 #endif
 
 inline uint16_t load_u16(const uint8_t* p) {
@@ -427,18 +460,14 @@ inline int64_t pack_span(const uint8_t* b, const uint8_t* e,
         ++p;
         ++pos;
     }
-#if defined(__AVX2__)
-    // SIMD bulk: 32 bases/iter when the LUT admits the compare kernel and
-    // pos is 32-aligned (always true for FASTQ rows; FASTA wrapped lines
-    // fall through to the pair loop after their first line)
-    if (tl_simd_mode != 0 && (pos & 31) == 0) {
-        const bool u_valid = tl_simd_mode == 1;
-        while (e - p >= 32) {
-            n_invalid += pack32_avx2(p, u_valid, code_row + (pos >> 2),
-                                     valid_row + (pos >> 3));
-            p += 32;
-            pos += 32;
-        }
+#if NT_X86_SIMD
+    // SIMD bulk: 32 bases/iter when the host has AVX2, the LUT admits the
+    // compare kernel, and pos is 32-aligned (always true for FASTQ rows;
+    // FASTA wrapped lines fall through to the pair loop after their first
+    // line)
+    if (nt_has_avx2 && tl_simd_mode != 0 && (pos & 31) == 0) {
+        n_invalid += pack_bulk_avx2(&p, e, tl_simd_mode == 1, code_row,
+                                    valid_row, &pos);
     }
 #endif
     // hot loop: 8 bases -> 4 pair lookups -> 2 code bytes + 1 valid byte
