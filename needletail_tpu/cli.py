@@ -60,6 +60,48 @@ def _top_kmers(keys, counts, k, top):
         print(f"{bitmer_to_bytes((int(keys[i]), k)).decode()}\t{int(counts[i])}")
 
 
+def _sparse_pairs(spec):
+    """Normalize one k's spectrum to sorted ``(keys, counts)`` pairs
+    (dense tables densify via flatnonzero)."""
+    import numpy as np
+
+    if isinstance(spec, tuple):
+        return spec
+    keys = np.flatnonzero(spec).astype(np.uint64)
+    return keys, spec[keys.astype(np.int64)]
+
+
+def _report_multi_k(spec, n_bases, ks, args, pass_label: str) -> None:
+    """Shared multi-k reporting: per-k stderr summaries, one npz with
+    every spectrum, optional top-k listings — identical output for the
+    single-device and sharded drivers."""
+    import numpy as np
+
+    out = {k: _sparse_pairs(sp) for k, sp in spec.items()}
+    for k, (keys, counts) in out.items():
+        print(
+            f"# k={k}: {int(counts.sum())} canonical k-mers, "
+            f"{len(keys)} distinct",
+            file=sys.stderr,
+        )
+    print(
+        f"# {n_bases} bases ({len(ks)} k values in {pass_label})",
+        file=sys.stderr,
+    )
+    if args.output:
+        np.savez_compressed(
+            args.output,
+            ks=np.asarray(ks),
+            **{f"keys_{k}": v[0] for k, v in out.items()},
+            **{f"counts_{k}": v[1] for k, v in out.items()},
+        )
+        print(f"# spectra written to {args.output}", file=sys.stderr)
+    if args.top:
+        for k, (keys, counts) in out.items():
+            print(f"# top {args.top} for k={k}:")
+            _top_kmers(keys, counts, k, args.top)
+
+
 def _cmd_count(args) -> int:
     from .device.pipeline import count_file
 
@@ -87,36 +129,10 @@ def _cmd_count(args) -> int:
                 bucketed=args.bucketed,
                 **ckpt_kwargs,
             )
-            out = {}
-            for k, sp in spec.items():
-                if isinstance(sp, tuple):
-                    keys, counts = sp
-                else:
-                    keys = np.flatnonzero(sp).astype(np.uint64)
-                    counts = sp[keys.astype(np.int64)]
-                out[k] = (keys, counts)
-                print(
-                    f"# k={k}: {int(counts.sum())} canonical k-mers, "
-                    f"{len(keys)} distinct",
-                    file=sys.stderr,
-                )
-            print(
-                f"# {n_bases} bases ({len(ks)} k values in one sharded pass, "
-                f"{len(jax.devices())} devices)",
-                file=sys.stderr,
+            _report_multi_k(
+                spec, n_bases, ks, args,
+                f"one sharded pass, {len(jax.devices())} devices",
             )
-            if args.output:
-                np.savez_compressed(
-                    args.output,
-                    ks=np.asarray(ks),
-                    **{f"keys_{k}": v[0] for k, v in out.items()},
-                    **{f"counts_{k}": v[1] for k, v in out.items()},
-                )
-                print(f"# spectra written to {args.output}", file=sys.stderr)
-            if args.top:
-                for k, (keys, counts) in out.items():
-                    print(f"# top {args.top} for k={k}:")
-                    _top_kmers(keys, counts, k, args.top)
             return 0
         n_bases, (keys, counts) = sharded_count_file(
             args.path, ks[0], mesh=mesh, batch_size=args.batch_size,
@@ -154,39 +170,10 @@ def _cmd_count(args) -> int:
 
     if len(ks) > 1:
         # single-pass multi-k: report per-k summaries, save all spectra
-        out = {}
-        for k, sp in spec.items():
-            if isinstance(sp, tuple):
-                keys, counts = sp
-            else:
-                keys = np.flatnonzero(sp).astype(np.uint64)
-                counts = sp[keys.astype(np.int64)]
-            out[k] = (keys, counts)
-            print(
-                f"# k={k}: {int(counts.sum())} canonical k-mers, "
-                f"{len(keys)} distinct",
-                file=sys.stderr,
-            )
-        print(f"# {n_bases} bases ({len(ks)} k values in one pass)", file=sys.stderr)
-        if args.output:
-            np.savez_compressed(
-                args.output,
-                ks=np.asarray(ks),
-                **{f"keys_{k}": v[0] for k, v in out.items()},
-                **{f"counts_{k}": v[1] for k, v in out.items()},
-            )
-            print(f"# spectra written to {args.output}", file=sys.stderr)
-        if args.top:
-            for k, (keys, counts) in out.items():
-                print(f"# top {args.top} for k={k}:")
-                _top_kmers(keys, counts, k, args.top)
+        _report_multi_k(spec, n_bases, ks, args, "one pass")
         return 0
 
-    if isinstance(spec, tuple):
-        keys, counts = spec
-    else:  # dense
-        keys = np.flatnonzero(spec).astype(np.uint64)
-        counts = spec[keys.astype(np.int64)]
+    keys, counts = _sparse_pairs(spec)
     total = int(counts.sum())
     print(f"# {n_bases} bases, {total} canonical {ks[0]}-mers, {len(keys)} distinct", file=sys.stderr)
     if args.output:
