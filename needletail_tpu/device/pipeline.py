@@ -160,20 +160,6 @@ def count_file(
             "bucketed=True and host_workers>1 are mutually exclusive: "
             "bucketed framing is single-process (pass one or the other)"
         )
-    ckpt_mode = (
-        checkpoint_every is not None
-        or resume_from is not None
-        or checkpoint_path is not None
-    )
-    if ckpt_mode:
-        if bucketed:
-            raise ValueError(
-                "checkpoint/resume needs the single-shape stream, not "
-                "bucketed batching"
-            )
-        _validate_checkpoint_args(
-            checkpoint_every, checkpoint_path, host_workers
-        )
     if dense is None:
         dense = k <= _count.MAX_DENSE_K
     elif dense and k > _count.MAX_DENSE_K:
@@ -264,17 +250,23 @@ def count_file(
         hi, lo = _count.mask_keys(_windows(seqs, lengths, quals, vbits))
         return (None if narrow_keys else hi), lo
 
+    from ..parallel.checkpoint import (
+        checkpoint_source,
+        checkpointed_batches,
+        prepare_checkpoint_stream,
+    )
+
+    ckpt_mode, ck = prepare_checkpoint_stream(
+        "count_dense" if accumulate_dense else "count_sparse", k,
+        checkpoint_every=checkpoint_every, checkpoint_path=checkpoint_path,
+        resume_from=resume_from, host_workers=host_workers, bucketed=bucketed,
+        canonical=canonical, normalized=normalized,
+        quality_cutoff=quality_cutoff, phred_offset=phred_offset,
+    )
     start_offset = 0
-    if resume_from is not None:
-        from ..parallel.checkpoint import load_resume_checkpoint
+    if ck is not None:
         from ..utils.limbs import int64_array_to_limbs
 
-        ck = load_resume_checkpoint(
-            resume_from,
-            "count_dense" if accumulate_dense else "count_sparse", k,
-            canonical=canonical, normalized=normalized,
-            quality_cutoff=quality_cutoff, phred_offset=phred_offset,
-        )
         start_offset = ck["file_offset"]
         n_bases = ck["n_bases"]
         if accumulate_dense:
@@ -314,7 +306,7 @@ def count_file(
 
         batches = bucketed_read_batches(path, batch_size=batch_size, max_len=max_len)
     elif ckpt_mode:
-        batches = _checkpoint_source(
+        batches = checkpoint_source(
             path, batch_size, max_len, quality_cutoff is not None,
             packed, normalized, start_offset,
             require_offsets=checkpoint_every is not None,
@@ -325,21 +317,12 @@ def count_file(
             with_quals=quality_cutoff is not None, spill_dir=spill_dir,
             packed=packed, normalized=normalized,
         )
-    def _maybe_ckpt(batches_done, offset):
-        if (
-            checkpoint_every is not None
-            and batches_done % checkpoint_every == 0
-            and offset is not None
-        ):
-            _save_ckpt(offset)
-
-    batches_done = 0
+    # save cadence: fires only after the driver folded each N-th batch
+    batches = checkpointed_batches(batches, checkpoint_every, _save_ckpt)
     for batch in batches:
         if batch.max_len < k:
             # no window fits; bases still count
             n_bases += batch.num_bases
-            batches_done += 1
-            _maybe_ckpt(batches_done, batch.file_offset)
             continue
         if packed:
             seqs = jnp.asarray(batch.codes)
@@ -365,8 +348,6 @@ def count_file(
             dense_limbs = _accumulate(*dense_limbs, seqs, lengths, quals, vbits)
         else:
             sparse.add(*_keys(seqs, lengths, quals, vbits))
-        batches_done += 1
-        _maybe_ckpt(batches_done, batch.file_offset)
     if accumulate_dense:
         if dense_limbs is None:
             return n_bases, np.zeros(4**k, np.int64)
@@ -516,77 +497,6 @@ def _make_batch_source(
             spill.__exit__(None, None, None)
 
     return gen(), host_workers
-
-
-def _checkpoint_source(
-    path, batch_size, max_len, with_quals, packed, normalized, start_offset,
-    require_offsets: bool = False,
-):
-    """Single-stream, offset-reporting batch source for checkpoint/resume.
-
-    Resume = re-frame ``[start_offset, EOF)``; offsets come from the
-    batchers' record-aligned ``file_offset`` (io.fast_batch).  Compressed
-    input can't seek to a decompressed offset, and multi-worker framing
-    interleaves batches — both are rejected up front.  With
-    ``require_offsets`` (checkpoint WRITING was requested) a framing path
-    that reports no offsets raises on its first batch instead of letting
-    the run finish with zero checkpoints written.
-    """
-    import os as _os
-
-    from ..io.compression import sniff_compression
-    from ..io.fast_batch import fast_read_batches_range
-
-    if str(path) == "-":
-        raise ValueError("checkpoint/resume needs a seekable file, not stdin")
-    with open(path, "rb") as f:
-        magic = f.read(2)
-    if len(magic) == 2 and sniff_compression(magic):
-        raise ValueError(
-            "checkpoint/resume needs an UNCOMPRESSED input (byte offsets "
-            "must be seekable); decompress first (e.g. io.spill)"
-        )
-    if require_offsets:
-        from ..io import native
-
-        if not native.available():
-            # the pure-Python fallback batchers report no record-aligned
-            # offsets, so every _maybe_ckpt would silently skip — refuse
-            # up front instead of finishing with zero checkpoints written.
-            # (A batch-level check would misfire: the native framers
-            # legitimately emit their final EOF-tail batch with
-            # file_offset=None.)
-            raise ValueError(
-                "checkpoint_every needs the native framer's record-aligned "
-                "byte offsets; rebuild the C extension (and unset "
-                "NEEDLETAIL_TPU_NO_NATIVE) or drop checkpoint_every"
-            )
-    size = _os.path.getsize(path)
-    return fast_read_batches_range(
-        path, start_offset, size, batch_size=batch_size,
-        max_len=_quantize_max_len(max_len),
-        with_quals=with_quals, packed=packed, normalized=normalized,
-    )
-
-
-def _validate_checkpoint_args(checkpoint_every, checkpoint_path, host_workers):
-    if checkpoint_every is not None:
-        if checkpoint_path is None:
-            raise ValueError("checkpoint_every needs a checkpoint_path")
-        if checkpoint_every < 1:
-            raise ValueError("checkpoint_every must be >= 1 (batches)")
-    elif checkpoint_path is not None:
-        # a path alone writes nothing — refuse instead of letting the user
-        # believe the run was protected
-        raise ValueError(
-            "checkpoint_path without checkpoint_every writes no "
-            "checkpoints; pass checkpoint_every=N (batches)"
-        )
-    if host_workers is not None and host_workers > 1:
-        raise ValueError(
-            "checkpoint/resume is single-stream (offsets must be "
-            "monotonic); pass host_workers=1"
-        )
 
 
 def multi_k_count_file(
@@ -787,32 +697,27 @@ def hash_count_file(
 
     from ..utils.limbs import acc64, limbs_to_int
 
-    ckpt_mode = (
-        checkpoint_every is not None
-        or resume_from is not None
-        or checkpoint_path is not None
+    from ..parallel.checkpoint import (
+        checkpoint_source,
+        checkpointed_batches,
+        prepare_checkpoint_stream,
     )
-    if ckpt_mode:
-        _validate_checkpoint_args(
-            checkpoint_every, checkpoint_path, host_workers
-        )
+
+    def _check_table_bits(ck):
+        if int(ck["meta"]["table_bits"]) != table_bits:
+            raise ValueError("checkpoint table_bits mismatch")
+
+    ckpt_mode, resume_state = prepare_checkpoint_stream(
+        "hash", k,
+        checkpoint_every=checkpoint_every, checkpoint_path=checkpoint_path,
+        resume_from=resume_from, host_workers=host_workers,
+        validate=_check_table_bits, normalized=normalized,
+    )
     start_offset = 0
     resume_bases = 0
-    resume_state = None
-    if resume_from is not None:
-        from ..parallel.checkpoint import load_resume_checkpoint
-
-        def _check_table_bits(ck):
-            if int(ck["meta"]["table_bits"]) != table_bits:
-                raise ValueError("checkpoint table_bits mismatch")
-
-        ck = load_resume_checkpoint(
-            resume_from, "hash", k,
-            validate=_check_table_bits, normalized=normalized,
-        )
-        start_offset = ck["file_offset"]
-        resume_bases = ck["n_bases"]
-        resume_state = ck
+    if resume_state is not None:
+        start_offset = resume_state["file_offset"]
+        resume_bases = resume_state["n_bases"]
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(table_lo, table_hi, tallies, seqs, lengths, vbits):
@@ -854,7 +759,7 @@ def hash_count_file(
             )
         )
     if ckpt_mode:
-        batches = _checkpoint_source(
+        batches = checkpoint_source(
             path, batch_size, max_len, False, packed, normalized,
             start_offset, require_offsets=checkpoint_every is not None,
         )
@@ -920,20 +825,18 @@ def hash_count_file(
         placed = device_feed(batches, _place)
     else:
         placed = (_place(b) for b in batches)
-    batches_done = 0
+    # the cadence wraps the PLACED stream (not the raw batches) so the
+    # save fires only after the driver folded each N-th batch — device_feed
+    # prefetches the inner iterator, which must not trigger early saves
+    placed = checkpointed_batches(
+        placed, checkpoint_every, _save_checkpoint, offset_of=lambda t: t[4]
+    )
     for nb, seqs, lengths, vbits, offset in placed:
         n_bases += nb
         if seqs is not None:
             table_lo, table_hi, tallies = step(
                 table_lo, table_hi, tallies, seqs, lengths, vbits
             )
-        batches_done += 1
-        if (
-            checkpoint_every is not None
-            and batches_done % checkpoint_every == 0
-            and offset is not None
-        ):
-            _save_checkpoint(offset)
     tallies = np.asarray(tallies)
     total = limbs_to_int(tallies[0], tallies[1])
     fwd = limbs_to_int(tallies[2], tallies[3])

@@ -28,8 +28,13 @@ __all__ = [
     "load_hash_state",
     "save_stream_checkpoint",
     "load_stream_checkpoint",
+    "load_resume_checkpoint",
     "counting_meta",
     "check_counting_meta",
+    "validate_checkpoint_args",
+    "checkpoint_source",
+    "prepare_checkpoint_stream",
+    "checkpointed_batches",
 ]
 
 
@@ -108,6 +113,151 @@ def load_resume_checkpoint(
     if validate is not None:
         validate(ck)
     return ck
+
+
+def validate_checkpoint_args(
+    checkpoint_every, checkpoint_path, host_workers
+) -> None:
+    """Reject checkpoint flag combinations that would silently write
+    nothing or interleave offsets (shared by every streaming driver)."""
+    if checkpoint_every is not None:
+        if checkpoint_path is None:
+            raise ValueError("checkpoint_every needs a checkpoint_path")
+        if checkpoint_every < 1:
+            raise ValueError("checkpoint_every must be >= 1 (batches)")
+    elif checkpoint_path is not None:
+        # a path alone writes nothing — refuse instead of letting the user
+        # believe the run was protected
+        raise ValueError(
+            "checkpoint_path without checkpoint_every writes no "
+            "checkpoints; pass checkpoint_every=N (batches)"
+        )
+    if host_workers is not None and host_workers > 1:
+        raise ValueError(
+            "checkpoint/resume is single-stream (offsets must be "
+            "monotonic); pass host_workers=1"
+        )
+
+
+def checkpoint_source(
+    path, batch_size, max_len, with_quals, packed, normalized, start_offset,
+    require_offsets: bool = False,
+):
+    """Single-stream, offset-reporting batch source for checkpoint/resume.
+
+    Resume = re-frame ``[start_offset, EOF)``; offsets come from the
+    batchers' record-aligned ``file_offset`` (io.fast_batch).  Compressed
+    input can't seek to a decompressed offset, and multi-worker framing
+    interleaves batches — both are rejected up front.  With
+    ``require_offsets`` (checkpoint WRITING was requested) a framing path
+    that reports no offsets raises on its first batch instead of letting
+    the run finish with zero checkpoints written.
+    """
+    import os as _os
+
+    from ..io.compression import sniff_compression
+    from ..io.fast_batch import _effective_packed_max_len, fast_read_batches_range
+
+    if str(path) == "-":
+        raise ValueError("checkpoint/resume needs a seekable file, not stdin")
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if len(magic) == 2 and sniff_compression(magic):
+        raise ValueError(
+            "checkpoint/resume needs an UNCOMPRESSED input (byte offsets "
+            "must be seekable); decompress first (e.g. io.spill)"
+        )
+    if require_offsets:
+        from ..io import native
+
+        if not native.available():
+            # the pure-Python fallback batchers report no record-aligned
+            # offsets, so every cadence check would silently skip — refuse
+            # up front instead of finishing with zero checkpoints written.
+            # (A batch-level check would misfire: the native framers
+            # legitimately emit their final EOF-tail batch with
+            # file_offset=None.)
+            raise ValueError(
+                "checkpoint_every needs the native framer's record-aligned "
+                "byte offsets; rebuild the C extension (and unset "
+                "NEEDLETAIL_TPU_NO_NATIVE) or drop checkpoint_every"
+            )
+    size = _os.path.getsize(path)
+    return fast_read_batches_range(
+        path, start_offset, size, batch_size=batch_size,
+        # the same round-up-to-8 max_len quantum every transport applies
+        max_len=_effective_packed_max_len(True, max_len),
+        with_quals=with_quals, packed=packed, normalized=normalized,
+    )
+
+
+def prepare_checkpoint_stream(
+    kind: str,
+    k: Optional[int] = None,
+    *,
+    checkpoint_every=None,
+    checkpoint_path=None,
+    resume_from=None,
+    host_workers=None,
+    bucketed: bool = False,
+    validate=None,
+    **meta_kwargs,
+) -> "tuple[bool, Optional[dict]]":
+    """Shared front half of every streaming driver's checkpoint path.
+
+    Validates the flag combination (including the bucketed exclusion) and
+    loads + validates any resume checkpoint.  Returns ``(active, ck)``:
+    ``active`` is whether checkpoint mode is on (the driver should use
+    :func:`checkpoint_source` as its batch source), ``ck`` the loaded
+    resume dict or ``None`` (drivers read ``file_offset`` / ``n_bases`` /
+    ``arrays`` and re-seed their state).
+    """
+    active = (
+        checkpoint_every is not None
+        or resume_from is not None
+        or checkpoint_path is not None
+    )
+    if not active:
+        return False, None
+    if bucketed:
+        raise ValueError(
+            "checkpoint/resume needs the single-shape stream, not "
+            "bucketed batching"
+        )
+    validate_checkpoint_args(checkpoint_every, checkpoint_path, host_workers)
+    ck = None
+    if resume_from is not None:
+        ck = load_resume_checkpoint(
+            resume_from, kind, k, validate=validate, **meta_kwargs
+        )
+    return True, ck
+
+
+def checkpointed_batches(
+    source, checkpoint_every, save_fn, offset_of=None
+):
+    """Yield from ``source``, invoking ``save_fn(file_offset)`` after every
+    ``checkpoint_every``-th item has been CONSUMED by the driver.
+
+    The save fires when the driver pulls the next item (generator resume),
+    i.e. strictly after the driver folded the previous batch into its
+    state — so the saved state always includes every batch at or before
+    the saved offset.  Items whose offset is ``None`` (EOF tails, sources
+    without offsets) skip their save slot.  With ``checkpoint_every=None``
+    this is a transparent pass-through.
+    """
+    if checkpoint_every is None:
+        yield from source
+        return
+    if offset_of is None:
+        offset_of = lambda b: b.file_offset  # noqa: E731
+    done = 0
+    for item in source:
+        yield item
+        done += 1
+        offset = offset_of(item)
+        if done % checkpoint_every == 0 and offset is not None:
+            save_fn(offset)
 
 
 def save_stream_checkpoint(

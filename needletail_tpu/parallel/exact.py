@@ -435,16 +435,25 @@ def sharded_count_file(
         phred_offset=phred_offset,
         packed=packed,
     )
-    ckpt_mode = (
-        checkpoint_every is not None
-        or resume_from is not None
-        or checkpoint_path is not None
+    from .checkpoint import (
+        checkpoint_source,
+        checkpointed_batches,
+        prepare_checkpoint_stream,
     )
-    if ckpt_mode and bucketed:
-        raise ValueError(
-            "checkpoint/resume needs the single-shape stream, not bucketed"
-        )
+
+    ckpt_mode, ck = prepare_checkpoint_stream(
+        "sharded_exact", k,
+        checkpoint_every=checkpoint_every, checkpoint_path=checkpoint_path,
+        resume_from=resume_from, host_workers=host_workers, bucketed=bucketed,
+        canonical=canonical, normalized=normalized,
+        quality_cutoff=quality_cutoff, phred_offset=phred_offset,
+    )
     n_bases = 0
+    start_offset = 0
+    if ck is not None:
+        start_offset = ck["file_offset"]
+        n_bases = ck["n_bases"]
+        acc.restore(ck["arrays"]["keys"], ck["arrays"]["counts"])
     if bucketed:
         from ..io.bucketed import bucketed_read_batches
 
@@ -453,27 +462,7 @@ def sharded_count_file(
             with_quals=quality_cutoff is not None,
         )
     elif ckpt_mode:
-        from ..device.pipeline import (
-            _checkpoint_source,
-            _validate_checkpoint_args,
-        )
-
-        _validate_checkpoint_args(
-            checkpoint_every, checkpoint_path, host_workers
-        )
-        start_offset = 0
-        if resume_from is not None:
-            from .checkpoint import load_resume_checkpoint
-
-            ck = load_resume_checkpoint(
-                resume_from, "sharded_exact", k,
-                canonical=canonical, normalized=normalized,
-                quality_cutoff=quality_cutoff, phred_offset=phred_offset,
-            )
-            start_offset = ck["file_offset"]
-            n_bases = ck["n_bases"]
-            acc.restore(ck["arrays"]["keys"], ck["arrays"]["counts"])
-        batches = _checkpoint_source(
+        batches = checkpoint_source(
             path, batch_size, max_len, quality_cutoff is not None,
             packed, normalized, start_offset,
             require_offsets=checkpoint_every is not None,
@@ -499,8 +488,7 @@ def sharded_count_file(
             ),
         )
 
-    batches_done = 0
-    for batch in batches:
+    for batch in checkpointed_batches(batches, checkpoint_every, _save_ckpt):
         n_bases += batch.num_bases
         if batch.max_len >= k:
             b = (
@@ -519,11 +507,4 @@ def sharded_count_file(
                     b.seqs, b.lengths,
                     b.quals if quality_cutoff is not None else None,
                 )
-        batches_done += 1
-        if (
-            checkpoint_every is not None
-            and batches_done % checkpoint_every == 0
-            and batch.file_offset is not None
-        ):
-            _save_ckpt(batch.file_offset)
     return n_bases, acc.finish()

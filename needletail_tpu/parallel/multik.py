@@ -463,16 +463,33 @@ def sharded_multi_k_count_file(
         shard_lanes=shard_lanes, packed=packed,
         quality_cutoff=quality_cutoff, phred_offset=phred_offset,
     )
-    n_bases = 0
-    ckpt_mode = (
-        checkpoint_every is not None
-        or resume_from is not None
-        or checkpoint_path is not None
+    from .checkpoint import (
+        checkpoint_source,
+        checkpointed_batches,
+        prepare_checkpoint_stream,
     )
-    if ckpt_mode and bucketed:
-        raise ValueError(
-            "checkpoint/resume needs the single-shape stream, not bucketed"
-        )
+
+    def _check_ks(ck):
+        ck_ks = tuple(int(x) for x in ck["meta"].get("ks", ()))
+        if ck_ks != ks:
+            raise ValueError(
+                f"checkpoint {resume_from!r} is kind=sharded_multik "
+                f"with ks={ck_ks}, expected ks={ks}"
+            )
+
+    ckpt_mode, ck = prepare_checkpoint_stream(
+        "sharded_multik",
+        checkpoint_every=checkpoint_every, checkpoint_path=checkpoint_path,
+        resume_from=resume_from, host_workers=host_workers, bucketed=bucketed,
+        validate=_check_ks, canonical=canonical, normalized=normalized,
+        quality_cutoff=quality_cutoff, phred_offset=phred_offset,
+    )
+    n_bases = 0
+    start_offset = 0
+    if ck is not None:
+        start_offset = ck["file_offset"]
+        n_bases = ck["n_bases"]
+        acc.restore(ck["arrays"])
     if bucketed:
         from ..io.bucketed import bucketed_read_batches
 
@@ -481,35 +498,7 @@ def sharded_multi_k_count_file(
             with_quals=quality_cutoff is not None,
         )
     elif ckpt_mode:
-        from ..device.pipeline import (
-            _checkpoint_source,
-            _validate_checkpoint_args,
-        )
-
-        _validate_checkpoint_args(
-            checkpoint_every, checkpoint_path, host_workers
-        )
-        start_offset = 0
-        if resume_from is not None:
-            from .checkpoint import load_resume_checkpoint
-
-            def _check_ks(ck):
-                ck_ks = tuple(int(x) for x in ck["meta"].get("ks", ()))
-                if ck_ks != ks:
-                    raise ValueError(
-                        f"checkpoint {resume_from!r} is kind=sharded_multik "
-                        f"with ks={ck_ks}, expected ks={ks}"
-                    )
-
-            ck = load_resume_checkpoint(
-                resume_from, "sharded_multik", validate=_check_ks,
-                canonical=canonical, normalized=normalized,
-                quality_cutoff=quality_cutoff, phred_offset=phred_offset,
-            )
-            start_offset = ck["file_offset"]
-            n_bases = ck["n_bases"]
-            acc.restore(ck["arrays"])
-        batches = _checkpoint_source(
+        batches = checkpoint_source(
             path, batch_size, max_len, quality_cutoff is not None,
             packed, normalized, start_offset,
             require_offsets=checkpoint_every is not None,
@@ -537,8 +526,7 @@ def sharded_multi_k_count_file(
             },
         )
 
-    batches_done = 0
-    for batch in batches:
+    for batch in checkpointed_batches(batches, checkpoint_every, _save_ckpt):
         n_bases += batch.num_bases
         if batch.max_len >= min(ks):
             b = (
@@ -557,11 +545,4 @@ def sharded_multi_k_count_file(
                     b.seqs, b.lengths,
                     b.quals if quality_cutoff is not None else None,
                 )
-        batches_done += 1
-        if (
-            checkpoint_every is not None
-            and batches_done % checkpoint_every == 0
-            and batch.file_offset is not None
-        ):
-            _save_ckpt(batch.file_offset)
     return n_bases, acc.finish()
