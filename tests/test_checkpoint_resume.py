@@ -348,6 +348,61 @@ class TestGuards:
             )
 
 
+class TestCadenceWrapper:
+    """The shared checkpointed_batches wrapper (parallel.checkpoint) must
+    fire each save only AFTER the driver consumed the N-th batch — a save
+    firing on yield would persist offsets whose batches aren't folded into
+    the state yet (silent data loss on resume)."""
+
+    class _Item:
+        def __init__(self, i, offset):
+            self.i = i
+            self.file_offset = offset
+
+    def test_save_fires_after_consumption(self):
+        from needletail_tpu.parallel.checkpoint import checkpointed_batches
+
+        events = []
+        items = [self._Item(i, 100 * (i + 1)) for i in range(5)]
+        saves = []
+        for item in checkpointed_batches(iter(items), 2, saves.append):
+            events.append(("consumed", item.i, tuple(saves)))
+        # batch 1 (0-indexed) completes the first cadence of 2: its save
+        # must happen after its consumption, i.e. be invisible during it
+        assert events[1] == ("consumed", 1, ())
+        assert events[2] == ("consumed", 2, (200,))
+        # the final (5th) batch is mid-cadence: no trailing save
+        assert saves == [200, 400]
+
+    def test_none_offsets_skip_their_slot(self):
+        from needletail_tpu.parallel.checkpoint import checkpointed_batches
+
+        items = [self._Item(i, None if i % 2 else 10 * (i + 1)) for i in range(4)]
+        saves = []
+        for _ in checkpointed_batches(iter(items), 2, saves.append):
+            pass
+        # cadence hits items 1 and 3 (offset None) — both slots skip
+        assert saves == []
+
+    def test_passthrough_without_cadence(self):
+        from needletail_tpu.parallel.checkpoint import checkpointed_batches
+
+        items = [self._Item(i, i) for i in range(3)]
+        out = list(checkpointed_batches(iter(items), None, lambda _: 1 / 0))
+        assert [x.i for x in out] == [0, 1, 2]
+
+    def test_custom_offset_extractor(self):
+        from needletail_tpu.parallel.checkpoint import checkpointed_batches
+
+        items = [(i, "x", 7 * (i + 1)) for i in range(4)]
+        saves = []
+        for _ in checkpointed_batches(
+            iter(items), 1, saves.append, offset_of=lambda t: t[2]
+        ):
+            pass
+        assert saves == [7, 14, 21, 28]
+
+
 class TestShardedResume:
     def test_sharded_exact(self, corpus, tmp_path):
         import jax
