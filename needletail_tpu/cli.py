@@ -71,10 +71,30 @@ def _sparse_pairs(spec):
     return keys, spec[keys.astype(np.int64)]
 
 
+def _dump_spectrum(fh, keys, counts, k) -> None:
+    """Write one spectrum as ``kmer\\tcount`` TSV lines (keys ascending —
+    the sorted-pairs order every counting driver returns)."""
+    from .bitkmer import bitmer_to_bytes
+
+    buf = []
+    for key, c in zip(keys.tolist(), counts.tolist()):
+        buf.append(b"%s\t%d\n" % (bitmer_to_bytes((int(key), k)), c))
+        if len(buf) >= 65536:
+            fh.write(b"".join(buf))
+            buf.clear()
+    fh.write(b"".join(buf))
+
+
+def _open_dump(dump):
+    if dump == "-":
+        return sys.stdout.buffer, False
+    return open(dump, "wb"), True
+
+
 def _report_multi_k(spec, n_bases, ks, args, pass_label: str) -> None:
     """Shared multi-k reporting: per-k stderr summaries, one npz with
-    every spectrum, optional top-k listings — identical output for the
-    single-device and sharded drivers."""
+    every spectrum, optional full TSV dump, optional top-k listings —
+    identical output for the single-device and sharded drivers."""
     import numpy as np
 
     out = {k: _sparse_pairs(sp) for k, sp in spec.items()}
@@ -96,10 +116,42 @@ def _report_multi_k(spec, n_bases, ks, args, pass_label: str) -> None:
             **{f"counts_{k}": v[1] for k, v in out.items()},
         )
         print(f"# spectra written to {args.output}", file=sys.stderr)
+    if args.dump:
+        fh, close = _open_dump(args.dump)
+        try:
+            for k, (keys, counts) in out.items():
+                _dump_spectrum(fh, keys, counts, k)
+        finally:
+            if close:
+                fh.close()
     if args.top:
         for k, (keys, counts) in out.items():
             print(f"# top {args.top} for k={k}:")
             _top_kmers(keys, counts, k, args.top)
+
+
+def _report_single_k(keys, counts, k, n_bases, args, suffix: str = "") -> None:
+    """Shared single-k reporting (flat and sharded): stderr summary, npz,
+    optional full TSV dump, optional top-k listing."""
+    import numpy as np
+
+    print(
+        f"# {n_bases} bases, {int(counts.sum())} canonical {k}-mers, "
+        f"{len(keys)} distinct{suffix}",
+        file=sys.stderr,
+    )
+    if args.output:
+        np.savez_compressed(args.output, keys=keys, counts=counts, k=k)
+        print(f"# spectrum written to {args.output}", file=sys.stderr)
+    if args.dump:
+        fh, close = _open_dump(args.dump)
+        try:
+            _dump_spectrum(fh, keys, counts, k)
+        finally:
+            if close:
+                fh.close()
+    if args.top:
+        _top_kmers(keys, counts, k, args.top)
 
 
 def _cmd_count(args) -> int:
@@ -113,7 +165,6 @@ def _cmd_count(args) -> int:
     )
     if args.sharded:
         import jax
-        import numpy as np
 
         from .parallel import make_mesh, sharded_count_file
 
@@ -141,16 +192,10 @@ def _cmd_count(args) -> int:
             bucketed=args.bucketed,
             **ckpt_kwargs,
         )
-        print(
-            f"# {n_bases} bases, {int(counts.sum())} canonical {ks[0]}-mers, "
-            f"{len(keys)} distinct ({len(jax.devices())} devices)",
-            file=sys.stderr,
+        _report_single_k(
+            keys, counts, ks[0], n_bases, args,
+            suffix=f" ({len(jax.devices())} devices)",
         )
-        if args.output:
-            np.savez_compressed(args.output, keys=keys, counts=counts, k=ks[0])
-            print(f"# spectrum written to {args.output}", file=sys.stderr)
-        if args.top:
-            _top_kmers(keys, counts, ks[0], args.top)
         return 0
     if len(ks) > 1 and any(v is not None for v in ckpt_kwargs.values()):
         raise SystemExit(
@@ -166,21 +211,13 @@ def _cmd_count(args) -> int:
         host_workers=args.host_workers,
         **({} if len(ks) > 1 else ckpt_kwargs),
     )
-    import numpy as np
-
     if len(ks) > 1:
         # single-pass multi-k: report per-k summaries, save all spectra
         _report_multi_k(spec, n_bases, ks, args, "one pass")
         return 0
 
     keys, counts = _sparse_pairs(spec)
-    total = int(counts.sum())
-    print(f"# {n_bases} bases, {total} canonical {ks[0]}-mers, {len(keys)} distinct", file=sys.stderr)
-    if args.output:
-        np.savez_compressed(args.output, keys=keys, counts=counts, k=ks[0])
-        print(f"# spectrum written to {args.output}", file=sys.stderr)
-    if args.top:
-        _top_kmers(keys, counts, ks[0], args.top)
+    _report_single_k(keys, counts, ks[0], n_bases, args)
     return 0
 
 
@@ -340,6 +377,9 @@ def main(argv=None) -> int:
     p.add_argument("--sharded", action="store_true",
                    help="exact spectrum over every device (per-chip sorts)")
     p.add_argument("-o", "--output", help="write spectrum .npz")
+    p.add_argument("--dump",
+                   help="write the FULL spectrum as kmer\\tcount TSV "
+                        "(keys ascending; '-' = stdout)")
     _add_checkpoint_flags(p)
     p.set_defaults(fn=_cmd_count)
 

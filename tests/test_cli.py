@@ -62,6 +62,23 @@ def test_count_multi_k(tmp_path):
         assert z["counts_4"].sum() == 8
 
 
+def test_count_dump_tsv(tmp_path):
+    dump = tmp_path / "spec.tsv"
+    _, err = _run(
+        "count", str(DATA_DIR / "28S.fasta"), "-k", "4", "--dump", str(dump)
+    )
+    lines = dump.read_bytes().splitlines()
+    # one line per distinct 4-mer, keys ascending => lexicographic ACGT
+    n_distinct = int(err.split(" distinct")[0].rsplit(" ", 1)[-1])
+    assert len(lines) == n_distinct
+    kmers = [ln.split(b"\t")[0] for ln in lines]
+    assert kmers == sorted(kmers)
+    assert lines[0] == b"AAAA\t8108"  # README golden count
+    # totals line up with the stderr summary
+    total = sum(int(ln.split(b"\t")[1]) for ln in lines)
+    assert f"{total} canonical 4-mers" in err
+
+
 def test_minimizers_sharded_matches_single(tmp_path):
     fq = str(DATA_DIR / "PRJNA271013_head.fq")
     args = ["minimizers", fq, "-k", "9", "-w", "5", "--batch-size", "512"]
