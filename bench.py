@@ -44,6 +44,28 @@ NORTH_STAR_BYTES_PER_CHIP = 625e6
 
 def main() -> None:
     import jax
+
+    # the ONE JSON line must survive an unreachable TPU backend (the axon
+    # tunnel has day-long outages; a bare RuntimeError here would leave the
+    # round with no bench record at all)
+    try:
+        jax.devices()
+    except RuntimeError as exc:
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        "fastq_canonical_k21_hash_count_bases_per_sec_per_chip"
+                    ),
+                    "value": 0,
+                    "unit": "bases/s",
+                    "vs_baseline": 0,
+                    "error": f"backend unavailable: {exc}",
+                }
+            )
+        )
+        return
+
     import jax.numpy as jnp
 
     from needletail_tpu.io.fast_batch import fast_read_batches as read_batches

@@ -300,6 +300,13 @@ def _cmd_minimizers(args) -> int:
     if args.output:
         np.savez_compressed(args.output, keys=keys, counts=counts, k=args.k, w=args.w)
         print(f"# spectrum written to {args.output}", file=sys.stderr)
+    if args.dump:
+        fh, close = _open_dump(args.dump)
+        try:
+            _dump_spectrum(fh, keys, counts, args.k)
+        finally:
+            if close:
+                fh.close()
     if args.top:
         _top_kmers(keys, counts, args.k, args.top)
     return 0
@@ -308,20 +315,31 @@ def _cmd_minimizers(args) -> int:
 def _cmd_spectrum(args) -> int:
     from .device.tiling import genome_spectrum
 
-    import numpy as np
+    mesh = None
+    if args.sharded:
+        import jax
 
+        from .parallel import make_mesh
+
+        mesh = make_mesh(jax.devices(), data=len(jax.devices()), table=1)
     n_bases, spec = genome_spectrum(
-        args.path, k=args.k, tile_len=args.tile_len, sparse_format="arrays"
+        args.path, k=args.k, tile_len=args.tile_len, sparse_format="arrays",
+        mesh=mesh,
     )
-    if isinstance(spec, tuple):
-        keys, counts = spec
-    else:
-        keys = np.flatnonzero(spec).astype(np.uint64)
-        counts = spec[keys.astype(np.int64)]
+    keys, counts = _sparse_pairs(spec)
     print(f"# {n_bases} bases, {len(keys)} distinct {args.k}-mers", file=sys.stderr)
     if args.output:
+        import numpy as np
+
         np.savez_compressed(args.output, keys=keys, counts=counts, k=args.k)
         print(f"# spectrum written to {args.output}", file=sys.stderr)
+    if args.dump:
+        fh, close = _open_dump(args.dump)
+        try:
+            _dump_spectrum(fh, keys, counts, args.k)
+        finally:
+            if close:
+                fh.close()
     if args.top:
         _top_kmers(keys, counts, args.k, args.top)
     return 0
@@ -414,6 +432,9 @@ def main(argv=None) -> int:
     p.add_argument("--top", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=4096)
     p.add_argument("-o", "--output", help="write spectrum .npz")
+    p.add_argument("--dump",
+                   help="write the FULL spectrum as kmer\\tcount TSV "
+                        "(keys ascending; '-' = stdout)")
     p.add_argument("--sharded", action="store_true",
                    help="shard the sketch over every device")
     p.set_defaults(fn=_cmd_minimizers)
@@ -424,6 +445,11 @@ def main(argv=None) -> int:
     p.add_argument("--tile-len", type=int, default=8192)
     p.add_argument("--top", type=int, default=0)
     p.add_argument("-o", "--output", help="write spectrum .npz")
+    p.add_argument("--dump",
+                   help="write the FULL spectrum as kmer\\tcount TSV "
+                        "(keys ascending; '-' = stdout)")
+    p.add_argument("--sharded", action="store_true",
+                   help="tile batches over every device (halo tiling x mesh)")
     p.set_defaults(fn=_cmd_spectrum)
 
     args = ap.parse_args(argv)

@@ -88,6 +88,15 @@ def test_minimizers_sharded_matches_single(tmp_path):
     assert err1.split("bases,")[1] == err2.split("bases,")[1]
 
 
+def test_spectrum_sharded_dump_matches_flat(tmp_path):
+    fa = str(DATA_DIR / "28S.fasta")
+    d1, d2 = tmp_path / "flat.tsv", tmp_path / "sharded.tsv"
+    _run("spectrum", fa, "-k", "4", "--dump", str(d1))
+    _run("spectrum", fa, "-k", "4", "--sharded", "--dump", str(d2))
+    assert d1.read_bytes() == d2.read_bytes()
+    assert d1.read_bytes().splitlines()[0] == b"AAAA\t8108"
+
+
 def test_bgzip_roundtrip(tmp_path):
     out = tmp_path / "r.fq.bgz"
     _run("bgzip", str(DATA_DIR / "PRJNA271013_head.fq"), "-o", str(out))
