@@ -18,11 +18,14 @@ import time
 
 
 def _cmd_stats(args) -> int:
+    import numpy as np
+
     from .io.fast_batch import fast_read_batches
 
     n_reads = n_bases = 0
     min_len = None
     max_len = 0
+    byte_counts = np.zeros(256, np.int64) if args.composition else None
     t0 = time.perf_counter()
     for b in fast_read_batches(args.path, batch_size=args.batch_size):
         n = b.num_reads
@@ -33,20 +36,37 @@ def _cmd_stats(args) -> int:
             lo = int(lens.min())
             min_len = lo if min_len is None else min(min_len, lo)
             max_len = max(max_len, int(lens.max()))
+        if byte_counts is not None and n:
+            # one bincount over the padded plane; bin 0 is exactly the
+            # padding (real bases are ASCII letters, never NUL)
+            byte_counts += np.bincount(
+                b.seqs[:n].reshape(-1), minlength=256
+            )
     el = time.perf_counter() - t0
-    print(
-        json.dumps(
-            {
-                "reads": n_reads,
-                "bases": n_bases,
-                "min_len": min_len or 0,
-                "max_len": max_len,
-                "mean_len": round(n_bases / n_reads, 2) if n_reads else 0,
-                "seconds": round(el, 3),
-                "bases_per_sec": round(n_bases / el) if el > 0 else None,
-            }
+    out = {
+        "reads": n_reads,
+        "bases": n_bases,
+        "min_len": min_len or 0,
+        "max_len": max_len,
+        "mean_len": round(n_bases / n_reads, 2) if n_reads else 0,
+        "seconds": round(el, 3),
+        "bases_per_sec": round(n_bases / el) if el > 0 else None,
+    }
+    if byte_counts is not None:
+        byte_counts[0] = 0  # padding
+        comp = {}
+        for base in "ACGT":
+            comp[base] = int(
+                byte_counts[ord(base)] + byte_counts[ord(base.lower())]
+            )
+        comp["N"] = int(byte_counts[ord("N")] + byte_counts[ord("n")])
+        comp["other"] = int(byte_counts.sum() - sum(comp.values()))
+        acgt = sum(comp[b] for b in "ACGT")
+        out["composition"] = comp
+        out["gc_fraction"] = (
+            round((comp["G"] + comp["C"]) / acgt, 6) if acgt else None
         )
-    )
+    print(json.dumps(out))
     return 0
 
 
@@ -375,6 +395,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("stats", help="read/base counts at framer speed (no device)")
     p.add_argument("path")
     p.add_argument("--batch-size", type=int, default=8192)
+    p.add_argument("--composition", action="store_true",
+                   help="also report A/C/G/T/N/other counts and GC fraction")
     p.set_defaults(fn=_cmd_stats)
 
     p = sub.add_parser("count", help="exact canonical k-mer spectrum (device)")

@@ -34,6 +34,26 @@ def test_stats():
     assert d["reads"] == 2000 and d["bases"] == 250_000
 
 
+def test_stats_composition():
+    out, _ = _run("stats", str(DATA_DIR / "28S.fasta"), "--composition")
+    d = json.loads(out)
+    comp = d["composition"]
+    assert sum(comp.values()) == d["bases"] == 738_580
+    # oracle: straight byte counts over the parsed sequences
+    from collections import Counter
+
+    from needletail_tpu.parser import parse_fastx_file
+
+    oracle = Counter()
+    reader = parse_fastx_file(str(DATA_DIR / "28S.fasta"))
+    while (rec := reader.next()) is not None:
+        oracle.update(bytes(rec.seq()).upper())
+    for base in "ACGT":
+        assert comp[base] == oracle[ord(base)], base
+    acgt = sum(comp[b] for b in "ACGT")
+    assert abs(d["gc_fraction"] - (comp["G"] + comp["C"]) / acgt) < 1e-6  # gc_fraction rounds to 6 places
+
+
 def test_count_top_and_output(tmp_path):
     out_npz = tmp_path / "spec.npz"
     out, err = _run(
