@@ -332,6 +332,43 @@ def _cmd_minimizers(args) -> int:
     return 0
 
 
+def _cmd_convert(args) -> int:
+    """FASTA/FASTQ conversion through the reference round-trip writers
+    (ref record.rs:207-247): sequences unwrap to one line, FASTA -> FASTQ
+    fills qualities with 'I' (the reference's missing-qual rule), input
+    line endings are preserved unless --unix."""
+    from .parser import parse_fastx_file
+    from .parser.record import write_fasta, write_fastq
+    from .parser.utils import LineEnding
+
+    fmt = args.to
+    if fmt is None:
+        low = args.output.lower()
+        if low.endswith((".fa", ".fasta", ".fna")):
+            fmt = "fasta"
+        elif low.endswith((".fq", ".fastq")):
+            fmt = "fastq"
+        else:
+            raise SystemExit(
+                "cannot infer the target format from the output name; "
+                "pass --to fasta|fastq"
+            )
+    forced = LineEnding.UNIX if args.unix else None
+    n = 0
+    reader = parse_fastx_file(args.path)
+    with open(args.output, "wb") as out:
+        while (rec := reader.next()) is not None:
+            ending = forced or rec.line_ending()
+            seq = rec.strip_returns()
+            if fmt == "fasta":
+                write_fasta(rec.id(), seq, out, ending)
+            else:
+                write_fastq(rec.id(), seq, rec.qual(), out, ending)
+            n += 1
+    print(f"# {n} records -> {args.output} ({fmt})", file=sys.stderr)
+    return 0
+
+
 def _cmd_spectrum(args) -> int:
     from .device.tiling import genome_spectrum
 
@@ -460,6 +497,17 @@ def main(argv=None) -> int:
     p.add_argument("--sharded", action="store_true",
                    help="shard the sketch over every device")
     p.set_defaults(fn=_cmd_minimizers)
+
+    p = sub.add_parser(
+        "convert", help="FASTA<->FASTQ conversion (reference writer semantics)"
+    )
+    p.add_argument("path")
+    p.add_argument("output")
+    p.add_argument("--to", choices=("fasta", "fastq"), default=None,
+                   help="target format (default: inferred from the output name)")
+    p.add_argument("--unix", action="store_true",
+                   help="force Unix line endings (default: preserve input's)")
+    p.set_defaults(fn=_cmd_convert)
 
     p = sub.add_parser("spectrum", help="whole-genome spectrum via halo tiling")
     p.add_argument("path")

@@ -117,6 +117,29 @@ def test_spectrum_sharded_dump_matches_flat(tmp_path):
     assert d1.read_bytes().splitlines()[0] == b"AAAA\t8108"
 
 
+def test_convert_roundtrip(tmp_path):
+    fq = str(DATA_DIR / "PRJNA271013_head.fq")
+    fa = tmp_path / "out.fa"
+    back = tmp_path / "back.fq"
+    _, err = _run("convert", fq, str(fa))
+    assert "2000 records" in err
+    # FASTA out parses to the same ids/sequences
+    from needletail_tpu.parser import parse_fastx_file
+
+    r_in = parse_fastx_file(fq)
+    r_out = parse_fastx_file(str(fa))
+    while (a := r_in.next()) is not None:
+        b = r_out.next()
+        assert bytes(b.id()) == bytes(a.id())
+        assert bytes(b.strip_returns()) == bytes(a.strip_returns())
+    assert r_out.next() is None
+    # FASTA -> FASTQ fills qualities with 'I' (ref record.rs:240-244)
+    _run("convert", str(fa), str(back), "--to", "fastq")
+    r_back = parse_fastx_file(str(back))
+    rec = r_back.next()
+    assert bytes(rec.qual()) == b"I" * rec.num_bases()
+
+
 def test_bgzip_roundtrip(tmp_path):
     out = tmp_path / "r.fq.bgz"
     _run("bgzip", str(DATA_DIR / "PRJNA271013_head.fq"), "-o", str(out))
