@@ -140,6 +140,16 @@ def test_convert_roundtrip(tmp_path):
     assert bytes(rec.qual()) == b"I" * rec.num_bases()
 
 
+def test_convert_line_endings(tmp_path):
+    src = tmp_path / "crlf.fq"
+    src.write_bytes(b"@a x\r\nACGT\r\n+\r\nIIII\r\n")
+    out = tmp_path / "o.fa"
+    _run("convert", str(src), str(out))
+    assert out.read_bytes() == b">a x\r\nACGT\r\n"  # input ending preserved
+    _run("convert", str(src), str(out), "--unix")
+    assert out.read_bytes() == b">a x\nACGT\n"
+
+
 def test_bgzip_roundtrip(tmp_path):
     out = tmp_path / "r.fq.bgz"
     _run("bgzip", str(DATA_DIR / "PRJNA271013_head.fq"), "-o", str(out))
