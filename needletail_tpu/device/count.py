@@ -238,15 +238,22 @@ def compact_runs_cascade(
 
     h1, l1, c1, ok1 = mxu_compact_slots(hi_s, lo_s, counts)
     h2, l2, c2, ok2 = mxu_compact_slots(h1, l1, c1)
-    # one stacked pull decides both levels (each bool() sync costs a full
-    # host round trip; pass 2 runs on 1/8 the lanes, so running it
-    # speculatively is cheaper than a second sync)
-    oks = np.asarray(jnp.stack([ok1, ok2]))
+    # one stacked pull decides both levels AND ships n_distinct (each
+    # scalar sync costs a full host round trip — ~35 ms through the dev
+    # tunnel; pass 2 runs on 1/8 the lanes, so running it speculatively
+    # is cheaper than a second sync, and n rides along so the caller's
+    # ``int(n)`` is free).  n is computed on the PRE-cascade counts: the
+    # passes preserve runs, so the distinct total is invariant.
+    n_distinct = jnp.sum((counts > 0).astype(jnp.int32))
+    oks = np.asarray(
+        jnp.stack([ok1.astype(jnp.int32), ok2.astype(jnp.int32), n_distinct])
+    )
     if not oks[0]:
         return None
     if oks[1]:
         h1, l1, c1 = h2, l2, c2
-    return compact_runs_device(h1, l1, c1)
+    h_c, l_c, c_c, _ = compact_runs_device(h1, l1, c1)
+    return h_c, l_c, c_c, int(oks[2])
 
 
 def compact_spectrum(
