@@ -18,6 +18,7 @@ import numpy as np
 
 from ..io.fast_batch import fast_read_batches as read_batches
 from ..bitkmer import bytes_to_bitmer
+from ..utils.profiling import metered_iter
 from . import count as _count
 from . import kmers as _kmers
 
@@ -95,6 +96,7 @@ def count_file(
     checkpoint_every: Optional[int] = None,
     checkpoint_path: Optional[str] = None,
     resume_from: Optional[str] = None,
+    meter=None,
 ) -> Tuple[int, Union[np.ndarray, Dict[int, int], Tuple[np.ndarray, np.ndarray]]]:
     """Stream a FASTX file through the device k-mer counter.
 
@@ -319,11 +321,33 @@ def count_file(
         )
     # save cadence: fires only after the driver folded each N-th batch
     batches = checkpointed_batches(batches, checkpoint_every, _save_ckpt)
+
+    import time as _time
+
+    def _batch_nbytes(b) -> int:
+        n = b.lengths.nbytes
+        if packed:
+            n += b.codes.nbytes
+            if b.vbits is not None:
+                n += b.vbits.nbytes
+        else:
+            n += b.seqs.nbytes
+        if quality_cutoff is not None and b.quals is not None:
+            n += b.quals.nbytes
+        return n
+
+    t_wall0 = _time.perf_counter()
+    if meter is not None:
+        batches = metered_iter(
+            meter, "frame", batches,
+            nbytes_of=_batch_nbytes, items_of=lambda b: b.num_bases,
+        )
     for batch in batches:
         if batch.max_len < k:
             # no window fits; bases still count
             n_bases += batch.num_bases
             continue
+        t0 = _time.perf_counter() if meter is not None else 0.0
         if packed:
             seqs = jnp.asarray(batch.codes)
             vbits = (
@@ -338,6 +362,14 @@ def count_file(
             if batch.quals is None:
                 raise ValueError("quality_cutoff needs FASTQ input with qualities")
             quals = jnp.asarray(batch.quals)
+        if meter is not None:
+            jax.block_until_ready(
+                [a for a in (seqs, lengths, quals, vbits) if a is not None]
+            )
+            meter.add(
+                "h2d", _time.perf_counter() - t0, nbytes=_batch_nbytes(batch)
+            )
+            t0 = _time.perf_counter()
         n_bases += batch.num_bases
         if accumulate_dense:
             if dense_limbs is None:
@@ -348,20 +380,39 @@ def count_file(
             dense_limbs = _accumulate(*dense_limbs, seqs, lengths, quals, vbits)
         else:
             sparse.add(*_keys(seqs, lengths, quals, vbits))
+        if meter is not None:
+            meter.add(
+                "dispatch", _time.perf_counter() - t0, items=batch.num_bases
+            )
+    t_drain = _time.perf_counter()
+    if meter is not None:
+        _result_meter = meter
+
+        def _finish_meter(result):
+            now = _time.perf_counter()
+            _result_meter.add("drain", now - t_drain)
+            _result_meter.add("wall", now - t_wall0, items=result[0])
+            return result
+
+    else:
+
+        def _finish_meter(result):
+            return result
+
     if accumulate_dense:
         if dense_limbs is None:
-            return n_bases, np.zeros(4**k, np.int64)
+            return _finish_meter((n_bases, np.zeros(4**k, np.int64)))
         lo, hi = dense_limbs
-        return n_bases, limbs_to_int64_array(lo, hi)
+        return _finish_meter((n_bases, limbs_to_int64_array(lo, hi)))
     if densify_after:
         keys, counts = sparse.finish()
         table = np.zeros(4**k, np.int64)
         table[keys.astype(np.int64)] = counts
-        return n_bases, table
+        return _finish_meter((n_bases, table))
     keys, counts = sparse.finish()
     if sparse_format == "arrays":
-        return n_bases, (keys, counts)
-    return n_bases, _count.spectrum_arrays_to_dict(keys, counts)
+        return _finish_meter((n_bases, (keys, counts)))
+    return _finish_meter((n_bases, _count.spectrum_arrays_to_dict(keys, counts)))
 
 
 def multi_k_tally(
@@ -654,6 +705,7 @@ def hash_count_file(
     checkpoint_every: Optional[int] = None,
     checkpoint_path: Optional[str] = None,
     resume_from: Optional[str] = None,
+    meter=None,
 ) -> Tuple[int, int, int, np.ndarray]:
     """Stream a FASTX file through the fused Pallas hash-counting pipeline
     (the headline bench path): canonical k-mer extraction -> -1-masked hash
@@ -683,7 +735,19 @@ def hash_count_file(
     EOF)`` — the final table is bit-identical to an uninterrupted run
     (integer adds commute).  Both need single-stream framing over an
     uncompressed file.
+
+    ``meter=`` (a :class:`utils.profiling.ThroughputMeter`) records the
+    per-stage breakdown the "bases/sec/chip" target demands: ``frame``
+    (host framing, charged in the feeder thread), ``h2d`` (device
+    placement, blocked-until-ready so the bytes/s is the real transfer
+    rate), ``wait`` (consumer time blocked on the feed queue — ~0 means
+    the feeder keeps up), ``dispatch`` (async step dispatch) and
+    ``drain`` (final device sync + result pull).  Because frame/h2d run
+    in the feeder thread, their seconds OVERLAP the consumer stages; the
+    meter's ``wall`` stage is the end-to-end truth.
     """
+    import time as _time
+
     import jax
 
     from .pallas_kernels import (
@@ -772,6 +836,26 @@ def hash_count_file(
             packed=packed, normalized=normalized,
         )
 
+    def _transport_nbytes(batch) -> int:
+        """Bytes this batch ships host->device (the h2d payload)."""
+        n = batch.lengths.nbytes
+        if packed:
+            n += batch.codes.nbytes
+            vb = getattr(batch, "vbits", None)
+            if vb is not None:
+                n += vb.nbytes
+        else:
+            n += batch.seqs.nbytes
+        return n
+
+    t_wall0 = _time.perf_counter()
+    if meter is not None:
+        # charged in the feeder thread: wall-clock of each framer next()
+        batches = metered_iter(
+            meter, "frame", batches,
+            nbytes_of=_transport_nbytes, items_of=lambda b: b.num_bases,
+        )
+
     def _place(batch):
         if batch.max_len < k:
             return batch.num_bases, None, None, None, batch.file_offset
@@ -796,6 +880,25 @@ def hash_count_file(
             None,
             batch.file_offset,
         )
+
+    if meter is not None:
+        _place_inner = _place
+
+        def _place(batch):  # noqa: F811 — metered twin
+            t0 = _time.perf_counter()
+            out = _place_inner(batch)
+            if out[1] is not None:
+                # block so the recorded bytes/s is the real transfer rate,
+                # not the async dispatch cost; still overlaps the consumer
+                # because this runs in the feeder thread
+                jax.block_until_ready([a for a in out[1:4] if a is not None])
+            meter.add(
+                "h2d",
+                _time.perf_counter() - t0,
+                nbytes=_transport_nbytes(batch),
+                items=out[0],
+            )
+            return out
 
     def _save_checkpoint(offset):
         from ..parallel.checkpoint import counting_meta, save_stream_checkpoint
@@ -831,18 +934,30 @@ def hash_count_file(
     placed = checkpointed_batches(
         placed, checkpoint_every, _save_checkpoint, offset_of=lambda t: t[4]
     )
+    if meter is not None:
+        # consumer time blocked on the feed queue: ~0 means the feeder
+        # (frame + h2d) keeps ahead of the device loop
+        placed = metered_iter(meter, "wait", placed)
     for nb, seqs, lengths, vbits, offset in placed:
         n_bases += nb
         if seqs is not None:
+            t0 = _time.perf_counter() if meter is not None else 0.0
             table_lo, table_hi, tallies = step(
                 table_lo, table_hi, tallies, seqs, lengths, vbits
             )
+            if meter is not None:
+                meter.add("dispatch", _time.perf_counter() - t0, items=nb)
+    t_drain = _time.perf_counter()
     tallies = np.asarray(tallies)
     total = limbs_to_int(tallies[0], tallies[1])
     fwd = limbs_to_int(tallies[2], tallies[3])
     from ..utils.limbs import limbs_to_int64_array as _combine
 
     table = _combine(table_lo, table_hi)
+    if meter is not None:
+        now = _time.perf_counter()
+        meter.add("drain", now - t_drain, nbytes=table.nbytes)
+        meter.add("wall", now - t_wall0, items=n_bases)
     return n_bases, total, fwd, table
 
 
