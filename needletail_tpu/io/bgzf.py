@@ -25,6 +25,7 @@ from typing import List, Optional, Tuple
 __all__ = [
     "is_bgzf",
     "scan_bgzf_blocks",
+    "bgzf_decompressed_starts",
     "BGZFReader",
     "write_bgzf",
     "write_bgzf_stream",
@@ -89,12 +90,34 @@ def scan_bgzf_blocks(mm) -> List[Tuple[int, int]]:
     return blocks
 
 
+def bgzf_decompressed_starts(mm, blocks) -> Tuple[List[int], int]:
+    """Decompressed start offset of every block, plus the total
+    decompressed size — from the gzip ISIZE trailer of each member, no
+    decompression needed (BGZF members are <= 64 KiB decoded, so the
+    mod-2^32 ISIZE is exact).  This is what makes BGZF checkpoint/resume
+    work: a record-aligned *decompressed* offset maps to (block, skip)
+    with a binary search, and re-decoding starts at that block."""
+    starts: List[int] = []
+    total = 0
+    for off, size in blocks:
+        starts.append(total)
+        (isize,) = struct.unpack_from("<I", mm, off + size - 4)
+        total += isize
+    return starts, total
+
+
 class BGZFReader(io.RawIOBase):
     """Parallel BGZF decompressor presenting a plain readable stream.
 
     Blocks decode on a thread pool with a bounded lookahead; delivery is
     in order, so downstream framing sees exactly the bytes a serial
     decoder would produce.
+
+    ``start_offset`` (a DECOMPRESSED-space position) begins delivery
+    there: the reader hops straight to the containing block via the
+    ISIZE index and skips into it — the resume half of BGZF
+    checkpointing (block-aligned seekability is the whole point of the
+    format; ordinary gzip cannot do this).
     """
 
     def __init__(
@@ -102,6 +125,7 @@ class BGZFReader(io.RawIOBase):
         path,
         threads: Optional[int] = None,
         lookahead: int = 64,
+        start_offset: int = 0,
     ) -> None:
         self._f = open(path, "rb")
         try:
@@ -127,7 +151,22 @@ class BGZFReader(io.RawIOBase):
         self._next_deliver = 0
         self._buf = b""
         self._off = 0
+        self._skip = 0
         self._closed = False
+        if start_offset:
+            import bisect
+
+            starts, total = bgzf_decompressed_starts(self._mm, self._blocks)
+            if start_offset > total:
+                self._mm.close()
+                self._f.close()
+                raise ValueError(
+                    f"start_offset {start_offset} is beyond the decompressed "
+                    f"size {total}"
+                )
+            i = bisect.bisect_right(starts, start_offset) - 1
+            self._next_submit = self._next_deliver = i
+            self._skip = start_offset - starts[i]
         self._top_up()
 
     def _decode(self, i: int) -> bytes:
@@ -151,6 +190,10 @@ class BGZFReader(io.RawIOBase):
             self._next_deliver += 1
             self._top_up()
             data = fut.result()  # propagates zlib errors to the consumer
+            if self._skip:  # start_offset landed inside this block
+                take = min(self._skip, len(data))
+                data = data[take:]
+                self._skip -= take
             if data:  # EOF marker blocks decode to b""
                 self._buf = data
                 self._off = 0

@@ -852,6 +852,69 @@ def fast_read_batches_range(
         stream.close()
 
 
+def fast_read_batches_bgzf(
+    path: Union[str, Path],
+    start: int = 0,
+    batch_size: int = 8192,
+    max_len: Optional[int] = None,
+    with_quals: bool = True,
+    packed: bool = False,
+    normalized: bool = True,
+) -> Iterator[ReadBatch]:
+    """Native-framer batches over a BGZF file, starting at a record-aligned
+    DECOMPRESSED offset ``start`` — the compressed twin of
+    :func:`fast_read_batches_range` for checkpoint/resume.
+
+    BGZF members are independently decodable and carry their decoded size
+    (ISIZE), so ``start`` maps to (block, skip) without decompressing the
+    prefix; ``batch.file_offset`` values are decompressed-space offsets
+    (``_StreamWindow.abs_offset`` seeded with ``base_offset=start``), so a
+    checkpoint written mid-stream records exactly the coordinate this
+    function resumes from."""
+    from .bgzf import BGZFReader
+
+    max_len = _effective_packed_max_len(packed, max_len)
+    if packed:
+        with_quals = False
+    # format sniff: the first decompressed byte (block 0, independent of
+    # where `start` lands)
+    probe = BGZFReader(path, threads=1, lookahead=2)
+    try:
+        first = probe.read(1)
+    finally:
+        probe.close()
+    if not first:
+        raise ParseError.new_empty_file()
+    stream = _StreamWindow(BGZFReader(path, start_offset=start), base_offset=start)
+    try:
+        if first == b"@" and native.available():
+            yield from _FastqBatcher(
+                stream, batch_size, max_len, with_quals, False,
+                packed=packed, normalized=normalized,
+            )
+        elif first == b">" and native.available():
+            yield from _FastaBatcher(
+                stream, batch_size, max_len, False,
+                packed=packed, normalized=normalized,
+            )
+        elif first in (b">", b"@"):
+            # pure-Python fallback: frames correctly from `start` but
+            # reports no record-aligned offsets (resume-only; checkpoint
+            # WRITING is refused up front by checkpoint_source)
+            stream.close()
+            raw = BGZFReader(path, start_offset=start)
+            reader = FastaReader(raw) if first == b">" else FastqReader(raw)
+            batches = _strip_quals_unless(
+                BatchReader(reader, batch_size=batch_size, max_len=max_len),
+                with_quals,
+            )
+            yield from _pack_fallback(batches, normalized) if packed else batches
+        else:
+            raise ParseError.new_unknown_format(first[0])
+    finally:
+        stream.close()
+
+
 def fast_read_batches(
     path: Union[str, Path],
     batch_size: int = 8192,

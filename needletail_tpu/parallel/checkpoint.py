@@ -146,26 +146,40 @@ def checkpoint_source(
     """Single-stream, offset-reporting batch source for checkpoint/resume.
 
     Resume = re-frame ``[start_offset, EOF)``; offsets come from the
-    batchers' record-aligned ``file_offset`` (io.fast_batch).  Compressed
-    input can't seek to a decompressed offset, and multi-worker framing
-    interleaves batches — both are rejected up front.  With
+    batchers' record-aligned ``file_offset`` (io.fast_batch).  Two input
+    classes support this: UNCOMPRESSED files (offsets are plain byte
+    positions; mmap range framing) and BGZF files (offsets are
+    decompressed-space positions; the per-block ISIZE index maps them to
+    (block, skip) so resume re-decodes from the containing block —
+    io.bgzf).  Ordinary gzip/bz2/xz/zstd streams can't seek to a
+    decompressed offset and are rejected with a recompress-to-BGZF hint;
+    multi-worker framing interleaves batches and is rejected too.  With
     ``require_offsets`` (checkpoint WRITING was requested) a framing path
     that reports no offsets raises on its first batch instead of letting
     the run finish with zero checkpoints written.
     """
     import os as _os
 
+    from ..io.bgzf import is_bgzf
     from ..io.compression import sniff_compression
-    from ..io.fast_batch import _effective_packed_max_len, fast_read_batches_range
+    from ..io.fast_batch import (
+        _effective_packed_max_len,
+        fast_read_batches_bgzf,
+        fast_read_batches_range,
+    )
 
     if str(path) == "-":
         raise ValueError("checkpoint/resume needs a seekable file, not stdin")
     with open(path, "rb") as f:
         magic = f.read(2)
-    if len(magic) == 2 and sniff_compression(magic):
+    compressed = len(magic) == 2 and sniff_compression(magic)
+    bgzf = compressed and is_bgzf(path)
+    if compressed and not bgzf:
         raise ValueError(
-            "checkpoint/resume needs an UNCOMPRESSED input (byte offsets "
-            "must be seekable); decompress first (e.g. io.spill)"
+            "checkpoint/resume needs a seekable input: an UNCOMPRESSED "
+            "file or BGZF (blocked gzip, e.g. bgzip output — "
+            "io.bgzf.write_bgzf recompresses); plain gzip/bz2/xz/zstd "
+            "streams cannot seek to a decompressed offset"
         )
     if require_offsets:
         from ..io import native
@@ -182,6 +196,12 @@ def checkpoint_source(
                 "byte offsets; rebuild the C extension (and unset "
                 "NEEDLETAIL_TPU_NO_NATIVE) or drop checkpoint_every"
             )
+    if bgzf:
+        return fast_read_batches_bgzf(
+            path, start_offset, batch_size=batch_size,
+            max_len=_effective_packed_max_len(True, max_len),
+            with_quals=with_quals, packed=packed, normalized=normalized,
+        )
     size = _os.path.getsize(path)
     return fast_read_batches_range(
         path, start_offset, size, batch_size=batch_size,

@@ -500,3 +500,129 @@ class TestMultiKShardedResume:
                 corpus, (4, 21), mesh=mesh, batch_size=512, max_len=128,
                 host_workers=1, resume_from=ck, canonical=False,
             )
+
+
+class TestBGZFCheckpoint:
+    """VERDICT r3 #4: compressed production inputs (.bgz) gain resume.
+
+    BGZF blocks are independently decodable and carry their decoded size
+    (ISIZE), so a record-aligned DECOMPRESSED offset is a seekable resume
+    coordinate: offset -> (block, skip) by binary search (io/bgzf.py
+    bgzf_decompressed_starts), re-decode from that block."""
+
+    @pytest.fixture(scope="class")
+    def bgz_corpus(self, tmp_path_factory):
+        from needletail_tpu.io.bgzf import write_bgzf
+
+        d = tmp_path_factory.mktemp("bgzf_ckpt")
+        raw = open(FQ, "rb").read() * 2
+        p = d / "reads.fq.bgz"
+        # small blocks so resume offsets land mid-file, many blocks deep
+        write_bgzf(raw, str(p), block_size=16384)
+        return str(p), raw
+
+    def test_reader_start_offset_slices(self, bgz_corpus):
+        from needletail_tpu.io.bgzf import BGZFReader
+
+        path, raw = bgz_corpus
+        for off in (0, 1, 16384, 16385, 40000, len(raw) - 3, len(raw)):
+            r = BGZFReader(path, start_offset=off)
+            try:
+                assert r.read(-1) == raw[off:], f"offset {off}"
+            finally:
+                r.close()
+        with pytest.raises(ValueError, match="beyond"):
+            BGZFReader(path, start_offset=len(raw) + 1)
+
+    def test_batches_report_decompressed_offsets(self, bgz_corpus):
+        from needletail_tpu.io.fast_batch import fast_read_batches_bgzf
+
+        path, raw = bgz_corpus
+        batches = list(fast_read_batches_bgzf(path, 0, batch_size=512,
+                                              max_len=128))
+        assert sum(b.lengths.sum() for b in batches) == 250_000 * 2
+        off = batches[0].file_offset
+        assert off is not None
+        # the offset is a decompressed record boundary: the next byte is '@'
+        assert raw[off:off + 1] == b"@"
+        # resuming from it yields exactly the remaining batches' records
+        rest = list(fast_read_batches_bgzf(path, off, batch_size=512,
+                                           max_len=128))
+        n_rest = sum(len(b.lengths) for b in rest)
+        n_all = sum(len(b.lengths) for b in batches)
+        assert n_rest == n_all - 512
+
+    def test_hash_kill_and_resume_bit_identical(self, bgz_corpus, tmp_path):
+        from needletail_tpu.device.pipeline import hash_count_file
+        from needletail_tpu.io.bgzf import write_bgzf
+        from needletail_tpu.io.fast_batch import fast_read_batches_bgzf
+
+        path, raw = bgz_corpus
+        ref = hash_count_file(path, 9, batch_size=512, max_len=128)
+
+        # a full checkpointing run over BGZF input must also agree
+        ck = str(tmp_path / "bgz.npz")
+        out = hash_count_file(
+            path, 9, batch_size=512, max_len=128,
+            checkpoint_every=2, checkpoint_path=ck, host_workers=1,
+        )
+        assert out[:3] == ref[:3]
+        assert np.array_equal(out[3], ref[3])
+
+        # kill after batch 2: run the driver over the decompressed prefix
+        # recompressed as BGZF, rebase its checkpoint onto the full file,
+        # resume -> bit-identical to the uninterrupted run
+        it = iter(fast_read_batches_bgzf(path, 0, batch_size=512,
+                                         max_len=128))
+        next(it)
+        off = next(it).file_offset
+        it.close()
+        assert off is not None
+        prefix = tmp_path / "prefix.fq.bgz"
+        write_bgzf(raw[:off], str(prefix), block_size=16384)
+        mid_ck = str(tmp_path / "mid.npz")
+        hash_count_file(
+            str(prefix), 9, batch_size=512, max_len=128,
+            checkpoint_every=2, checkpoint_path=mid_ck, host_workers=1,
+        )
+        mid = load_stream_checkpoint(mid_ck)
+        save_stream_checkpoint(
+            mid_ck, "hash", 9, off, mid["n_bases"],
+            {"table": mid["arrays"]["table"]}, input_path=path,
+            meta=mid["meta"],
+        )
+        resumed = hash_count_file(
+            path, 9, batch_size=512, max_len=128, resume_from=mid_ck,
+            host_workers=1,
+        )
+        assert resumed[:3] == ref[:3]
+        assert np.array_equal(resumed[3], ref[3])
+
+    def test_cli_accepts_bgzf(self, bgz_corpus, tmp_path):
+        from needletail_tpu.cli import main
+
+        path, _raw = bgz_corpus
+        ck = str(tmp_path / "cli_bgz.npz")
+        assert main([
+            "count", path, "-k", "6", "--host-workers", "1",
+            "--batch-size", "512",
+            "--checkpoint", ck, "--checkpoint-every", "2",
+        ]) == 0
+        assert os.path.exists(ck)
+        assert main([
+            "count", path, "-k", "6", "--host-workers", "1",
+            "--batch-size", "512", "--resume-from", ck,
+        ]) == 0
+
+    def test_plain_gzip_still_rejected(self, tmp_path):
+        import gzip
+
+        from needletail_tpu.device.pipeline import hash_count_file
+
+        gz = tmp_path / "r.fq.gz"
+        gz.write_bytes(gzip.compress(open(FQ, "rb").read()))
+        with pytest.raises(ValueError, match="BGZF"):
+            hash_count_file(
+                str(gz), 9, checkpoint_every=2,
+                checkpoint_path=str(tmp_path / "c.npz"),
+            )
