@@ -13,9 +13,13 @@ Run on the real chip:  python benchmarks/exp_sort_shapes.py
 
 from __future__ import annotations
 
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def bench(fn, *args, trials=3):
