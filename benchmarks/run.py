@@ -246,9 +246,167 @@ def bench_fasta_parse(reps):
     return dt
 
 
+# ---------------------------------------------------------------------------
+# Head-to-head competitor lanes (VERDICT r3 #6; the reference races rust-bio
+# and seq_io in the same harness, ref benches/benchmark.rs:74-183).  Each
+# lane runs the SAME workload with the SAME golden asserts.  Third-party
+# parsers are optional (CI pip-installs needletail/pyfastx/biopython; this
+# zero-egress dev box can't, so absent libraries report "not installed"
+# instead of failing).  The naive pure-Python lane always runs — it is the
+# "equivalent Python implementation" of the reference README's 25x claim.
+# ---------------------------------------------------------------------------
+
+
+def bench_naive_python_fastq(reps):
+    """What a typical user writes without a parsing library: a readline
+    loop over the 4-line records."""
+
+    def run():
+        bases = 0
+        with open(FASTQ_FILE, "rb") as f:
+            while True:
+                header = f.readline()
+                if not header:
+                    break
+                seq = f.readline().rstrip(b"\r\n")
+                f.readline()  # '+'
+                f.readline()  # qual
+                bases += len(seq)
+        return bases
+
+    dt, bases = timeit(run, reps)
+    assert bases == GOLD_FASTQ_BASES, bases
+    return dt
+
+
+_RC = bytes.maketrans(b"ACGTacgt", b"TGCATGCA")
+
+
+def bench_naive_python_kmers(reps):
+    """Equivalent-Python canonical 31-mer counting: string slices +
+    reverse-complement compare, the straightforward implementation the
+    reference README benchmarks its 25x claim against."""
+
+    def run():
+        total = fwd = 0
+        k = 31
+        with open(KMER_FILE, "rb") as f:
+            seqs = []
+            cur = []
+            for line in f:
+                if line.startswith(b">"):
+                    if cur:
+                        seqs.append(b"".join(cur))
+                        cur = []
+                else:
+                    cur.append(line.strip())
+            if cur:
+                seqs.append(b"".join(cur))
+        good = set(b"ACGT")
+        for seq in seqs:
+            seq = seq.upper()
+            rc = seq.translate(_RC)[::-1]
+            n = len(seq)
+            run_start = 0
+            for i in range(n - k + 1):
+                window = seq[i : i + k]
+                if i < run_start:
+                    continue
+                bad = max(
+                    (j for j in range(i, i + k) if seq[j] not in good),
+                    default=-1,
+                )
+                if bad >= 0:
+                    run_start = bad + 1
+                    continue
+                rcw = rc[n - i - k : n - i]
+                total += 1
+                fwd += window <= rcw
+        return total, fwd
+
+    dt, (total, fwd) = timeit(run, reps)
+    assert total == GOLD_K31_TOTAL, (total, fwd)
+    return dt
+
+
+def _competitor_lanes():
+    """(name, callable(reps) -> seconds, workload_bases) for each importable
+    third-party parser; missing ones are reported, not skipped silently."""
+    lanes = []
+    missing = []
+
+    try:
+        import needletail as _nt  # the reference wheel itself
+
+        def bench_ref_fastq(reps):
+            def run():
+                return sum(
+                    len(rec.seq) for rec in _nt.parse_fastx_file(FASTQ_FILE)
+                )
+
+            dt, bases = timeit(run, reps)
+            assert bases == GOLD_FASTQ_BASES, bases
+            return dt
+
+        def bench_ref_fasta(reps):
+            def run():
+                return sum(
+                    len(rec.seq) for rec in _nt.parse_fastx_file(KMER_FILE)
+                )
+
+            dt, bases = timeit(run, reps)
+            assert bases == GOLD_FASTA_BASES, bases
+            return dt
+
+        lanes.append(("fastq/parse (needletail wheel)", bench_ref_fastq, GOLD_FASTQ_BASES))
+        lanes.append(("fasta/parse (needletail wheel)", bench_ref_fasta, GOLD_FASTA_BASES))
+    except ImportError:
+        missing.append("needletail")
+
+    try:
+        import pyfastx as _pf
+
+        def bench_pyfastx_fastq(reps):
+            def run():
+                return sum(
+                    len(s) for _n, s, _q in _pf.Fastq(FASTQ_FILE, build_index=False)
+                )
+
+            dt, bases = timeit(run, reps)
+            assert bases == GOLD_FASTQ_BASES, bases
+            return dt
+
+        lanes.append(("fastq/parse (pyfastx)", bench_pyfastx_fastq, GOLD_FASTQ_BASES))
+    except ImportError:
+        missing.append("pyfastx")
+
+    try:
+        from Bio import SeqIO as _seqio
+
+        def bench_biopython_fastq(reps):
+            def run():
+                return sum(
+                    len(rec.seq) for rec in _seqio.parse(FASTQ_FILE, "fastq")
+                )
+
+            dt, bases = timeit(run, reps)
+            assert bases == GOLD_FASTQ_BASES, bases
+            return dt
+
+        lanes.append(("fastq/parse (Biopython SeqIO)", bench_biopython_fastq, GOLD_FASTQ_BASES))
+    except ImportError:
+        missing.append("biopython")
+
+    return lanes, missing
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument(
+        "--no-competitors", action="store_true",
+        help="skip the head-to-head section",
+    )
     args = ap.parse_args()
     reps = 2 if args.quick else 5
 
@@ -267,6 +425,22 @@ def main() -> None:
     for name, fn, bases in groups:
         dt = fn(reps)
         print(f"{name:45} {dt*1e3:8.1f}ms {bases/dt/1e6:10.1f} Mb/s")
+
+    if args.no_competitors:
+        return
+    lanes, missing = _competitor_lanes()
+    lanes += [
+        ("fastq/parse (naive pure Python)", bench_naive_python_fastq, GOLD_FASTQ_BASES),
+        ("kmers/31mer canonical (naive pure Python)", bench_naive_python_kmers, GOLD_FASTA_BASES),
+    ]
+    print("\nhead-to-head (same corpora, same golden asserts; "
+          "ref benchmark.rs:74-183 discipline)")
+    for name, fn, bases in lanes:
+        dt = fn(reps)
+        print(f"{name:45} {dt*1e3:8.1f}ms {bases/dt/1e6:10.1f} Mb/s")
+    for lib in missing:
+        print(f"{'fastx/parse (' + lib + ')':45}   not installed "
+              "(zero-egress env; CI installs it)")
 
 
 if __name__ == "__main__":
