@@ -132,7 +132,12 @@ def test_differential_mutation_fuzz():
     truncated wrapped/CRLF FASTA — the batched framers must deliver the
     same records AND the same error (kind, line, id) as the streaming
     readers.  (An 18k-case sweep of this property ran clean in round 2;
-    this bounded version keeps it locked.)"""
+    this bounded version keeps it locked; ``tests/deep_fuzz.py`` runs it
+    time-boxed with fresh seeds, the reference's 3-minute CI discipline.)"""
+    run_differential_mutation_fuzz(np.random.default_rng(1234), 600)
+
+
+def run_differential_mutation_fuzz(rng, trials):
     import io as _io
 
     from needletail_tpu.batch import BatchReader
@@ -143,7 +148,6 @@ def test_differential_mutation_fuzz():
     )
     from needletail_tpu.parser import parse_fastx_reader
 
-    rng = np.random.default_rng(1234)
     ALPH = np.frombuffer(b"ACGTNacgtn@>+\n\r\t xI!~", np.uint8)
 
     def stream_records(data):
@@ -179,7 +183,7 @@ def test_differential_mutation_fuzz():
         except ValueError:
             return out, "valueerror"
 
-    for trial in range(600):
+    for trial in range(trials):
         kind = trial % 4
         if kind == 0:
             data = rng.choice(ALPH, rng.integers(0, 400)).tobytes()
