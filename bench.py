@@ -131,17 +131,46 @@ def main() -> None:
             tmp.write(src)
         e2e_path = tmp.name
     # warm-up run compiles the e2e batch shape out of the timed measure
-    hash_count_file(e2e_path, K, batch_size=65536, max_len=128)
+    hash_count_file(e2e_path, K, batch_size=131072, max_len=128)
     e2e_s = float("inf")
     for _ in range(2):
         t_e2e = time.perf_counter()
         e2e_bases, e2e_total, _fwd, _tab = hash_count_file(
-            e2e_path, K, batch_size=65536, max_len=128
+            e2e_path, K, batch_size=131072, max_len=128
         )
         e2e_s = min(e2e_s, time.perf_counter() - t_e2e)
     e2e_file_bytes = os.path.getsize(e2e_path)
     assert e2e_bases == GOLD_BASES * TILE
     assert e2e_total == GOLD_TOTAL_K21 * TILE
+
+    # ---- e2e per-stage breakdown (VERDICT r3 #1): one metered run through
+    # the same driver attributes the wall clock.  frame/h2d run in the
+    # feeder thread and OVERLAP the consumer stages (wait/dispatch/drain),
+    # so stage seconds sum past the wall; 'wait' ~ 0 means the feeder kept
+    # the device fed.  The metered h2d blocks per batch (to measure the
+    # real transfer rate), which serializes a transfer the unmetered run
+    # overlaps — so the headline e2e number stays the UNMETERED min above,
+    # and this breakdown explains it. ------------------------------------
+    from needletail_tpu.utils.profiling import ThroughputMeter
+
+    e2e_meter = ThroughputMeter()
+    m_bases, m_total, _mf, _mt = hash_count_file(
+        e2e_path, K, batch_size=131072, max_len=128, meter=e2e_meter
+    )
+    assert (m_bases, m_total) == (e2e_bases, e2e_total)
+    e2e_stages = e2e_meter.as_dict()
+    # the named env stage (VERDICT r3 #1): hitting e2e_vs_baseline = 1.0
+    # needs the host->device link to move the packed transport at
+    # 625e6 * transport_bytes / file_bytes B/s; the dev tunnel measures
+    # far below that (PCIe on a deployment host is ~100x it), so when
+    # measured < needed the e2e metric is link-bound, not pipeline-bound.
+    h2d_bytes = e2e_stages.get("h2d", {}).get("bytes", 0)
+    h2d_rate = e2e_stages.get("h2d", {}).get("mb_per_s", 0.0)
+    h2d_needed = (
+        NORTH_STAR_BYTES_PER_CHIP * h2d_bytes / e2e_file_bytes / 1e6
+        if e2e_file_bytes
+        else 0.0
+    )
 
     # ---- host framing alone (no device): the aggregate-ingest building
     # block — one core's framer+2-bit-pack rate; deployment scales this
@@ -151,7 +180,7 @@ def main() -> None:
         t_f = time.perf_counter()
         fb = 0
         for b in fast_read_batches(
-            e2e_path, batch_size=65536, max_len=128, packed=True
+            e2e_path, batch_size=131072, max_len=128, packed=True
         ):
             fb += b.num_bases
         frame_s = min(frame_s, time.perf_counter() - t_f)
@@ -362,6 +391,10 @@ def main() -> None:
                     e2e_bytes_per_sec / NORTH_STAR_BYTES_PER_CHIP, 4
                 ),
                 "e2e_transport": "packed2bit",
+                "e2e_stages": e2e_stages,
+                "e2e_h2d_rate_mb_s": h2d_rate,
+                "e2e_h2d_rate_needed_for_baseline_mb_s": round(h2d_needed, 1),
+                "e2e_link_bound": bool(h2d_rate < h2d_needed),
                 "host_framing_bases_per_sec": round(
                     host_framing_bases_per_sec, 1
                 ),

@@ -185,6 +185,16 @@ def _cmd_count(args) -> int:
     from .device.pipeline import count_file
 
     ks = tuple(int(x) for x in str(args.k).split(","))
+    meter = None
+    if getattr(args, "profile", False):
+        if args.sharded or len(ks) > 1:
+            raise SystemExit(
+                "--profile instruments the single-k flat stream "
+                "(drop --sharded / use one k)"
+            )
+        from .utils.profiling import ThroughputMeter
+
+        meter = ThroughputMeter()
     ckpt_kwargs = dict(
         checkpoint_every=args.checkpoint_every,
         checkpoint_path=args.checkpoint,
@@ -236,13 +246,15 @@ def _cmd_count(args) -> int:
         sparse_format="arrays",
         quality_cutoff=args.quality_cutoff,
         host_workers=args.host_workers,
-        **({} if len(ks) > 1 else ckpt_kwargs),
+        **({} if len(ks) > 1 else dict(meter=meter, **ckpt_kwargs)),
     )
     if len(ks) > 1:
         # single-pass multi-k: report per-k summaries, save all spectra
         _report_multi_k(spec, n_bases, ks, args, "one pass")
         return 0
 
+    if meter is not None:
+        print(meter.report(), file=sys.stderr)
     keys, counts = _sparse_pairs(spec)
     _report_single_k(keys, counts, ks[0], n_bases, args)
     return 0
@@ -253,6 +265,11 @@ def _cmd_hash_count(args) -> int:
 
     import numpy as np
 
+    meter = None
+    if getattr(args, "profile", False):
+        from .utils.profiling import ThroughputMeter
+
+        meter = ThroughputMeter()
     n_bases, total, fwd, table = hash_count_file(
         args.path,
         k=args.k,
@@ -262,7 +279,10 @@ def _cmd_hash_count(args) -> int:
         checkpoint_every=args.checkpoint_every,
         checkpoint_path=args.checkpoint,
         resume_from=args.resume_from,
+        meter=meter,
     )
+    if meter is not None:
+        print(meter.report(), file=sys.stderr)
     print(
         json.dumps(
             {
@@ -464,6 +484,9 @@ def main(argv=None) -> int:
     p.add_argument("--dump",
                    help="write the FULL spectrum as kmer\\tcount TSV "
                         "(keys ascending; '-' = stdout)")
+    p.add_argument("--profile", action="store_true",
+                   help="print a per-stage throughput breakdown (frame, "
+                        "h2d, dispatch, drain) to stderr")
     _add_checkpoint_flags(p)
     p.set_defaults(fn=_cmd_count)
 
@@ -475,6 +498,9 @@ def main(argv=None) -> int:
     p.add_argument("--host-workers", type=int, default=None,
                    help="framing processes (default: auto from CPU count)")
     p.add_argument("-o", "--output", help="write table .npz")
+    p.add_argument("--profile", action="store_true",
+                   help="print a per-stage throughput breakdown (frame, "
+                        "h2d, wait, dispatch, drain) to stderr")
     _add_checkpoint_flags(p)
     p.set_defaults(fn=_cmd_hash_count)
 
