@@ -184,6 +184,7 @@ def _report_single_k(keys, counts, k, n_bases, args, suffix: str = "") -> None:
 def _cmd_count(args) -> int:
     from .device.pipeline import count_file
 
+    path = args.path if len(args.path) > 1 else args.path[0]
     ks = tuple(int(x) for x in str(args.k).split(","))
     meter = None
     if getattr(args, "profile", False):
@@ -211,7 +212,7 @@ def _cmd_count(args) -> int:
             from .parallel import sharded_multi_k_count_file
 
             n_bases, spec = sharded_multi_k_count_file(
-                args.path, ks, mesh=mesh, batch_size=args.batch_size,
+                path, ks, mesh=mesh, batch_size=args.batch_size,
                 host_workers=args.host_workers,
                 quality_cutoff=args.quality_cutoff,
                 bucketed=args.bucketed,
@@ -223,7 +224,7 @@ def _cmd_count(args) -> int:
             )
             return 0
         n_bases, (keys, counts) = sharded_count_file(
-            args.path, ks[0], mesh=mesh, batch_size=args.batch_size,
+            path, ks[0], mesh=mesh, batch_size=args.batch_size,
             host_workers=args.host_workers,
             quality_cutoff=args.quality_cutoff,
             bucketed=args.bucketed,
@@ -239,7 +240,7 @@ def _cmd_count(args) -> int:
             "--checkpoint/--resume-from support a single k per stream"
         )
     n_bases, spec = count_file(
-        args.path,
+        path,
         k=ks if len(ks) > 1 else ks[0],
         batch_size=args.batch_size,
         bucketed=args.bucketed,
@@ -271,7 +272,7 @@ def _cmd_hash_count(args) -> int:
 
         meter = ThroughputMeter()
     n_bases, total, fwd, table = hash_count_file(
-        args.path,
+        args.path if len(args.path) > 1 else args.path[0],
         k=args.k,
         table_bits=args.table_bits,
         batch_size=args.batch_size,
@@ -464,7 +465,9 @@ def main(argv=None) -> int:
     p.set_defaults(fn=_cmd_stats)
 
     p = sub.add_parser("count", help="exact canonical k-mer spectrum (device)")
-    p.add_argument("path")
+    p.add_argument("path", nargs="+",
+                   help="input file(s); several files accumulate into ONE "
+                        "spectrum (integer adds commute)")
     p.add_argument("-k", required=True,
                    help="k, or a comma list (e.g. 4,21,31) counted in ONE pass")
     p.add_argument("--top", type=int, default=0, help="print the N most frequent")
@@ -491,7 +494,9 @@ def main(argv=None) -> int:
     p.set_defaults(fn=_cmd_count)
 
     p = sub.add_parser("hash-count", help="hash count table (headline pipeline)")
-    p.add_argument("path")
+    p.add_argument("path", nargs="+",
+                   help="input file(s); several files accumulate into ONE "
+                        "table")
     p.add_argument("-k", type=int, required=True)
     p.add_argument("--table-bits", type=int, default=16)
     p.add_argument("--batch-size", type=int, default=65536)

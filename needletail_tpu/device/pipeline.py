@@ -481,9 +481,30 @@ def _make_batch_source(
     transports (packed planes are byte-quantized; the ASCII path rounds
     identically so toggling packed/quality never flips a read between
     accepted and 'exceeds max_len').
+    A LIST/TUPLE of paths chains every file through one source (counting
+    state is integer adds, so multi-file spectra are exact); max_len
+    should be set explicitly for mixed corpora to keep one compiled
+    batch shape.
     """
     from ..io.compression import sniff_compression
     from ..io.parallel_host import auto_host_workers, parallel_read_batches
+
+    if isinstance(path, (list, tuple)):
+        if len(path) == 1:
+            path = path[0]
+        else:
+            paths = list(path)
+
+            def chained():
+                for p in paths:
+                    src, _w = _make_batch_source(
+                        p, batch_size, max_len, host_workers,
+                        with_quals=with_quals, spill_dir=spill_dir,
+                        packed=packed, normalized=normalized,
+                    )
+                    yield from src
+
+            return chained(), (host_workers or 0)
 
     max_len = _quantize_max_len(max_len)
 

@@ -59,6 +59,9 @@ def bucketed_read_batches(
 ) -> Iterator[ReadBatch]:
     """Stream ``ReadBatch``es grouped by length bucket.
 
+    Single-file: multi-file runs chain through the plain batch source
+    (``device.pipeline._make_batch_source``), which buckets per file.
+
     Every yielded batch's width is the smallest bucket holding all its
     reads, so device FLOPs scale with real bases instead of the corpus's
     longest read.  Record order is preserved within a bucket; buckets
@@ -69,6 +72,8 @@ def bucketed_read_batches(
     """
     from .fast_batch import _effective_packed_max_len
 
+    if isinstance(path, (list, tuple)):
+        raise ValueError("bucketed framing is single-file; pass one path")
     max_len = _effective_packed_max_len(True, max_len)
     buckets = tuple(sorted(buckets))
     barr = np.asarray(buckets, np.int64)

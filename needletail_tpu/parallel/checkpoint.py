@@ -168,6 +168,11 @@ def checkpoint_source(
         fast_read_batches_range,
     )
 
+    if isinstance(path, (list, tuple)):
+        raise ValueError(
+            "checkpoint/resume is single-file (offsets are per-file); "
+            "run one checkpointed stream per input"
+        )
     if str(path) == "-":
         raise ValueError("checkpoint/resume needs a seekable file, not stdin")
     with open(path, "rb") as f:

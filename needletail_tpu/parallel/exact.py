@@ -397,6 +397,7 @@ def sharded_count_file(
     checkpoint_path: Optional[str] = None,
     resume_from: Optional[str] = None,
     bucketed: bool = False,
+    meter=None,
 ) -> Tuple[int, Tuple[np.ndarray, np.ndarray]]:
     """Exact (keys_u64, counts) spectrum of a FASTX file over a data mesh.
 
@@ -411,6 +412,10 @@ def sharded_count_file(
     ``bucketed=True`` groups reads by length bucket before sharding (one
     compiled per-shard program per bucket width; rows pad to the batch
     size so padding lanes stay inert) — result is bit-identical.
+    ``meter=`` (a ``utils.profiling.ThroughputMeter``) attributes wall
+    clock: ``frame`` (host framing), ``dispatch`` (placement + sharded
+    step enqueue — H2D rides inside the shard placement here), ``drain``
+    (final flush sort + host merge) and ``wall``.
     """
     from ..device.pipeline import _make_batch_source
 
@@ -488,8 +493,19 @@ def sharded_count_file(
             ),
         )
 
-    for batch in checkpointed_batches(batches, checkpoint_every, _save_ckpt):
+    import time as _time
+
+    from ..utils.profiling import metered_iter
+
+    t_wall0 = _time.perf_counter()
+    batches = checkpointed_batches(batches, checkpoint_every, _save_ckpt)
+    if meter is not None:
+        batches = metered_iter(
+            meter, "frame", batches, items_of=lambda b: b.num_bases
+        )
+    for batch in batches:
         n_bases += batch.num_bases
+        t0 = _time.perf_counter() if meter is not None else 0.0
         if batch.max_len >= k:
             b = (
                 batch
@@ -507,4 +523,14 @@ def sharded_count_file(
                     b.seqs, b.lengths,
                     b.quals if quality_cutoff is not None else None,
                 )
-    return n_bases, acc.finish()
+        if meter is not None:
+            meter.add(
+                "dispatch", _time.perf_counter() - t0, items=batch.num_bases
+            )
+    t_drain = _time.perf_counter()
+    out = acc.finish()
+    if meter is not None:
+        now = _time.perf_counter()
+        meter.add("drain", now - t_drain, items=len(out[0]))
+        meter.add("wall", now - t_wall0, items=n_bases)
+    return n_bases, out

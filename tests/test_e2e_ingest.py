@@ -606,3 +606,53 @@ class TestMeteredDrivers:
         for stage in ("frame", "h2d", "dispatch", "drain", "wall"):
             assert stage in d, d.keys()
         assert d["wall"]["items"] == nb1
+
+
+class TestMultiFile:
+    """Multi-file counting: a list of paths chains through one batch
+    source; integer adds commute, so the combined spectrum equals the
+    concatenated-file run bit-for-bit."""
+
+    def test_count_file_list_equals_concat(self, corpus, tmp_path):
+        from needletail_tpu.device.pipeline import count_file
+
+        src = open(corpus["plain"], "rb").read()
+        a = tmp_path / "a.fq"
+        b = tmp_path / "b.fq"
+        half = len(src) // 2
+        # split at a record boundary ('@' after a newline)
+        cut = src.index(b"\n@", half) + 1
+        a.write_bytes(src[:cut])
+        b.write_bytes(src[cut:])
+        nb_ref, spec_ref = count_file(corpus["plain"], k=9, host_workers=1)
+        nb, spec = count_file([str(a), str(b)], k=9, host_workers=1,
+                              max_len=128)
+        assert nb == nb_ref
+        assert np.array_equal(spec, spec_ref)
+
+    def test_hash_count_file_list(self, corpus, tmp_path):
+        from needletail_tpu.device.pipeline import hash_count_file
+
+        ref = hash_count_file(corpus["plain"], 9, batch_size=512,
+                              max_len=128)
+        got = hash_count_file([corpus["plain"]], 9, batch_size=512,
+                              max_len=128)
+        assert got[:3] == ref[:3]
+        assert np.array_equal(got[3], ref[3])
+        # two copies of the file = doubled tallies, same key set
+        two = hash_count_file(
+            [corpus["plain"], corpus["plain"]], 9, batch_size=512,
+            max_len=128,
+        )
+        assert two[0] == 2 * ref[0] and two[1] == 2 * ref[1]
+        assert np.array_equal(two[3], 2 * ref[3])
+
+    def test_checkpoint_rejects_multi_file(self, corpus, tmp_path):
+        from needletail_tpu.device.pipeline import hash_count_file
+
+        with pytest.raises(ValueError, match="single-file"):
+            hash_count_file(
+                [corpus["plain"], corpus["plain"]], 9,
+                checkpoint_every=2, checkpoint_path=str(tmp_path / "c.npz"),
+                host_workers=1,
+            )
