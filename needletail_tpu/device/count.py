@@ -217,7 +217,10 @@ def compact_runs_device(
 
 
 def compact_runs_cascade(
-    hi_s: Optional[jax.Array], lo_s: jax.Array, counts: jax.Array
+    hi_s: Optional[jax.Array],
+    lo_s: jax.Array,
+    counts: jax.Array,
+    n_on_overflow: bool = False,
 ) -> Optional[Tuple[Optional[jax.Array], jax.Array, jax.Array, jax.Array]]:
     """MXU slot-compaction cascade: same contract as
     :func:`compact_runs_device` but ~6x cheaper on large flushes.
@@ -228,8 +231,13 @@ def compact_runs_cascade(
     then the stable-sort compaction runs on the small remainder.  Each
     pass is valid only if no 1024-lane chunk holds more than 128 distinct
     runs; overflow of the FIRST pass returns ``None`` (caller falls back
-    to :func:`compact_runs_device` on the full stream), overflow of the
-    second keeps the first pass's 8x reduction.  On the bench flush shape
+    to :func:`compact_runs_device` on the full stream) — or, with
+    ``n_on_overflow``, ``(None, None, None, n_distinct)`` so the caller
+    can see the stream's diversity without a second scalar sync (the
+    stacked pull below already carries n) and choose to skip compaction
+    entirely when it would barely shrink the device->host pull (the
+    mostly-distinct regime, e.g. whole-genome spectra).  Overflow of the
+    second pass keeps the first pass's 8x reduction.  On the bench flush shape
     (55M lanes, ~200k distinct) this replaces a ~368 ms 4-array stable
     sort with ~tens of ms of MXU work; high-diversity streams (singleton
     runs clustered by the key sort) overflow and take the exact fallback.
@@ -249,7 +257,7 @@ def compact_runs_cascade(
         jnp.stack([ok1.astype(jnp.int32), ok2.astype(jnp.int32), n_distinct])
     )
     if not oks[0]:
-        return None
+        return (None, None, None, int(oks[2])) if n_on_overflow else None
     if oks[1]:
         h1, l1, c1 = h2, l2, c2
     h_c, l_c, c_c, _ = compact_runs_device(h1, l1, c1)
@@ -273,7 +281,10 @@ def compact_spectrum(
 
 
 def finalize_sparse(
-    key_parts, pad_multiple: int = 1 << 20, device_compact: Optional[bool] = None
+    key_parts,
+    pad_multiple: int = 1 << 20,
+    device_compact: Optional[bool] = None,
+    cascade: Optional[bool] = None,
 ):
     """Concatenate per-batch masked (hi, lo) key planes, pad with the
     sentinel to a shape bucket (bounds recompiles across file sizes), and
@@ -311,10 +322,26 @@ def finalize_sparse(
         if hi is not None:
             hi = jnp.concatenate([hi, fill])
     hi_s, lo_s, counts = unique_counts(hi, lo)
+    if cascade is None:
+        # the MXU cascade pays off on real accelerators; interpret-mode
+        # Pallas on CPU is for correctness tests only (pass cascade=True)
+        cascade = jax.default_backend() == "tpu"
     if device_compact:
         compacted = None
-        if jax.default_backend() == "tpu":
-            compacted = compact_runs_cascade(hi_s, lo_s, counts)
+        if cascade:
+            compacted = compact_runs_cascade(
+                hi_s, lo_s, counts, n_on_overflow=True
+            )
+        if compacted is not None and compacted[0] is None:
+            # cascade overflow with the distinct total in hand: when the
+            # stream is mostly distinct (whole-genome spectra), the
+            # 4-array stable-sort compaction (~6.7 ns/lane) shrinks the
+            # pull by < 2x — pull the sorted runs as-is and boolean-
+            # filter on host instead
+            n = compacted[3]
+            if n * 2 >= lo_s.shape[0]:
+                return compact_spectrum(hi_s, lo_s, counts)
+            compacted = None
         if compacted is None:
             compacted = compact_runs_device(hi_s, lo_s, counts)
         hi_c, lo_c, c_c, n = compacted

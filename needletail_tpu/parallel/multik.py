@@ -430,6 +430,7 @@ def sharded_multi_k_count_file(
     checkpoint_path: Optional[str] = None,
     resume_from: Optional[str] = None,
     bucketed: bool = False,
+    meter=None,
 ) -> Tuple[int, Dict[int, Union[np.ndarray, Tuple[np.ndarray, np.ndarray]]]]:
     """Count several k values over the mesh in ONE pass over the file.
 
@@ -442,7 +443,8 @@ def sharded_multi_k_count_file(
     byte offsets, bit-identical resume; single-stream uncompressed input).
     ``quality_cutoff`` masks low-quality bases once per chip (shared by
     every k); ``bucketed=True`` length-buckets batches before sharding —
-    both compose exactly as in ``sharded_count_file``.
+    both compose exactly as in ``sharded_count_file``; ``meter=`` stage
+    attribution too (frame/dispatch/drain/wall).
     """
     from ..device.pipeline import _make_batch_source
 
@@ -526,8 +528,19 @@ def sharded_multi_k_count_file(
             },
         )
 
-    for batch in checkpointed_batches(batches, checkpoint_every, _save_ckpt):
+    import time as _time
+
+    from ..utils.profiling import metered_iter
+
+    t_wall0 = _time.perf_counter()
+    batches = checkpointed_batches(batches, checkpoint_every, _save_ckpt)
+    if meter is not None:
+        batches = metered_iter(
+            meter, "frame", batches, items_of=lambda b: b.num_bases
+        )
+    for batch in batches:
         n_bases += batch.num_bases
+        t0 = _time.perf_counter() if meter is not None else 0.0
         if batch.max_len >= min(ks):
             b = (
                 batch
@@ -545,4 +558,14 @@ def sharded_multi_k_count_file(
                     b.seqs, b.lengths,
                     b.quals if quality_cutoff is not None else None,
                 )
-    return n_bases, acc.finish()
+        if meter is not None:
+            meter.add(
+                "dispatch", _time.perf_counter() - t0, items=batch.num_bases
+            )
+    t_drain = _time.perf_counter()
+    out = acc.finish()
+    if meter is not None:
+        now = _time.perf_counter()
+        meter.add("drain", now - t_drain)
+        meter.add("wall", now - t_wall0, items=n_bases)
+    return n_bases, out

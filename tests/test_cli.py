@@ -96,6 +96,25 @@ def test_count_profile_rejects_sharded():
         ])
 
 
+def test_count_multiple_inputs(tmp_path):
+    """Several input files accumulate into ONE spectrum (integer adds
+    commute); equal to counting the concatenation."""
+    src = open(str(DATA_DIR / "PRJNA271013_head.fq"), "rb").read()
+    a, b = tmp_path / "a.fq", tmp_path / "b.fq"
+    cut = src.index(b"\n@", len(src) // 2) + 1
+    a.write_bytes(src[:cut])
+    b.write_bytes(src[cut:])
+    out_two = tmp_path / "two.npz"
+    out_one = tmp_path / "one.npz"
+    _run("count", str(a), str(b), "-k", "9", "--host-workers", "1",
+         "-o", str(out_two))
+    _run("count", str(DATA_DIR / "PRJNA271013_head.fq"), "-k", "9",
+         "--host-workers", "1", "-o", str(out_one))
+    za, zb = np.load(out_two), np.load(out_one)
+    assert np.array_equal(za["keys"], zb["keys"])
+    assert np.array_equal(za["counts"], zb["counts"])
+
+
 def test_count_multi_k(tmp_path):
     out_npz = tmp_path / "multi.npz"
     _, err = _run(

@@ -76,6 +76,8 @@ def test_bench_flush_matches_host_oracle(genome_file):
 
     @jax.jit
     def flush(tiles, lengths):
+        # mirrors bench.py's genome_flush: no distinct-to-front compaction
+        # (mostly-distinct regime); checksums read the run heads directly
         win = _kmers.canonical_kmers(tiles, lengths, K)
         hi, lo = _count.mask_keys(win)
         pad = (-lo.shape[0]) % (1 << 20)
@@ -84,16 +86,81 @@ def test_bench_flush_matches_host_oracle(genome_file):
             hi = jnp.concatenate([hi, fill])
             lo = jnp.concatenate([lo, fill])
         hi_s, lo_s, cnt = _count.unique_counts(hi, lo)
-        hi_c, lo_c, c_c, n = _count.compact_runs_device(hi_s, lo_s, cnt)
-        cu = c_c.astype(jnp.uint32)
+        cu = cnt.astype(jnp.uint32)
+        n = jnp.sum((cnt > 0).astype(jnp.int32))
         return jnp.stack(
             [
                 n.astype(jnp.uint32),
                 cnt.sum().astype(jnp.uint32),
-                jnp.sum(lo_c * cu, dtype=jnp.uint32),
-                jnp.sum(hi_c * cu, dtype=jnp.uint32),
+                jnp.sum(lo_s * cu, dtype=jnp.uint32),
+                jnp.sum(hi_s * cu, dtype=jnp.uint32),
             ]
         )
 
     got = np.asarray(flush(jnp.asarray(tiles), jnp.asarray(lens)))
     assert tuple(int(x) for x in got) == want
+
+
+class TestAdaptiveCompaction:
+    """finalize_sparse skips distinct-to-front compaction when the cascade
+    overflow reveals a mostly-distinct stream (whole-genome regime): the
+    stable-sort compaction would shrink the pull by <2x while costing
+    ~6.7 ns/lane.  cascade=True exercises the interpret-mode Pallas path
+    on CPU."""
+
+    def _parts(self, keys64):
+        import jax.numpy as jnp
+
+        hi = (keys64 >> np.uint64(32)).astype(np.uint32)
+        lo = (keys64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        return [(jnp.asarray(hi), jnp.asarray(lo))]
+
+    def test_mostly_distinct_skips_compaction(self):
+        from needletail_tpu.device.count import finalize_sparse
+
+        rng = np.random.default_rng(5)
+        keys = rng.choice(2**40, size=20_000, replace=False).astype(np.uint64)
+        want_k, want_c = finalize_sparse(
+            self._parts(keys), pad_multiple=8192, device_compact=False
+        )
+        got_k, got_c = finalize_sparse(
+            self._parts(keys), pad_multiple=8192, device_compact=True,
+            cascade=True,
+        )
+        assert np.array_equal(want_k, got_k)
+        assert np.array_equal(want_c, got_c)
+        assert (got_c == 1).all() and len(got_k) == 20_000
+
+    def test_low_diversity_still_compacts(self):
+        from needletail_tpu.device.count import finalize_sparse
+
+        rng = np.random.default_rng(6)
+        distinct = rng.choice(2**40, size=500, replace=False).astype(np.uint64)
+        keys = np.repeat(distinct, rng.integers(16, 120, size=500))
+        want_k, want_c = finalize_sparse(
+            self._parts(keys), pad_multiple=8192, device_compact=False
+        )
+        got_k, got_c = finalize_sparse(
+            self._parts(keys), pad_multiple=8192, device_compact=True,
+            cascade=True,
+        )
+        assert np.array_equal(want_k, got_k)
+        assert np.array_equal(want_c, got_c)
+
+    def test_cascade_overflow_returns_n(self):
+        import jax.numpy as jnp
+
+        from needletail_tpu.device import count as dcount
+
+        keys = np.arange(16384, dtype=np.uint64) * 7919
+        hi = (keys >> np.uint64(32)).astype(np.uint32)
+        lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi_s, lo_s, counts = dcount.unique_counts(
+            jnp.asarray(hi), jnp.asarray(lo)
+        )
+        got = dcount.compact_runs_cascade(
+            hi_s, lo_s, counts, n_on_overflow=True
+        )
+        assert got[0] is None and got[3] == 16384
+        # default contract unchanged: bare None on overflow
+        assert dcount.compact_runs_cascade(hi_s, lo_s, counts) is None

@@ -295,3 +295,33 @@ class TestShardedMultiK:
         assert nb == 640
         assert int(spec[4].sum()) == 64 * 7  # 10-base reads: 7 windows
         assert len(spec[31][0]) == 0  # no 31-mer fits a 10-base read
+
+
+class TestShardedMultiKMeter:
+    def test_metered_run_identical(self):
+        import jax
+
+        from needletail_tpu.parallel import (
+            make_mesh,
+            sharded_multi_k_count_file,
+        )
+        from needletail_tpu.utils.profiling import ThroughputMeter
+
+        mesh = make_mesh(jax.devices(), data=8, table=1)
+        path = "tests/data/PRJNA271013_head.fq"
+        base = sharded_multi_k_count_file(
+            path, (4, 21), mesh=mesh, batch_size=256, host_workers=1
+        )
+        meter = ThroughputMeter()
+        got = sharded_multi_k_count_file(
+            path, (4, 21), mesh=mesh, batch_size=256, host_workers=1,
+            meter=meter,
+        )
+        assert base[0] == got[0]
+        assert np.array_equal(base[1][4], got[1][4])
+        assert np.array_equal(base[1][21][0], got[1][21][0])
+        assert np.array_equal(base[1][21][1], got[1][21][1])
+        d = meter.as_dict()
+        for stage in ("frame", "dispatch", "drain", "wall"):
+            assert stage in d, d.keys()
+        assert d["wall"]["items"] == base[0]
