@@ -298,7 +298,6 @@ def main() -> None:
     genome_tile_s = 0.0
     try:
         from needletail_tpu.device import count as _gcount
-        from needletail_tpu.device import kmers as _gkmers
         from needletail_tpu.device.tiling import tile_sequence
         from needletail_tpu.utils.synth import synthetic_genome
 
@@ -312,16 +311,24 @@ def main() -> None:
         jax.block_until_ready(dev_gt)
         genome_tile_s = time.perf_counter() - t_tile
 
+        from needletail_tpu.device.pallas_kernels import (
+            canonical_key_planes as _gplanes,
+        )
+
         @jax.jit
         def genome_flush(tiles, lengths):
             # mirrors the adaptive production path for mostly-distinct
-            # streams (count.finalize_sparse): sort + run-length, NO
-            # distinct-to-front compaction — with ~100% distinct keys the
-            # 4-array stable sort would shrink the pull by ~0.5% while
-            # costing ~6.7 ns/lane.  Checksums read the run heads
-            # directly (counts are 0 elsewhere and at sentinels).
-            win = _gkmers.canonical_kmers(tiles, lengths, 31)
-            hi, lo = _gcount.mask_keys(win)
+            # streams (count.finalize_sparse): Pallas key-plane extraction
+            # (0.57 vs the XLA ladder's ~1.7 ns/lane on these tile
+            # shapes), sort + run-length, NO distinct-to-front compaction
+            # — with ~100% distinct keys the 4-array stable sort would
+            # shrink the pull by ~0.5% while costing ~6.7 ns/lane.
+            # Checksums read the run heads directly (counts are 0
+            # elsewhere and at sentinels).
+            khi, klo, _t, _f = _gplanes(tiles, lengths, 31)
+            w = khi.shape[1] - 31 + 1
+            hi = khi[:, :w].reshape(-1)
+            lo = klo[:, :w].reshape(-1)
             pad = (-lo.shape[0]) % (1 << 20)
             if pad:
                 fill = jnp.full((pad,), 0xFFFFFFFF, dtype=jnp.uint32)

@@ -221,7 +221,7 @@ def compact_runs_cascade(
     lo_s: jax.Array,
     counts: jax.Array,
     n_on_overflow: bool = False,
-) -> Optional[Tuple[Optional[jax.Array], jax.Array, jax.Array, jax.Array]]:
+) -> Optional[Tuple[Optional[jax.Array], Optional[jax.Array], Optional[jax.Array], int]]:
     """MXU slot-compaction cascade: same contract as
     :func:`compact_runs_device` but ~6x cheaper on large flushes.
 

@@ -946,7 +946,14 @@ def hash_count_file(
     if double_buffer:
         from ..io.feed import device_feed
 
-        placed = device_feed(batches, _place)
+        # two pipeline stages in their own threads: framing (the inner
+        # feed pulls the batch iterator, so scan+pack runs there) and
+        # device placement (the outer feed's _place).  The metered run
+        # showed the stages serialize when they share one feeder thread
+        # (frame ~0.2s + h2d ~0.6s on the 64M-base bench stream) while
+        # the consumer starves; splitting makes the feeder-side cost
+        # max(frame, h2d) instead of their sum.
+        placed = device_feed(device_feed(batches, lambda b: b), _place)
     else:
         placed = (_place(b) for b in batches)
     # the cadence wraps the PLACED stream (not the raw batches) so the

@@ -164,3 +164,30 @@ class TestAdaptiveCompaction:
         assert got[0] is None and got[3] == 16384
         # default contract unchanged: bare None on overflow
         assert dcount.compact_runs_cascade(hi_s, lo_s, counts) is None
+
+
+def test_pallas_planes_match_ladder_on_tiles(genome_file):
+    """bench.py's genome flush extracts with the Pallas key-plane kernel;
+    on halo tiles it must equal the XLA ladder bit-for-bit (interpret
+    mode on CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from needletail_tpu.device import count as _count
+    from needletail_tpu.device import kmers as _kmers
+    from needletail_tpu.device.pallas_kernels import canonical_key_planes
+    from needletail_tpu.device.tiling import tile_sequence
+
+    fa = open(genome_file, "rb").read()
+    seq = bytes(fa[fa.index(b"\n") + 1 :]).replace(b"\n", b"")
+    tiles, lens = tile_sequence(seq, K, tile_len=8192)
+    win = _kmers.canonical_kmers(jnp.asarray(tiles), jnp.asarray(lens), K)
+    hi_x, lo_x = _count.mask_keys(win)
+    w_lad = win.hi.shape[1]
+    khi, klo, total, _f = canonical_key_planes(
+        jnp.asarray(tiles), jnp.asarray(lens), K
+    )
+    w = khi.shape[1] - K + 1
+    assert w == w_lad
+    assert np.array_equal(np.asarray(khi[:, :w]).reshape(-1), np.asarray(hi_x))
+    assert np.array_equal(np.asarray(klo[:, :w]).reshape(-1), np.asarray(lo_x))
