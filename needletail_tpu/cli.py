@@ -271,17 +271,37 @@ def _cmd_hash_count(args) -> int:
         from .utils.profiling import ThroughputMeter
 
         meter = ThroughputMeter()
-    n_bases, total, fwd, table = hash_count_file(
-        args.path if len(args.path) > 1 else args.path[0],
-        k=args.k,
-        table_bits=args.table_bits,
-        batch_size=args.batch_size,
-        host_workers=args.host_workers,
-        checkpoint_every=args.checkpoint_every,
-        checkpoint_path=args.checkpoint,
-        resume_from=args.resume_from,
-        meter=meter,
-    )
+    path = args.path if len(args.path) > 1 else args.path[0]
+    if args.sharded:
+        import jax
+
+        from .parallel import make_mesh, sharded_hash_count_file
+
+        mesh = make_mesh(jax.devices(), data=len(jax.devices()), table=1)
+        n_bases, total, fwd, table = sharded_hash_count_file(
+            path,
+            k=args.k,
+            mesh=mesh,
+            table_bits=args.table_bits,
+            batch_size=args.batch_size,
+            host_workers=args.host_workers,
+            checkpoint_every=args.checkpoint_every,
+            checkpoint_path=args.checkpoint,
+            resume_from=args.resume_from,
+            meter=meter,
+        )
+    else:
+        n_bases, total, fwd, table = hash_count_file(
+            path,
+            k=args.k,
+            table_bits=args.table_bits,
+            batch_size=args.batch_size,
+            host_workers=args.host_workers,
+            checkpoint_every=args.checkpoint_every,
+            checkpoint_path=args.checkpoint,
+            resume_from=args.resume_from,
+            meter=meter,
+        )
     if meter is not None:
         print(meter.report(), file=sys.stderr)
     print(
@@ -502,6 +522,9 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=65536)
     p.add_argument("--host-workers", type=int, default=None,
                    help="framing processes (default: auto from CPU count)")
+    p.add_argument("--sharded", action="store_true",
+                   help="run the hash pipeline over every device "
+                        "(table sharded by psum_scatter; same result)")
     p.add_argument("-o", "--output", help="write table .npz")
     p.add_argument("--profile", action="store_true",
                    help="print a per-stage throughput breakdown (frame, "

@@ -15,6 +15,7 @@ from .sharded import (
     HashCountState,
     init_count_state,
     make_hash_update_step,
+    sharded_hash_count_file,
     sharded_spectrum,
     update_count_state,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "sharded_spectrum",
     "HashCountState",
     "make_hash_update_step",
+    "sharded_hash_count_file",
     "ShardedSpectrumAccumulator",
     "sharded_count_file",
     "ShardedMultiKAccumulator",

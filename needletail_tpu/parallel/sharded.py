@@ -38,6 +38,7 @@ __all__ = [
     "update_count_state",
     "HashCountState",
     "make_hash_update_step",
+    "sharded_hash_count_file",
 ]
 
 
@@ -439,3 +440,158 @@ def make_hash_update_step(
         return placed + (jax.device_put(vbits, data_sharding),)
 
     return init, step, place_batch
+
+
+def sharded_hash_count_file(
+    path,
+    k: int,
+    mesh: Mesh,
+    table_bits: int = 16,
+    batch_size: int = 65536,
+    max_len: Optional[int] = None,
+    normalized: bool = True,
+    host_workers: Optional[int] = None,
+    spill_dir: Optional[str] = None,
+    packed: Optional[bool] = None,
+    block_rows: Optional[int] = None,
+    checkpoint_every: Optional[int] = None,
+    checkpoint_path: Optional[str] = None,
+    resume_from: Optional[str] = None,
+    meter=None,
+):
+    """Stream a FASTX file through the sharded hash pipeline — the mesh
+    twin of ``device.pipeline.hash_count_file`` (same framing front, same
+    return ``(n_bases, total, fwd, table)``, bit-identical table).
+
+    Reads shard over ``data``; each chip runs the fused Pallas pass on its
+    shard and one ``psum_scatter`` over ICI merges the per-chip histograms
+    into the bin range each chip owns (``make_hash_update_step``).
+
+    Checkpoints use the SAME ``kind="hash"`` format as the flat driver
+    (global table + tallies + record-aligned offset), so a stream
+    checkpointed on one mesh size resumes on another — or on a single
+    chip — unchanged.  ``meter=`` attributes wall clock like the other
+    sharded drivers (frame / dispatch / drain / wall; H2D rides inside
+    the shard placement)."""
+    import time as _time
+
+    import numpy as np
+
+    from ..device.pipeline import _make_batch_source
+    from ..utils.profiling import metered_iter
+    from .checkpoint import (
+        checkpoint_source,
+        checkpointed_batches,
+        prepare_checkpoint_stream,
+    )
+    from .exact import _require_single_process
+
+    _require_single_process("sharded_hash_count_file")
+    if packed is None:
+        packed = True
+    n_data = mesh.shape["data"]
+    batch_size = -(-batch_size // n_data) * n_data
+    init, step, place = make_hash_update_step(
+        mesh, k, table_bits=table_bits, normalized=normalized,
+        block_rows=block_rows, packed=packed,
+    )
+
+    def _validate(ck):
+        bits = int(ck["meta"].get("table_bits", table_bits))
+        if bits != table_bits:
+            raise ValueError(
+                f"checkpoint {resume_from!r} has table_bits={bits}, "
+                f"expected {table_bits}"
+            )
+
+    ckpt_mode, ck = prepare_checkpoint_stream(
+        "hash", k,
+        checkpoint_every=checkpoint_every, checkpoint_path=checkpoint_path,
+        resume_from=resume_from, host_workers=host_workers,
+        validate=_validate, normalized=normalized,
+    )
+    n_bases = 0
+    start_offset = 0
+    state = init()
+    if ck is not None:
+        from jax.sharding import NamedSharding as _NS
+
+        from ..utils.limbs import int64_array_to_limbs
+
+        start_offset = ck["file_offset"]
+        n_bases = ck["n_bases"]
+        lo0, hi0 = int64_array_to_limbs(ck["arrays"]["table"])
+        sh = _NS(mesh, P("data"))
+        total0 = int(ck["meta"]["total"])
+        fwd0 = int(ck["meta"]["fwd"])
+        state = HashCountState(
+            table_lo=jax.device_put(jnp.asarray(lo0), sh),
+            table_hi=jax.device_put(jnp.asarray(hi0), sh),
+            total_lo=jnp.asarray(total0 & 0xFFFFFFFF, jnp.uint32),
+            total_hi=jnp.asarray(total0 >> 32, jnp.uint32),
+            fwd_lo=jnp.asarray(fwd0 & 0xFFFFFFFF, jnp.uint32),
+            fwd_hi=jnp.asarray(fwd0 >> 32, jnp.uint32),
+        )
+    if ckpt_mode:
+        batches = checkpoint_source(
+            path, batch_size, max_len, False, packed, normalized,
+            start_offset, require_offsets=checkpoint_every is not None,
+        )
+    else:
+        batches, _ = _make_batch_source(
+            path, batch_size, max_len, host_workers,
+            with_quals=False, spill_dir=spill_dir,
+            packed=packed, normalized=normalized,
+        )
+
+    def _save_ckpt(offset):
+        from .checkpoint import counting_meta, save_stream_checkpoint
+
+        save_stream_checkpoint(
+            checkpoint_path, "hash", k, offset, n_bases,
+            {"table": state.table}, input_path=str(path),
+            meta={
+                "table_bits": np.int32(table_bits),
+                "total": np.int64(state.total),
+                "fwd": np.int64(state.fwd),
+                **counting_meta(normalized=normalized),
+            },
+        )
+
+    t_wall0 = _time.perf_counter()
+    batches = checkpointed_batches(batches, checkpoint_every, _save_ckpt)
+    if meter is not None:
+        batches = metered_iter(
+            meter, "frame", batches, items_of=lambda b: b.num_bases
+        )
+    for batch in batches:
+        n_bases += batch.num_bases
+        t0 = _time.perf_counter() if meter is not None else 0.0
+        if batch.max_len >= k:
+            b = (
+                batch
+                if batch.num_reads == batch_size
+                else batch.pad_reads_to(batch_size)
+            )
+            if packed:
+                vb = b.vbits
+                placed = place(
+                    jnp.asarray(b.codes), jnp.asarray(b.lengths),
+                    None if vb is None else jnp.asarray(vb),
+                )
+            else:
+                placed = place(jnp.asarray(b.seqs), jnp.asarray(b.lengths))
+            state = step(state, *placed)
+        if meter is not None:
+            meter.add(
+                "dispatch", _time.perf_counter() - t0, items=batch.num_bases
+            )
+    t_drain = _time.perf_counter()
+    table = state.table
+    total = state.total
+    fwd = state.fwd
+    if meter is not None:
+        now = _time.perf_counter()
+        meter.add("drain", now - t_drain, nbytes=table.nbytes)
+        meter.add("wall", now - t_wall0, items=n_bases)
+    return n_bases, total, fwd, table

@@ -202,3 +202,97 @@ def test_bucketed_sharded_hash_matches_unbucketed(tmp_path):
     assert flat[0] == buck[0]
     assert flat[1] == buck[1] and flat[2] == buck[2]
     assert np.array_equal(flat[3], buck[3])
+
+
+class TestShardedHashCountFile:
+    """The mesh twin of hash_count_file (file driver over
+    make_hash_update_step): same framing front, bit-identical table."""
+
+    def test_matches_flat_driver(self):
+        import jax
+
+        from needletail_tpu.device.pipeline import hash_count_file
+        from needletail_tpu.parallel import (
+            make_mesh,
+            sharded_hash_count_file,
+        )
+
+        path = "tests/data/PRJNA271013_head.fq"
+        ref = hash_count_file(path, 9, batch_size=512, max_len=128)
+        mesh = make_mesh(jax.devices(), data=8, table=1)
+        got = sharded_hash_count_file(
+            path, 9, mesh=mesh, batch_size=512, max_len=128,
+            host_workers=1,
+        )
+        assert got[:3] == ref[:3]
+        assert np.array_equal(got[3], ref[3])
+
+    def test_checkpoint_interchangeable_with_flat(self, tmp_path):
+        """kind="hash" checkpoints cross mesh sizes: a stream checkpointed
+        by the FLAT driver resumes on an 8-device mesh (and lands on the
+        uninterrupted table bit-for-bit)."""
+        import jax
+
+        from needletail_tpu.device.pipeline import hash_count_file
+        from needletail_tpu.parallel import (
+            make_mesh,
+            sharded_hash_count_file,
+        )
+        from needletail_tpu.parallel.checkpoint import (
+            load_stream_checkpoint,
+            save_stream_checkpoint,
+        )
+        from needletail_tpu.io.fast_batch import fast_read_batches
+
+        src = open("tests/data/PRJNA271013_head.fq", "rb").read() * 2
+        corpus = tmp_path / "reads.fq"
+        corpus.write_bytes(src)
+        ref = hash_count_file(str(corpus), 9, batch_size=512, max_len=128)
+
+        # checkpoint the prefix with the FLAT driver
+        it = iter(fast_read_batches(str(corpus), batch_size=512,
+                                    max_len=128, packed=True))
+        next(it)
+        off = next(it).file_offset
+        it.close()
+        prefix = tmp_path / "prefix.fq"
+        prefix.write_bytes(src[:off])
+        ck = str(tmp_path / "hash.npz")
+        hash_count_file(
+            str(prefix), 9, batch_size=512, max_len=128,
+            checkpoint_every=2, checkpoint_path=ck, host_workers=1,
+        )
+        mid = load_stream_checkpoint(ck)
+        save_stream_checkpoint(
+            ck, "hash", 9, off, mid["n_bases"],
+            {"table": mid["arrays"]["table"]}, input_path=str(corpus),
+            meta=mid["meta"],
+        )
+        # resume with the SHARDED driver over 8 devices
+        mesh = make_mesh(jax.devices(), data=8, table=1)
+        resumed = sharded_hash_count_file(
+            str(corpus), 9, mesh=mesh, batch_size=512, max_len=128,
+            resume_from=ck, host_workers=1,
+        )
+        assert resumed[:3] == ref[:3]
+        assert np.array_equal(resumed[3], ref[3])
+
+    def test_metered(self):
+        import jax
+
+        from needletail_tpu.parallel import (
+            make_mesh,
+            sharded_hash_count_file,
+        )
+        from needletail_tpu.utils.profiling import ThroughputMeter
+
+        mesh = make_mesh(jax.devices(), data=8, table=1)
+        meter = ThroughputMeter()
+        nb, total, fwd, _t = sharded_hash_count_file(
+            "tests/data/PRJNA271013_head.fq", 21, mesh=mesh,
+            batch_size=512, max_len=128, host_workers=1, meter=meter,
+        )
+        assert (nb, total, fwd) == (250_000, 209_965, 106_181)
+        d = meter.as_dict()
+        for stage in ("frame", "dispatch", "drain", "wall"):
+            assert stage in d
