@@ -998,6 +998,8 @@ def minimizer_spectrum_file(
     normalized: bool = True,
     sparse_format: str = "arrays",
     mesh=None,
+    host_workers: Optional[int] = None,
+    spill_dir: Optional[str] = None,
 ) -> Tuple[int, Union[Dict[int, int], Tuple[np.ndarray, np.ndarray]]]:
     """(w, k) minimizer spectrum of a FASTX file: counts of each canonical
     k-mer value that wins at least one w-window (the sketch-level analogue
@@ -1013,10 +1015,23 @@ def minimizer_spectrum_file(
     extraction + per-chip sorts inside ``shard_map``, host merge — the
     same machinery as ``parallel.sharded_count_file``, bit-identical to
     the single-device run.
+
+    Input front as in ``count_file``: auto-sized framing workers,
+    transparent spill decode, and a list of paths accumulates one
+    sketch (minimizers ride ASCII planes, so the packed transport does
+    not apply).
     """
     import jax
 
     from . import minimizers as _minimizers
+
+    def _batches():
+        src, _w = _make_batch_source(
+            path, batch_size, max_len, host_workers,
+            with_quals=False, spill_dir=spill_dir,
+            packed=False, normalized=True,
+        )
+        return src
 
     if mesh is not None:
         from ..parallel.exact import (
@@ -1036,9 +1051,7 @@ def minimizer_spectrum_file(
             window_lanes=lambda max_l: max(max_l - k - w + 2, 0),
         )
         n_bases = 0
-        for batch in read_batches(
-            path, batch_size=batch_size, max_len=max_len, prefetch=True
-        ):
+        for batch in _batches():
             n_bases += batch.num_bases
             if batch.max_len < k + w - 1:
                 continue
@@ -1061,9 +1074,7 @@ def minimizer_spectrum_file(
 
     sparse = _count.SparseSpectrumAccumulator()
     n_bases = 0
-    for batch in read_batches(
-        path, batch_size=batch_size, max_len=max_len, prefetch=True
-    ):
+    for batch in _batches():
         n_bases += batch.num_bases
         if batch.max_len < k + w - 1:
             continue

@@ -197,3 +197,26 @@ class TestQualityFilterFile:
 
         with pytest.raises(ValueError, match="FASTQ"):
             quality_filter_file(str(data_dir / "test.fa"), str(tmp_path / "o.fq"), 10)
+
+
+def test_minimizer_spectrum_multi_file(tmp_path):
+    """The minimizer driver rides the shared input front: a list of paths
+    accumulates one sketch, equal to the concatenated-file run."""
+    import numpy as np
+
+    from needletail_tpu.device.pipeline import minimizer_spectrum_file
+
+    src = open("tests/data/PRJNA271013_head.fq", "rb").read()
+    a, b = tmp_path / "a.fq", tmp_path / "b.fq"
+    cut = src.index(b"\n@", len(src) // 2) + 1
+    a.write_bytes(src[:cut])
+    b.write_bytes(src[cut:])
+    nb_ref, (k_ref, c_ref) = minimizer_spectrum_file(
+        "tests/data/PRJNA271013_head.fq", k=11, w=5, host_workers=1
+    )
+    nb, (keys, counts) = minimizer_spectrum_file(
+        [str(a), str(b)], k=11, w=5, host_workers=1, max_len=128
+    )
+    assert nb == nb_ref == 250_000
+    assert np.array_equal(keys, k_ref)
+    assert np.array_equal(counts, c_ref)
