@@ -276,17 +276,23 @@ def main() -> None:
     exact_file_bytes_equiv = exact_bases_per_sec * bytes_per_base
 
     # ---- BASELINE config #4: whole-genome k=31 halo-tiled exact spectrum.
-    # A deterministic 5 Mbp synthetic genome (utils/synth.py, seed=31) is
-    # tiled with (k-1)-base halos (device/tiling.py) and resolved as ONE
-    # device flush: XLA ladder extraction -> lexicographic sort ->
-    # run-length -> distinct-to-front compaction.  Golden asserts (computed
-    # once from the CPU host-oracle run of device/tiling.genome_spectrum):
+    # A deterministic 5 Mbp synthetic genome (utils/synth.py, seed=31)
+    # runs through the SHIPPED genome path (VERDICT r4 weak #1): the
+    # packed-transport tile front (device/tiling._TileStream — the same
+    # framer+strided-tiling genome_spectrum streams), the public per-block
+    # step (make_tile_key_fn: Pallas packed key-plane extraction on TPU),
+    # and the public one-flush device resolve (count.finalize_sparse_device
+    # — sort + run-length, no compaction for this ~100%-distinct stream).
+    # Golden asserts (computed once from the CPU host-oracle run):
     # 4,999,970 windows, all distinct (uniform-random 31-mers collide with
     # probability ~1e-6), and a mod-2^32 spectrum checksum over (key, count)
     # pairs so the device run proves key-exactness without pulling the ~5M
     # distinct entries through the dev tunnel (60 MB at 3-40 MB/s is an
     # environment artifact; the stacked scalar sync below is the honest
-    # device-resident endpoint, same methodology as the exact metric). ----
+    # device-resident endpoint, same methodology as the exact metric).
+    # Two timings: device-resident (tiles pre-staged; round-comparable with
+    # r3/r4) and the full public genome_spectrum e2e wall (framing + h2d +
+    # flush — link-bound through the dev tunnel like the e2e metric). ----
     GEN_BASES = 5_000_000
     GOLD_GENOME_WINDOWS = 4_999_970
     GOLD_GENOME_DISTINCT = 4_999_970
@@ -295,62 +301,70 @@ def main() -> None:
 
     genome_error = None
     genome_bases_per_sec = 0.0
+    genome_api_bases_per_sec = 0.0
     genome_tile_s = 0.0
+    genome_distinct_measured = 0
     try:
+        import tempfile
+
         from needletail_tpu.device import count as _gcount
-        from needletail_tpu.device.tiling import tile_sequence
+        from needletail_tpu.device.tiling import (
+            _TileStream,
+            genome_spectrum,
+            make_tile_key_fn,
+        )
         from needletail_tpu.utils.synth import synthetic_genome
 
-        t_tile = time.perf_counter()
         fa = synthetic_genome(GEN_BASES, seed=31)
-        seq = bytes(fa[fa.index(b"\n") + 1 :]).replace(b"\n", b"")
-        assert len(seq) == GEN_BASES
-        g_tiles, g_lens = tile_sequence(seq, 31, tile_len=8192)
-        dev_gt = jax.device_put(jnp.asarray(g_tiles))
-        dev_gl = jax.device_put(jnp.asarray(g_lens))
-        jax.block_until_ready(dev_gt)
-        genome_tile_s = time.perf_counter() - t_tile
-
-        from needletail_tpu.device.pallas_kernels import (
-            canonical_key_planes as _gplanes,
-        )
+        with tempfile.NamedTemporaryFile(
+            suffix=".fa", delete=False
+        ) as tf:
+            tf.write(fa)
+            fa_path = tf.name
 
         @jax.jit
-        def genome_flush(tiles, lengths):
-            # mirrors the adaptive production path for mostly-distinct
-            # streams (count.finalize_sparse): Pallas key-plane extraction
-            # (0.57 vs the XLA ladder's ~1.7 ns/lane on these tile
-            # shapes), sort + run-length, NO distinct-to-front compaction
-            # — with ~100% distinct keys the 4-array stable sort would
-            # shrink the pull by ~0.5% while costing ~6.7 ns/lane.
-            # Checksums read the run heads directly (counts are 0
-            # elsewhere and at sentinels).
-            khi, klo, _t, _f = _gplanes(tiles, lengths, 31)
-            w = khi.shape[1] - 31 + 1
-            hi = khi[:, :w].reshape(-1)
-            lo = klo[:, :w].reshape(-1)
-            pad = (-lo.shape[0]) % (1 << 20)
-            if pad:
-                fill = jnp.full((pad,), 0xFFFFFFFF, dtype=jnp.uint32)
-                hi = jnp.concatenate([hi, fill])
-                lo = jnp.concatenate([lo, fill])
-            hi_s, lo_s, counts = _gcount.unique_counts(hi, lo)
+        def genome_cks(hi_s, lo_s, counts):
+            # checksums read the run heads directly (counts are 0 at
+            # non-heads and sentinels)
             cu = counts.astype(jnp.uint32)
-            n = jnp.sum((counts > 0).astype(jnp.int32))
-            total = counts.sum()
-            cks_lo = jnp.sum(lo_s * cu, dtype=jnp.uint32)
-            cks_hi = jnp.sum(hi_s * cu, dtype=jnp.uint32)
             return jnp.stack(
                 [
-                    n.astype(jnp.uint32),
-                    total.astype(jnp.uint32),
-                    cks_lo,
-                    cks_hi,
+                    jnp.sum((counts > 0).astype(jnp.int32)).astype(
+                        jnp.uint32
+                    ),
+                    counts.sum().astype(jnp.uint32),
+                    jnp.sum(lo_s * cu, dtype=jnp.uint32),
+                    jnp.sum(hi_s * cu, dtype=jnp.uint32),
                 ]
             )
 
+        # --- device-resident: pre-stage the shipped tile front's packed
+        # blocks once, then time extraction + flush on device
+        t_tile = time.perf_counter()
+        n_tiles = (GEN_BASES - 31 + 1 + 8191) // 8192
+        stream = _TileStream(
+            fa_path, 31, tile_len=8192, batch_tiles=n_tiles, packed=True
+        )
+        blocks = [
+            (
+                jax.device_put(jnp.asarray(c)),
+                None if v is None else jax.device_put(jnp.asarray(v)),
+                jax.device_put(jnp.asarray(l)),
+            )
+            for c, v, l in stream
+        ]
+        assert stream.n_bases == GEN_BASES
+        jax.block_until_ready([b[0] for b in blocks])
+        genome_tile_s = time.perf_counter() - t_tile
+
+        _gkeys = make_tile_key_fn(31, 8192, packed=True)
+
+        def genome_flush():
+            parts = [_gkeys(c, l, v) for c, v, l in blocks]
+            return genome_cks(*_gcount.finalize_sparse_device(parts))
+
         # warm-up compiles + correctness (the stacked pull IS the sync)
-        got = np.asarray(genome_flush(dev_gt, dev_gl))
+        got = np.asarray(genome_flush())
         assert got[0] == GOLD_GENOME_DISTINCT, got
         assert got[1] == GOLD_GENOME_WINDOWS, got
         assert got[2] == GOLD_GENOME_CKS_LO, got
@@ -358,11 +372,34 @@ def main() -> None:
         genome_s = float("inf")
         for _ in range(3):
             t_g = time.perf_counter()
-            genome_flush(dev_gt, dev_gl)
-            got = np.asarray(genome_flush(dev_gt, dev_gl))
+            genome_flush()
+            got = np.asarray(genome_flush())
             genome_s = min(genome_s, (time.perf_counter() - t_g) / 2)
         assert got[0] == GOLD_GENOME_DISTINCT
+        # VERDICT r4 weak #9: report the MEASURED distinct count, never the
+        # golden constant (if this section errors, the JSON shows 0 + error)
+        genome_distinct_measured = int(got[0])
         genome_bases_per_sec = GEN_BASES / genome_s
+
+        # --- the documented API, end to end: framing + packing + h2d +
+        # extraction + flush in one genome_spectrum call (sparse_format=
+        # "device" keeps the ~5M-entry result on device; the 4-scalar
+        # checksum pull is the sync)
+        genome_api_s = float("inf")
+        for _ in range(2):
+            t_g = time.perf_counter()
+            nb_api, parts_api = genome_spectrum(
+                fa_path, k=31, tile_len=8192, batch_tiles=64,
+                sparse_format="device",
+            )
+            got_api = np.asarray(genome_cks(*parts_api))
+            genome_api_s = min(genome_api_s, time.perf_counter() - t_g)
+        assert nb_api == GEN_BASES
+        assert got_api[0] == GOLD_GENOME_DISTINCT, got_api
+        assert got_api[2] == GOLD_GENOME_CKS_LO, got_api
+        assert got_api[3] == GOLD_GENOME_CKS_HI, got_api
+        genome_api_bases_per_sec = GEN_BASES / genome_api_s
+        os.unlink(fa_path)
     except Exception as exc:  # pragma: no cover - env-dependent
         genome_error = f"{type(exc).__name__}: {exc}"
     # FASTA carries ~1.0125 file bytes per base at 80-col wrapping; the
@@ -401,7 +438,7 @@ def main() -> None:
                 "e2e_vs_baseline": round(
                     e2e_bytes_per_sec / NORTH_STAR_BYTES_PER_CHIP, 4
                 ),
-                "e2e_transport": "packed2bit",
+                "e2e_transport": "packed2bit+lean",
                 "e2e_stages": e2e_stages,
                 "e2e_h2d_rate_mb_s": h2d_rate,
                 "e2e_h2d_rate_needed_for_baseline_mb_s": round(h2d_needed, 1),
@@ -422,9 +459,16 @@ def main() -> None:
                 "genome_k31_vs_baseline": round(
                     genome_file_bytes_equiv / NORTH_STAR_BYTES_PER_CHIP, 4
                 ),
-                "genome_k31_distinct": GOLD_GENOME_DISTINCT,
+                "genome_k31_distinct": genome_distinct_measured,
                 "genome_k31_host_tile_s": round(genome_tile_s, 4),
                 "genome_timing": "device_resident",
+                # the documented genome_spectrum API end to end (framing +
+                # h2d + flush; link-bound through the dev tunnel)
+                "genome_k31_api_bases_per_sec": round(
+                    genome_api_bases_per_sec, 1
+                ),
+                "genome_path": "public (make_tile_key_fn + "
+                "finalize_sparse_device; packed tile transport)",
                 **({"genome_error": genome_error} if genome_error else {}),
             }
         )

@@ -584,6 +584,92 @@ int64_t nt_fill_fasta_batch_packed(const uint8_t* buf, const int64_t* recs,
     return overflow;
 }
 
+// Row-resolved packed fills (lean transport): identical to the *_packed
+// fills above but additionally write each row's invalid-base count into
+// row_invalid (int32[n], caller-zeroed).  The Python layer uses the per-row
+// counts to ship validity as a ragged dirty-rows plane (only rows that
+// actually contain an ambiguous base) instead of the dense [n, max_len/8]
+// bitplane — the VERDICT r4 #1 host->device transport diet.
+int64_t nt_fill_fastq_batch_packed_rows(
+    const uint8_t* buf, const int64_t* recs, int64_t n, const uint8_t* lut,
+    uint8_t* code_out, uint8_t* valid_out, int32_t* lengths, int64_t max_len,
+    int64_t* n_invalid, int32_t* row_invalid) {
+    ensure_pair_tables(lut);
+    const int64_t code_stride = max_len >> 2;
+    const int64_t valid_stride = max_len >> 3;
+    int64_t overflow = 0;
+    int64_t invalid = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t* r = recs + i * 5;
+        const uint8_t* sb = buf + r[1];
+        int64_t slen = trimmed_len(sb, buf + r[2] - 1);
+        if (slen > max_len) {
+            ++overflow;
+            lengths[i] = 0;
+            continue;
+        }
+        int64_t row = pack_span(sb, sb + slen, lut, code_out + i * code_stride,
+                                valid_out + i * valid_stride, 0);
+        invalid += row;
+        row_invalid[i] = static_cast<int32_t>(row);
+        lengths[i] = static_cast<int32_t>(slen);
+    }
+    *n_invalid = invalid;
+    return overflow;
+}
+
+int64_t nt_fill_fasta_batch_packed_rows(
+    const uint8_t* buf, const int64_t* recs, int64_t n, const uint8_t* lut,
+    uint8_t* code_out, uint8_t* valid_out, int32_t* lengths, int64_t max_len,
+    int64_t* n_invalid, int32_t* row_invalid) {
+    ensure_pair_tables(lut);
+    const int64_t code_stride = max_len >> 2;
+    const int64_t valid_stride = max_len >> 3;
+    int64_t overflow = 0;
+    int64_t invalid = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t* r = recs + i * 3;
+        const uint8_t* p = buf + r[1] + 1;
+        const uint8_t* end = buf + r[2];
+        uint8_t* code_row = code_out + i * code_stride;
+        uint8_t* valid_row = valid_out + i * valid_stride;
+        int64_t len = 0;
+        int64_t row = 0;
+        bool bad = false;
+        while (p < end && !bad) {
+            const uint8_t* nl = static_cast<const uint8_t*>(
+                memchr(p, '\n', static_cast<size_t>(end - p)));
+            const uint8_t* line_end = nl ? nl : end;
+            while (p < line_end) {
+                const uint8_t* cr = static_cast<const uint8_t*>(
+                    memchr(p, '\r', static_cast<size_t>(line_end - p)));
+                const uint8_t* stop = cr ? cr : line_end;
+                int64_t seg = stop - p;
+                if (len + seg > max_len) {
+                    ++overflow;
+                    bad = true;
+                    break;
+                }
+                row += pack_span(p, stop, lut, code_row, valid_row, len);
+                len += seg;
+                p = stop + 1;
+            }
+            p = line_end + 1;
+        }
+        if (bad) {
+            memset(code_row, 0, static_cast<size_t>(code_stride));
+            memset(valid_row, 0, static_cast<size_t>(valid_stride));
+            lengths[i] = 0;
+        } else {
+            invalid += row;
+            row_invalid[i] = static_cast<int32_t>(row);
+            lengths[i] = static_cast<int32_t>(len);
+        }
+    }
+    *n_invalid = invalid;
+    return overflow;
+}
+
 // Pack an ASCII row that is already contiguous (tail records framed by the
 // Python layer).  Same layout/LUT semantics as the batch fills.
 int64_t nt_pack_row(const uint8_t* seq, int64_t len, const uint8_t* lut,

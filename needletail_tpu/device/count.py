@@ -38,6 +38,7 @@ __all__ = [
     "compact_runs_device",
     "compact_runs_cascade",
     "finalize_sparse",
+    "finalize_sparse_device",
     "merge_sorted_spectra",
     "SparseSpectrumAccumulator",
     "SPARSE_FLUSH_LANES",
@@ -280,6 +281,50 @@ def compact_spectrum(
     return keys, counts[keep].astype(np.int64)
 
 
+def _concat_pad_parts(key_parts, pad_multiple: int):
+    """Concatenate per-batch masked (hi, lo) key planes and sentinel-pad to
+    a shape bucket (bounds recompiles across file sizes).  Narrow parts
+    (hi None, k <= 15) stay narrow; mixing narrow and wide raises."""
+    import jax.numpy as jnp
+
+    narrow = key_parts[0][0] is None
+    if any((h is None) != narrow for h, _ in key_parts):
+        raise ValueError("cannot mix narrow and wide key parts in one flush")
+    lo = jnp.concatenate([l.reshape(-1) for _, l in key_parts])
+    hi = (
+        None
+        if narrow
+        else jnp.concatenate([h.reshape(-1) for h, _ in key_parts])
+    )
+    pad = (-lo.shape[0]) % pad_multiple
+    if pad:
+        fill = jnp.full((pad,), _SENTINEL, dtype=jnp.uint32)
+        lo = jnp.concatenate([lo, fill])
+        if hi is not None:
+            hi = jnp.concatenate([hi, fill])
+    return hi, lo
+
+
+def finalize_sparse_device(
+    key_parts, pad_multiple: int = 1 << 20
+) -> Tuple[Optional[jax.Array], jax.Array, jax.Array]:
+    """One-flush device resolution with NO host pull: concatenate + pad the
+    key planes, one lexicographic sort + run-length count.  Returns device
+    arrays ``(hi_s | None, lo_s, counts)`` — sorted runs with ``counts``
+    holding each distinct key's multiplicity at its run head and 0
+    elsewhere (and at sentinels).  The device-resident twin of
+    :func:`finalize_sparse` for callers that keep computing on device
+    (checksums, spectrum set-ops, downstream kernels); distinct count is
+    ``(counts > 0).sum()``."""
+    import jax.numpy as jnp
+
+    if not key_parts:
+        z = jnp.zeros(0, jnp.uint32)
+        return None, z, jnp.zeros(0, jnp.int32)
+    hi, lo = _concat_pad_parts(key_parts, pad_multiple)
+    return unique_counts(hi, lo)
+
+
 def finalize_sparse(
     key_parts,
     pad_multiple: int = 1 << 20,
@@ -300,27 +345,11 @@ def finalize_sparse(
     the single-key sort; mixing narrow and wide parts in one call is a
     caller bug and raises.
     """
-    import jax.numpy as jnp
-
     if device_compact is None:
         device_compact = jax.default_backend() != "cpu"
     if not key_parts:
         return np.zeros(0, np.uint64), np.zeros(0, np.int64)
-    narrow = key_parts[0][0] is None
-    if any((h is None) != narrow for h, _ in key_parts):
-        raise ValueError("cannot mix narrow and wide key parts in one flush")
-    lo = jnp.concatenate([l.reshape(-1) for _, l in key_parts])
-    hi = (
-        None
-        if narrow
-        else jnp.concatenate([h.reshape(-1) for h, _ in key_parts])
-    )
-    pad = (-lo.shape[0]) % pad_multiple
-    if pad:
-        fill = jnp.full((pad,), _SENTINEL, dtype=jnp.uint32)
-        lo = jnp.concatenate([lo, fill])
-        if hi is not None:
-            hi = jnp.concatenate([hi, fill])
+    hi, lo = _concat_pad_parts(key_parts, pad_multiple)
     hi_s, lo_s, counts = unique_counts(hi, lo)
     if cascade is None:
         # the MXU cascade pays off on real accelerators; interpret-mode

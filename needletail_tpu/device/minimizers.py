@@ -45,16 +45,24 @@ def _pair_min(ahi, alo, bhi, blo):
     )
 
 
-@partial(jax.jit, static_argnames=("k", "normalized"))
+@partial(jax.jit, static_argnames=("k", "normalized", "precoded"))
 def global_minimizer(
-    seqs: jax.Array, lengths: jax.Array, k: int, normalized: bool = True
+    seqs: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    normalized: bool = True,
+    precoded: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Per-read minimum canonical k-mer value.
 
     Returns ``(hi, lo, any_valid)`` each [B]; reads with no valid window
     report (0xFFFFFFFF, 0xFFFFFFFF) and ``any_valid=False``.
+    ``precoded=True``: ``seqs`` holds 2-bit codes already (packed
+    transport; see ``kmers.pack_kmers``).
     """
-    win = canonical_kmers(seqs, lengths, k, normalized=normalized)
+    win = canonical_kmers(
+        seqs, lengths, k, normalized=normalized, precoded=precoded
+    )
     hi = jnp.where(win.valid, win.hi, _UMAX)
     lo = jnp.where(win.valid, win.lo, _UMAX)
     # reduce along windows with pair order: scan via min of hi, then lo among
@@ -65,19 +73,27 @@ def global_minimizer(
     return m_hi, m_lo, jnp.any(win.valid, axis=1)
 
 
-@partial(jax.jit, static_argnames=("k", "w", "normalized"))
+@partial(jax.jit, static_argnames=("k", "w", "normalized", "precoded"))
 def window_minimizers(
-    seqs: jax.Array, lengths: jax.Array, k: int, w: int, normalized: bool = True
+    seqs: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    w: int,
+    normalized: bool = True,
+    precoded: bool = False,
 ) -> KmerWindows:
     """(w, k) minimizer sketch: min canonical k-mer per w-window.
 
     Returns a ``KmerWindows`` whose position axis indexes sketch windows
     (position p covers k-mer windows p..p+w-1); ``was_rc`` is not tracked
-    (all False).
+    (all False).  ``precoded=True``: ``seqs`` holds 2-bit codes already
+    (packed transport; see ``kmers.pack_kmers``).
     """
     if w < 1:
         raise ValueError("w must be >= 1")
-    win = canonical_kmers(seqs, lengths, k, normalized=normalized)
+    win = canonical_kmers(
+        seqs, lengths, k, normalized=normalized, precoded=precoded
+    )
     hi = jnp.where(win.valid, win.hi, _UMAX)
     lo = jnp.where(win.valid, win.lo, _UMAX)
     num = hi.shape[1] - w + 1

@@ -30,6 +30,8 @@ __all__ = [
     "decode_phred",
     "encode_2bit",
     "unpack_codes",
+    "expand_vrows",
+    "resolve_vbits",
     "ENCODE_RAW_LUT",
     "ENCODE_NORMALIZED_LUT",
 ]
@@ -115,6 +117,36 @@ def unpack_codes(codes: jax.Array, vbits: Optional[jax.Array]) -> jax.Array:
         valid = jnp.stack(vparts, axis=-1).reshape(b, lq * 4)
         out = jnp.where(valid != 0, out, jnp.uint8(_INVALID))
     return out
+
+
+@partial(jax.jit, static_argnames=("num_reads",))
+def expand_vrows(
+    vrow_idx: jax.Array, vrows: jax.Array, num_reads: int
+) -> jax.Array:
+    """Lean validity transport -> dense [B, L/8] bitplane on device.
+
+    ``vrows`` [D, L/8] carries validity rows only for reads that contain an
+    ambiguous base; ``vrow_idx`` [D] their row indices (padding entries use
+    an out-of-range index and are dropped).  Unlisted rows expand to
+    all-ones: out-of-length bits don't matter because every consumer masks
+    windows by per-read length.  One [B, L/8] fill + a D-row scatter —
+    HBM-side noise next to the 0.125 B/base the wire no longer carries
+    (VERDICT r4 #1)."""
+    plane = jnp.full((num_reads, vrows.shape[1]), 0xFF, dtype=jnp.uint8)
+    return plane.at[vrow_idx].set(vrows, mode="drop")
+
+
+def resolve_vbits(
+    vbits: Optional[jax.Array],
+    vrow_idx: Optional[jax.Array],
+    vrows: Optional[jax.Array],
+    num_reads: int,
+) -> Optional[jax.Array]:
+    """The one transport-shape switch for jitted steps: dense plane,
+    lean rows (expanded on device), or None (clean batch)."""
+    if vrows is not None:
+        return expand_vrows(vrow_idx, vrows, num_reads)
+    return vbits
 
 
 @partial(jax.jit, static_argnames=("normalized",))

@@ -36,6 +36,7 @@ __all__ = [
     "ENCODE_NORMALIZED_LUT",
     "encode_lut",
     "pack_codes_host",
+    "pack_codes_host_rows",
     "unpack_codes_host",
 ]
 
@@ -94,6 +95,34 @@ def pack_codes_host(
         vbits = np.packbits(valid, axis=1, bitorder="little")
         return packed, vbits
     return packed, None
+
+
+def pack_codes_host_rows(
+    seqs: np.ndarray, lengths: np.ndarray, normalized: bool = True
+) -> Tuple[np.ndarray, Optional[np.ndarray], np.ndarray]:
+    """:func:`pack_codes_host` plus the per-row invalid-base counts the
+    lean transport needs (host twin of the C framer's ``*_packed_rows``
+    fills).  Returns ``(codes, vbits_or_None, row_invalid int32 [B])``."""
+    b, l = seqs.shape
+    if l % 8:
+        raise ValueError(f"max_len {l} must be a multiple of 8 to pack")
+    lut = encode_lut(normalized)
+    codes8 = lut[seqs]
+    in_len = np.arange(l, dtype=np.int32)[None, :] < np.asarray(lengths)[:, None]
+    valid = (codes8 != _INVALID) & in_len
+    c = np.where(valid, codes8, 0).astype(np.uint8)
+    c = c.reshape(b, l // 4, 4)
+    packed = (
+        c[:, :, 0]
+        | (c[:, :, 1] << 1 * 2)
+        | (c[:, :, 2] << 2 * 2)
+        | (c[:, :, 3] << 3 * 2)
+    ).astype(np.uint8)
+    row_invalid = (~valid & in_len).sum(axis=1, dtype=np.int32)
+    if bool(row_invalid.any()):
+        vbits = np.packbits(valid, axis=1, bitorder="little")
+        return packed, vbits, row_invalid
+    return packed, None, row_invalid
 
 
 def unpack_codes_host(

@@ -275,6 +275,7 @@ class _FastqBatcher:
 
             self._lut = np.ascontiguousarray(encode_lut(normalized))
         self._dirty = 0  # invalid bases packed into the current batch
+        self._row_invalid = np.zeros(0, dtype=np.int32)  # per-row, packed mode
         self._count_base = 0  # records scanned in prior chunks (line accounting)
         # absolute offset one past the last record filled into the current
         # batch (record-aligned resume point); None until known
@@ -286,6 +287,7 @@ class _FastqBatcher:
             seqs = np.zeros((self._bs, ml // 4), dtype=np.uint8)
             quals = np.zeros((self._bs, ml // 8), dtype=np.uint8)  # vbits
             self._dirty = 0
+            self._row_invalid = np.zeros(self._bs, dtype=np.int32)
         else:
             seqs = np.zeros((self._bs, ml), dtype=np.uint8)
             quals = (
@@ -306,7 +308,7 @@ class _FastqBatcher:
         if self._packed:
             from ..batch import PackedReadBatch
 
-            return PackedReadBatch(
+            batch = PackedReadBatch(
                 codes=seqs,
                 lengths=lengths,
                 vbits=quals if self._dirty else None,
@@ -314,17 +316,22 @@ class _FastqBatcher:
                 normalized=self._normalized,
                 file_offset=self._emit_offset,
             )
+            # lean transport: ship validity only for the rows that need it
+            return batch.to_lean(self._row_invalid) if self._dirty else batch
         return ReadBatch(
             seqs=seqs, lengths=lengths, quals=quals, ids=_take_ids(ids),
             file_offset=self._emit_offset,
         )
 
-    def _fill(self, pending, chunk_recs, seqs_rows, quals_rows, len_rows):
+    def _fill(
+        self, pending, chunk_recs, seqs_rows, quals_rows, len_rows,
+        rowinv_rows=None,
+    ):
         """Dispatch to the ASCII memcpy fill or the packed 2-bit fill."""
         if self._packed:
-            overflow, n_invalid = native.fill_fastq_batch_packed(
+            overflow, n_invalid = native.fill_fastq_batch_packed_rows(
                 pending, chunk_recs, self._lut, seqs_rows, quals_rows,
-                len_rows, self._max_len,
+                len_rows, self._max_len, rowinv_rows,
             )
             self._dirty += n_invalid
             return overflow
@@ -389,6 +396,9 @@ class _FastqBatcher:
                     seqs[fill : fill + take],
                     quals[fill : fill + take] if quals is not None else None,
                     lengths[fill : fill + take],
+                    self._row_invalid[fill : fill + take]
+                    if self._packed
+                    else None,
                 )
                 if overflow:
                     raise ValueError(
@@ -453,12 +463,14 @@ class _FastqBatcher:
                         self._max_len = _round128(len(sb))
                         seqs, quals = self._widen_planes(seqs, quals)
                     if self._packed:
-                        self._dirty += native.pack_row(
+                        rowinv = native.pack_row(
                             np.frombuffer(sb, dtype=np.uint8),
                             self._lut,
                             seqs[fill],
                             quals[fill],
                         )
+                        self._dirty += rowinv
+                        self._row_invalid[fill] = rowinv
                     else:
                         seqs[fill, : len(sb)] = np.frombuffer(sb, dtype=np.uint8)
                         if quals is not None:
@@ -528,6 +540,7 @@ class _FastaBatcher:
             self._lut = np.ascontiguousarray(encode_lut(normalized))
         self._dirty = 0
         self._vbits = None  # packed mode's validity plane
+        self._row_invalid = np.zeros(0, dtype=np.int32)  # per-row, packed mode
         self._lines_done = 0
         self._emit_offset = None  # see _FastqBatcher
 
@@ -536,6 +549,7 @@ class _FastaBatcher:
             seqs = np.zeros((self._bs, self._max_len // 4), dtype=np.uint8)
             self._vbits = np.zeros((self._bs, self._max_len // 8), dtype=np.uint8)
             self._dirty = 0
+            self._row_invalid = np.zeros(self._bs, dtype=np.int32)
         else:
             seqs = np.zeros((self._bs, self._max_len), dtype=np.uint8)
         lengths = np.zeros(self._bs, dtype=np.int32)
@@ -552,21 +566,25 @@ class _FastaBatcher:
             if vbits is not None and n is not None:
                 vbits = vbits[:n]
             self._vbits = None
-            return PackedReadBatch(
+            batch = PackedReadBatch(
                 codes=seqs, lengths=lengths, vbits=vbits,
                 ids=_take_ids(ids), normalized=self._normalized,
                 file_offset=self._emit_offset,
             )
+            return batch.to_lean(self._row_invalid) if self._dirty else batch
         return ReadBatch(
             seqs=seqs, lengths=lengths, quals=None, ids=_take_ids(ids),
             file_offset=self._emit_offset,
         )
 
-    def _fill(self, pending, chunk_recs, seqs_rows, vbits_rows, len_rows):
+    def _fill(
+        self, pending, chunk_recs, seqs_rows, vbits_rows, len_rows,
+        rowinv_rows=None,
+    ):
         if self._packed:
-            overflow, n_invalid = native.fill_fasta_batch_packed(
+            overflow, n_invalid = native.fill_fasta_batch_packed_rows(
                 pending, chunk_recs, self._lut, seqs_rows, vbits_rows,
-                len_rows, self._max_len,
+                len_rows, self._max_len, rowinv_rows,
             )
             self._dirty += n_invalid
             return overflow
@@ -627,6 +645,9 @@ class _FastaBatcher:
                     pending, chunk_recs, seqs[fill : fill + take],
                     self._vbits[fill : fill + take] if self._packed else None,
                     lengths[fill : fill + take],
+                    self._row_invalid[fill : fill + take]
+                    if self._packed
+                    else None,
                 )
                 if overflow:
                     raise ValueError(
@@ -676,12 +697,14 @@ class _FastaBatcher:
                             self._max_len = _round128(len(s))
                             seqs = self._widen_planes(seqs)
                         if self._packed:
-                            self._dirty += native.pack_row(
+                            rowinv = native.pack_row(
                                 np.frombuffer(s, dtype=np.uint8),
                                 self._lut,
                                 seqs[fill],
                                 self._vbits[fill],
                             )
+                            self._dirty += rowinv
+                            self._row_invalid[fill] = rowinv
                         else:
                             seqs[fill, : len(s)] = np.frombuffer(s, dtype=np.uint8)
                         lengths[fill] = len(s)

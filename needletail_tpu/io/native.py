@@ -120,6 +120,14 @@ def _bind(so: Path) -> Optional[ctypes.CDLL]:
         ]
         lib.nt_pack_row.restype = i64
         lib.nt_pack_row.argtypes = [u8p, i64, u8p, u8p, u8p]
+        lib.nt_fill_fastq_batch_packed_rows.restype = i64
+        lib.nt_fill_fastq_batch_packed_rows.argtypes = [
+            u8p, i64p, i64, u8p, u8p, u8p, i32p, i64, i64p, i32p,
+        ]
+        lib.nt_fill_fasta_batch_packed_rows.restype = i64
+        lib.nt_fill_fasta_batch_packed_rows.argtypes = [
+            u8p, i64p, i64, u8p, u8p, u8p, i32p, i64, i64p, i32p,
+        ]
         return lib
     except (OSError, AttributeError):
         return None
@@ -284,6 +292,66 @@ def fill_fasta_batch_packed(
         lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         max_len,
         ctypes.byref(n_invalid),
+    )
+    return int(overflow), int(n_invalid.value)
+
+
+def fill_fastq_batch_packed_rows(
+    buf: np.ndarray,
+    recs: np.ndarray,
+    lut: np.ndarray,
+    code_out: np.ndarray,
+    valid_out: np.ndarray,
+    lengths: np.ndarray,
+    max_len: int,
+    row_invalid: np.ndarray,
+) -> Tuple[int, int]:
+    """Row-resolved twin of :func:`fill_fastq_batch_packed`: additionally
+    writes each row's invalid-base count into ``row_invalid`` (int32,
+    caller-zeroed) so the batcher can ship validity as ragged dirty rows
+    (the lean transport).  Returns ``(overflow_rows, n_invalid_bases)``."""
+    lib = get_lib()
+    n_invalid = ctypes.c_int64(0)
+    overflow = lib.nt_fill_fastq_batch_packed_rows(
+        _u8ptr(buf),
+        recs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        recs.shape[0],
+        _u8ptr(lut),
+        _u8ptr(code_out),
+        _u8ptr(valid_out),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        max_len,
+        ctypes.byref(n_invalid),
+        row_invalid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return int(overflow), int(n_invalid.value)
+
+
+def fill_fasta_batch_packed_rows(
+    buf: np.ndarray,
+    recs: np.ndarray,
+    lut: np.ndarray,
+    code_out: np.ndarray,
+    valid_out: np.ndarray,
+    lengths: np.ndarray,
+    max_len: int,
+    row_invalid: np.ndarray,
+) -> Tuple[int, int]:
+    """Row-resolved twin of :func:`fill_fasta_batch_packed` (see
+    :func:`fill_fastq_batch_packed_rows`)."""
+    lib = get_lib()
+    n_invalid = ctypes.c_int64(0)
+    overflow = lib.nt_fill_fasta_batch_packed_rows(
+        _u8ptr(buf),
+        recs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        recs.shape[0],
+        _u8ptr(lut),
+        _u8ptr(code_out),
+        _u8ptr(valid_out),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        max_len,
+        ctypes.byref(n_invalid),
+        row_invalid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return int(overflow), int(n_invalid.value)
 

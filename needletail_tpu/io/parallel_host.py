@@ -59,7 +59,7 @@ def _worker(
             packed=packed, normalized=normalized,
         ):
             # the descriptor's bool marks quals (ASCII) / vbits (packed)
-            second = b.vbits if packed else b.quals
+            second = b.dense_vbits() if packed else b.quals
             if writer is not None:
                 seg = free_q.get()
                 n = writer.write(seg, b)

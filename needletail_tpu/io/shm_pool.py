@@ -130,7 +130,7 @@ class SharedBatchWriter:
             seqs[:n, src_w:] = 0
         off = a_plane
         if b_w:
-            b_src = batch.vbits if self.packed else batch.quals
+            b_src = batch.dense_vbits() if self.packed else batch.quals
             quals = np.frombuffer(buf, np.uint8, self.rows * b_w, offset=off
                                   ).reshape(self.rows, b_w)
             if b_src is not None:

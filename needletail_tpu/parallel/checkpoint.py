@@ -101,12 +101,16 @@ def load_resume_checkpoint(
     (:func:`check_counting_meta` with ``meta_kwargs``), then any
     driver-specific ``validate(ck)`` (e.g. the hash table_bits or the
     multi-k ``ks`` tuple).  Returns the loaded dict; callers read
-    ``file_offset`` / ``n_bases`` / ``arrays`` and re-seed their state."""
+    ``file_offset`` / ``n_bases`` / ``arrays`` and re-seed their state.
+
+    ``kind`` may be a tuple of accepted kinds — drivers whose checkpoint
+    formats interchange (flat vs sharded multi-k) accept each other's."""
+    kinds = (kind,) if isinstance(kind, str) else tuple(kind)
     ck = load_stream_checkpoint(resume_from)
-    if ck["kind"] != kind or (k is not None and ck["k"] != k):
+    if ck["kind"] not in kinds or (k is not None and ck["k"] != k):
         raise ValueError(
             f"checkpoint {str(resume_from)!r} is kind={ck['kind']} "
-            f"k={ck['k']}, expected kind={kind}"
+            f"k={ck['k']}, expected kind={'|'.join(kinds)}"
             + ("" if k is None else f" k={k}")
         )
     check_counting_meta(ck, resume_from, **meta_kwargs)

@@ -513,7 +513,7 @@ def sharded_count_file(
                 else batch.pad_reads_to(batch_size)
             )
             if packed:
-                acc.add(b.codes, b.lengths, vbits=b.vbits)
+                acc.add(b.codes, b.lengths, vbits=b.dense_vbits())
             else:
                 if quality_cutoff is not None and b.quals is None:
                     raise ValueError(

@@ -480,7 +480,7 @@ def sharded_multi_k_count_file(
             )
 
     ckpt_mode, ck = prepare_checkpoint_stream(
-        "sharded_multik",
+        ("sharded_multik", "multik"),
         checkpoint_every=checkpoint_every, checkpoint_path=checkpoint_path,
         resume_from=resume_from, host_workers=host_workers, bucketed=bucketed,
         validate=_check_ks, canonical=canonical, normalized=normalized,
@@ -548,7 +548,7 @@ def sharded_multi_k_count_file(
                 else batch.pad_reads_to(batch_size)
             )
             if packed:
-                acc.add(b.codes, b.lengths, vbits=b.vbits)
+                acc.add(b.codes, b.lengths, vbits=b.dense_vbits())
             else:
                 if quality_cutoff is not None and b.quals is None:
                     raise ValueError(

@@ -574,7 +574,7 @@ def sharded_hash_count_file(
                 else batch.pad_reads_to(batch_size)
             )
             if packed:
-                vb = b.vbits
+                vb = b.dense_vbits()
                 placed = place(
                     jnp.asarray(b.codes), jnp.asarray(b.lengths),
                     None if vb is None else jnp.asarray(vb),

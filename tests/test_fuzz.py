@@ -261,6 +261,23 @@ def test_fuzz_packed_transport_matches_ascii(tmp_path):
             oracle = PackedReadBatch.from_read_batch(a)
             assert np.array_equal(pk.lengths, a.lengths), (trial, bs)
             assert np.array_equal(pk.codes, oracle.codes), (trial, bs)
+            # validity shape (clean / dense / lean) must match the oracle
+            # exactly — both sides apply the same lean wire rule
             assert (pk.vbits is None) == (oracle.vbits is None), (trial, bs)
+            assert (pk.vrows is None) == (oracle.vrows is None), (trial, bs)
             if pk.vbits is not None:
                 assert np.array_equal(pk.vbits, oracle.vbits), (trial, bs)
+            if pk.vrows is not None:
+                assert np.array_equal(pk.vrow_idx, oracle.vrow_idx), (trial, bs)
+                assert np.array_equal(pk.vrows, oracle.vrows), (trial, bs)
+                # lean expands to the true dense plane on the in-length bits
+                from needletail_tpu.encoding import pack_codes_host
+
+                _, dense_true = pack_codes_host(a.seqs, a.lengths)
+                l = pk.max_len
+                got = np.unpackbits(
+                    pk.dense_vbits(), axis=1, bitorder="little"
+                )[:, :l]
+                want = np.unpackbits(dense_true, axis=1, bitorder="little")[:, :l]
+                in_len = np.arange(l)[None, :] < pk.lengths[:, None]
+                assert np.array_equal(got & in_len, want & in_len), (trial, bs)

@@ -42,9 +42,14 @@ class TestHostPacking:
             oracle = PackedReadBatch.from_read_batch(a)
             assert np.array_equal(p.codes, oracle.codes)
             assert np.array_equal(p.lengths, a.lengths)
+            # validity shape (clean / dense / lean) matches the oracle
             assert (p.vbits is None) == (oracle.vbits is None)
+            assert (p.vrows is None) == (oracle.vrows is None)
             if p.vbits is not None:
                 assert np.array_equal(p.vbits, oracle.vbits)
+            if p.vrows is not None:
+                assert np.array_equal(p.vrow_idx, oracle.vrow_idx)
+                assert np.array_equal(p.vrows, oracle.vrows)
 
     def test_clean_input_ships_no_vbits(self, tmp_path):
         p = tmp_path / "clean.fq"
@@ -58,7 +63,9 @@ class TestHostPacking:
         p = tmp_path / "dirty.fq"
         p.write_bytes(b"@r1\nACGTNNAC\n+\nIIIIIIII\n")
         (b,) = fast_read_batches(str(p), packed=True)
-        assert b.vbits is not None
+        # one dirty read out of one: the lean rule keeps the dense plane
+        # only when ragged rows would cost more; either way validity ships
+        assert b.vbits is not None or b.vrows is not None
         u = b.unpack_host()
         assert (u[0, 4:6] == 255).all()
         assert (u[0, :4] != 255).all()
@@ -134,8 +141,9 @@ class TestDeviceConsumers:
 
         (a,) = fast_read_batches(FQ, batch_size=4096)
         (p,) = fast_read_batches(FQ, batch_size=4096, packed=True)
+        vb = p.dense_vbits()
         dev = np.asarray(unpack_codes(jnp.asarray(p.codes),
-                                      jnp.asarray(p.vbits) if p.vbits is not None else None))
+                                      jnp.asarray(vb) if vb is not None else None))
         ref = np.asarray(encode_2bit(jnp.asarray(a.seqs)))
         in_len = np.arange(a.seqs.shape[1])[None, :] < a.lengths[:, None]
         assert np.array_equal(np.where(in_len, dev, 0), np.where(in_len, ref, 0))
@@ -149,9 +157,10 @@ class TestDeviceConsumers:
         (a,) = fast_read_batches(FA, batch_size=4096)
         (p,) = fast_read_batches(FA, batch_size=4096, packed=True)
         w1 = canonical_kmers(jnp.asarray(a.seqs), jnp.asarray(a.lengths), 21)
+        pvb = p.dense_vbits()
         codes = unpack_codes(
             jnp.asarray(p.codes),
-            jnp.asarray(p.vbits) if p.vbits is not None else None,
+            jnp.asarray(pvb) if pvb is not None else None,
         )
         w2 = canonical_kmers(codes, jnp.asarray(p.lengths), 21, precoded=True)
         assert np.array_equal(np.asarray(w1.valid), np.asarray(w2.valid))
@@ -174,9 +183,10 @@ class TestDeviceConsumers:
         k1, t1, f1 = canonical_hash_keys(
             jnp.asarray(a.seqs), jnp.asarray(a.lengths), 21, table_bits=16
         )
+        pvb = p.dense_vbits()
         k2, t2, f2 = canonical_hash_keys_packed(
             jnp.asarray(p.codes),
-            jnp.asarray(p.vbits) if p.vbits is not None else None,
+            jnp.asarray(pvb) if pvb is not None else None,
             jnp.asarray(p.lengths),
             21,
             table_bits=16,
@@ -184,6 +194,65 @@ class TestDeviceConsumers:
         assert int(t1) == int(t2) == 209_965
         assert int(f1) == int(f2) == 106_181
         assert np.array_equal(np.asarray(k1), np.asarray(k2))
+
+
+class TestLeanTransport:
+    """The VERDICT r4 #1 transport diet: ragged dirty-row validity planes
+    + narrow wire lengths, expanded on device, bit-identical to dense."""
+
+    def test_lean_wins_on_real_corpus(self):
+        (p,) = fast_read_batches(FQ, batch_size=2000, max_len=128, packed=True)
+        assert p.vbits is None and p.vrows is not None
+        assert p.vrow_idx.shape[0] == p.vrows.shape[0] < 16
+        # wire accounting: codes + u8 lengths + padded lean planes
+        assert p.wire_nbytes() < p.codes.nbytes + 2000 * 4 + 2000 * 16
+
+    def test_dense_wins_when_every_read_dirty(self, tmp_path):
+        f = tmp_path / "alln.fq"
+        f.write_bytes(b"@r\nNNNNNNNN\n+\nIIIIIIII\n" * 32)
+        (b,) = fast_read_batches(str(f), packed=True)
+        assert b.vrows is None and b.vbits is not None
+
+    def test_expand_vrows_matches_dense(self):
+        import jax.numpy as jnp
+
+        from needletail_tpu.batch import pad_vrow_planes
+        from needletail_tpu.device.ops import expand_vrows
+        from needletail_tpu.encoding import pack_codes_host
+
+        (a,) = fast_read_batches(FQ, batch_size=2000, max_len=128)
+        (p,) = fast_read_batches(FQ, batch_size=2000, max_len=128, packed=True)
+        assert p.vrows is not None
+        idx, rows = pad_vrow_planes(p.vrow_idx, p.vrows)
+        plane = np.asarray(
+            expand_vrows(jnp.asarray(idx), jnp.asarray(rows), p.num_reads)
+        )
+        _, dense = pack_codes_host(a.seqs, a.lengths)
+        got = np.unpackbits(plane, axis=1, bitorder="little")
+        want = np.unpackbits(dense, axis=1, bitorder="little")
+        in_len = np.arange(128)[None, :] < p.lengths[:, None]
+        assert np.array_equal(got & in_len, want & in_len)
+
+    def test_hash_count_file_lean_equals_dense_vbits_path(self, tmp_path):
+        """Force a dense-vbits stream (every read dirty) and a lean stream
+        (few dirty) of the same k-mer content; tables agree with ASCII."""
+        from needletail_tpu.device.pipeline import hash_count_file
+
+        r_ascii = hash_count_file(FQ, 21, batch_size=512, max_len=128,
+                                  packed=False, double_buffer=False)
+        r_lean = hash_count_file(FQ, 21, batch_size=512, max_len=128,
+                                 packed=True, double_buffer=False)
+        assert r_ascii[:3] == r_lean[:3]
+        assert np.array_equal(r_ascii[3], r_lean[3])
+
+    def test_wire_lengths_dtype(self):
+        from needletail_tpu.batch import length_wire_dtype
+
+        assert length_wire_dtype(128) == np.uint8
+        assert length_wire_dtype(255) == np.uint8
+        assert length_wire_dtype(256) == np.uint16
+        assert length_wire_dtype(65535) == np.uint16
+        assert length_wire_dtype(65536) == np.int32
 
 
 class TestDriverParity:
@@ -266,8 +335,9 @@ class TestWorkerTransport:
             for b in batches:
                 bases += b.num_bases
                 code_sum += int(b.codes.astype(np.int64).sum())
-                if b.vbits is not None:
-                    vb_sum += int(b.vbits.astype(np.int64).sum())
+                vb = b.dense_vbits()
+                if vb is not None:
+                    vb_sum += int(vb.astype(np.int64).sum())
             return bases, code_sum, vb_sum
 
         single = digest(
@@ -344,7 +414,8 @@ class TestShardedPacked:
         sa = step_a(
             init_a(), *place_a(jnp.asarray(pa.seqs), jnp.asarray(pa.lengths))
         )
-        vb = jnp.asarray(pp.vbits) if pp.vbits is not None else None
+        pvb = pp.dense_vbits()
+        vb = jnp.asarray(pvb) if pvb is not None else None
         sp = step_p(
             init_p(),
             *place_p(jnp.asarray(pp.codes), jnp.asarray(pp.lengths), vb),
