@@ -235,10 +235,6 @@ def _cmd_count(args) -> int:
             suffix=f" ({len(jax.devices())} devices)",
         )
         return 0
-    if len(ks) > 1 and any(v is not None for v in ckpt_kwargs.values()):
-        raise SystemExit(
-            "--checkpoint/--resume-from support a single k per stream"
-        )
     n_bases, spec = count_file(
         path,
         k=ks if len(ks) > 1 else ks[0],
@@ -247,7 +243,7 @@ def _cmd_count(args) -> int:
         sparse_format="arrays",
         quality_cutoff=args.quality_cutoff,
         host_workers=args.host_workers,
-        **({} if len(ks) > 1 else dict(meter=meter, **ckpt_kwargs)),
+        **(ckpt_kwargs if len(ks) > 1 else dict(meter=meter, **ckpt_kwargs)),
     )
     if len(ks) > 1:
         # single-pass multi-k: report per-k summaries, save all spectra
@@ -357,9 +353,20 @@ def _cmd_minimizers(args) -> int:
         from .parallel import make_mesh
 
         mesh = make_mesh(jax.devices(), data=len(jax.devices()), table=1)
+    meter = None
+    if getattr(args, "profile", False):
+        from .utils.profiling import ThroughputMeter
+
+        meter = ThroughputMeter()
     n_bases, (keys, counts) = minimizer_spectrum_file(
-        args.path, k=args.k, w=args.w, batch_size=args.batch_size, mesh=mesh
+        args.path, k=args.k, w=args.w, batch_size=args.batch_size, mesh=mesh,
+        meter=meter,
+        checkpoint_every=args.checkpoint_every,
+        checkpoint_path=args.checkpoint,
+        resume_from=args.resume_from,
     )
+    if meter is not None:
+        print(meter.report(), file=sys.stderr)
     print(
         f"# {n_bases} bases, {len(keys)} distinct ({args.w},{args.k})-minimizers, "
         f"{int(counts.sum())} winning windows",
@@ -557,6 +564,10 @@ def main(argv=None) -> int:
                         "(keys ascending; '-' = stdout)")
     p.add_argument("--sharded", action="store_true",
                    help="shard the sketch over every device")
+    p.add_argument("--profile", action="store_true",
+                   help="print per-stage throughput (frame/h2d/dispatch/"
+                        "drain/wall) to stderr")
+    _add_checkpoint_flags(p)
     p.set_defaults(fn=_cmd_minimizers)
 
     p = sub.add_parser(

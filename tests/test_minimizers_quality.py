@@ -147,6 +147,59 @@ class TestMinimizerSpectrumFile:
         n_bases, (keys, counts) = minimizer_spectrum_file(str(p), k=k, w=w, batch_size=8)
         assert dict(zip(keys.tolist(), counts.tolist())) == dict(host)
 
+    def test_packed_transport_matches_ascii(self, tmp_path):
+        """VERDICT r4 #4: the packed (2-bit wire) minimizer path is
+        bit-identical to the ASCII one, including N-dirty reads (lean or
+        dense validity)."""
+        from needletail_tpu.device.pipeline import minimizer_spectrum_file
+
+        rng = np.random.default_rng(17)
+        p = tmp_path / "m.fq"
+        with open(p, "wb") as f:
+            for i in range(60):
+                ln = int(rng.integers(5, 90))
+                seq = rng.choice(
+                    np.frombuffer(b"ACGTACGTN", np.uint8), ln
+                ).tobytes()
+                f.write(b"@r%d\n" % i + seq + b"\n+\n" + b"I" * ln + b"\n")
+        k, w = 11, 4
+        nb_a, (ka, ca) = minimizer_spectrum_file(
+            str(p), k=k, w=w, batch_size=16, packed=False
+        )
+        nb_p, (kp, cp) = minimizer_spectrum_file(
+            str(p), k=k, w=w, batch_size=16, packed=True
+        )
+        assert nb_a == nb_p
+        assert np.array_equal(ka, kp)
+        assert np.array_equal(ca, cp)
+
+    def test_meter_stages(self, data_dir):
+        """meter= attributes frame/h2d/dispatch/drain/wall stages."""
+        from needletail_tpu.device.pipeline import minimizer_spectrum_file
+        from needletail_tpu.utils.profiling import ThroughputMeter
+
+        meter = ThroughputMeter()
+        fa = str(data_dir / "28S.fasta")
+        nb, _ = minimizer_spectrum_file(
+            fa, k=9, w=5, batch_size=64, meter=meter
+        )
+        stages = meter.stages
+        assert {"frame", "h2d", "dispatch", "drain", "wall"} <= set(stages)
+        assert stages["wall"].items == nb
+
+    def test_packed_on_mesh_rejected(self, data_dir):
+        import jax
+
+        from needletail_tpu.device.pipeline import minimizer_spectrum_file
+        from needletail_tpu.parallel import make_mesh
+
+        mesh = make_mesh(jax.devices(), data=8, table=1)
+        with pytest.raises(ValueError, match="ASCII"):
+            minimizer_spectrum_file(
+                str(data_dir / "28S.fasta"), k=9, w=5, mesh=mesh,
+                packed=True,
+            )
+
     def test_sharded_matches_single_device(self, tmp_path, data_dir):
         """minimizer_spectrum_file(mesh=...) — per-chip sketches inside
         shard_map + host merge — equals the single-device run bit-for-bit

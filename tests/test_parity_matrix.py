@@ -113,6 +113,39 @@ def test_multi_k_matches(corpus):
     assert dict(zip(keys.tolist(), counts.tolist())) == _oracle(corpus, 17)
 
 
+def test_minimizer_transport_matrix(corpus):
+    """VERDICT r4 #4: the minimizer driver joins the matrix — packed and
+    ASCII transports produce one identical sketch on the adversarial
+    corpus (Ns, lowercase, CRLF, mixed lengths)."""
+    from needletail_tpu.device.pipeline import minimizer_spectrum_file
+
+    outs = {}
+    for packed in (False, True):
+        nb, (keys, counts) = minimizer_spectrum_file(
+            corpus["plain"], k=11, w=5, batch_size=256, packed=packed
+        )
+        outs[packed] = (nb, keys, counts)
+    assert outs[False][0] == outs[True][0]
+    assert np.array_equal(outs[False][1], outs[True][1])
+    assert np.array_equal(outs[False][2], outs[True][2])
+
+
+def test_multi_k_checkpointed_matches(corpus, tmp_path):
+    """Checkpointing the fused multi-k stream doesn't perturb results."""
+    ref_n, ref = count_file(
+        corpus["plain"], k=(7, 17), sparse_format="arrays", batch_size=256
+    )
+    n, spectra = count_file(
+        corpus["plain"], k=(7, 17), sparse_format="arrays", batch_size=256,
+        checkpoint_every=2, checkpoint_path=str(tmp_path / "mk.npz"),
+        host_workers=1,
+    )
+    assert n == ref_n
+    assert np.array_equal(spectra[7], ref[7])
+    assert np.array_equal(spectra[17][0], ref[17][0])
+    assert np.array_equal(spectra[17][1], ref[17][1])
+
+
 def test_tiled_long_record(tmp_path):
     """(k-1)-halo tiling on one long record equals the window-free oracle."""
     import needletail_tpu.sequence as seqops
