@@ -8,11 +8,19 @@ the benches double as correctness tests, exactly like the reference.
 """
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+if os.environ.get("JAX_PLATFORMS"):
+    # honor the caller's platform choice even under sitecustomize hooks
+    # that pin a different backend at interpreter startup
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 KMER_FILE = "tests/data/28S.fasta"  # 570 records, 738,580 bases
 FASTQ_FILE = "tests/data/PRJNA271013_head.fq"  # 2,000 reads, 250,000 bases
@@ -407,8 +415,33 @@ def main() -> None:
         "--no-competitors", action="store_true",
         help="skip the head-to-head section",
     )
+    ap.add_argument(
+        "--json", metavar="PATH", default=None,
+        help="write a machine-readable per-lane record (HEADTOHEAD_rNN.json "
+        "schema: lane/kind/reps/best_s/bases/bases_per_sec/golden_assert, "
+        "plus competitors_missing) — VERDICT r4 #5",
+    )
     args = ap.parse_args()
     reps = 2 if args.quick else 5
+    records = []
+
+    def run_lane(name, fn, bases, kind):
+        try:
+            dt = fn(reps)
+        except AssertionError as exc:
+            print(f"{name:45}   GOLDEN ASSERT FAILED: {exc}")
+            records.append({
+                "lane": name, "kind": kind, "reps": reps,
+                "golden_assert": "failed", "error": str(exc),
+            })
+            return
+        print(f"{name:45} {dt*1e3:8.1f}ms {bases/dt/1e6:10.1f} Mb/s")
+        records.append({
+            "lane": name, "kind": kind, "reps": reps,
+            "best_s": round(dt, 6), "bases": bases,
+            "bases_per_sec": round(bases / dt, 1),
+            "golden_assert": "passed",
+        })
 
     groups = [
         ("kmers/31mer canonical (host byte-slice)", bench_kmers_host_slice, GOLD_FASTA_BASES),
@@ -423,24 +456,46 @@ def main() -> None:
     ]
     print(f"{'benchmark':45} {'best':>10} {'throughput':>14}")
     for name, fn, bases in groups:
-        dt = fn(reps)
-        print(f"{name:45} {dt*1e3:8.1f}ms {bases/dt/1e6:10.1f} Mb/s")
+        run_lane(name, fn, bases, kind="ours")
 
-    if args.no_competitors:
-        return
-    lanes, missing = _competitor_lanes()
-    lanes += [
-        ("fastq/parse (naive pure Python)", bench_naive_python_fastq, GOLD_FASTQ_BASES),
-        ("kmers/31mer canonical (naive pure Python)", bench_naive_python_kmers, GOLD_FASTA_BASES),
-    ]
-    print("\nhead-to-head (same corpora, same golden asserts; "
-          "ref benchmark.rs:74-183 discipline)")
-    for name, fn, bases in lanes:
-        dt = fn(reps)
-        print(f"{name:45} {dt*1e3:8.1f}ms {bases/dt/1e6:10.1f} Mb/s")
-    for lib in missing:
-        print(f"{'fastx/parse (' + lib + ')':45}   not installed "
-              "(zero-egress env; CI installs it)")
+    missing = []
+    if not args.no_competitors:
+        lanes, missing = _competitor_lanes()
+        print("\nhead-to-head (same corpora, same golden asserts; "
+              "ref benchmark.rs:74-183 discipline)")
+        for name, fn, bases in lanes:
+            run_lane(name, fn, bases, kind="competitor")
+        for name, fn, bases in [
+            ("fastq/parse (naive pure Python)", bench_naive_python_fastq, GOLD_FASTQ_BASES),
+            ("kmers/31mer canonical (naive pure Python)", bench_naive_python_kmers, GOLD_FASTA_BASES),
+        ]:
+            run_lane(name, fn, bases, kind="naive-python")
+        for lib in missing:
+            print(f"{'fastx/parse (' + lib + ')':45}   not installed "
+                  "(zero-egress env; CI installs it)")
+
+    if args.json:
+        import json
+        import platform
+
+        import jax
+
+        artifact = {
+            "schema": "headtohead-v1",
+            "reps": reps,
+            "backend": jax.default_backend(),
+            "python": platform.python_version(),
+            "corpora": {
+                "fasta": {"file": KMER_FILE, "bases": GOLD_FASTA_BASES},
+                "fastq": {"file": FASTQ_FILE, "bases": GOLD_FASTQ_BASES},
+            },
+            "lanes": records,
+            "competitors_missing": missing,
+        }
+        with open(args.json, "w") as f:
+            json.dump(artifact, f, indent=1)
+            f.write("\n")
+        print(f"\nwrote {args.json}")
 
 
 if __name__ == "__main__":
