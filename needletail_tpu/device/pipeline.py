@@ -9,7 +9,7 @@ complement, canonical k-mers, tally.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Dict, Optional, Tuple, Union
 
 import jax
@@ -76,6 +76,221 @@ def canonical_match_count(
 @jax.jit
 def base_count(lengths: jax.Array) -> jax.Array:
     return jnp.sum(lengths.astype(jnp.int64 if jax.config.jax_enable_x64 else jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Memoized per-config jitted steps.
+#
+# The file drivers are called many times per process (bench loops, resumed
+# streams, multi-file corpora).  A ``@jax.jit`` defined INSIDE the driver is
+# a fresh closure per call, so jit's trace cache never hits: every driver
+# invocation re-traced + re-lowered the Pallas step (measured 1.2-1.7 s per
+# call on v5e — for the 64M-base e2e stream that overhead exceeded the
+# entire framing + transfer + compute budget).  Each factory below caches
+# the compiled step on its static config; jit then specializes per batch
+# shape as usual.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _count_step_fns(
+    k: int,
+    packed: bool,
+    canonical: bool,
+    normalized: bool,
+    qthresh: Optional[int],
+    use_pallas_keys: bool,
+):
+    """(accumulate, keys) pair for :func:`count_file`.
+
+    ``qthresh`` is ``phred_offset + quality_cutoff`` (or None: no quality
+    masking); ``use_pallas_keys`` routes the fused TPU key-plane kernel.
+    """
+    narrow_keys = k <= 15
+    from ..utils.limbs import acc64
+
+    def _windows(seqs, lengths, quals, vbits):
+        if packed:
+            from .ops import unpack_codes
+
+            seqs = unpack_codes(seqs, vbits)
+        if quals is not None:
+            from .ops import quality_mask
+
+            seqs = quality_mask(seqs, quals, jnp.int32(qthresh))
+        fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
+        return fn(seqs, lengths, k, normalized=normalized, precoded=packed)
+
+    def _resolve(seqs, lengths, vbits, vrow_idx, vrows):
+        from .ops import resolve_vbits
+
+        return (
+            lengths.astype(jnp.int32),
+            resolve_vbits(vbits, vrow_idx, vrows, seqs.shape[0]),
+        )
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def accumulate(
+        table_lo, table_hi, seqs, lengths, quals, vbits, vrow_idx, vrows
+    ):
+        lengths, vbits = _resolve(seqs, lengths, vbits, vrow_idx, vrows)
+        spec = _count.dense_spectrum(_windows(seqs, lengths, quals, vbits), k)
+        return acc64(table_lo, table_hi, spec)
+
+    @jax.jit
+    def keys(seqs, lengths, quals, vbits, vrow_idx, vrows):
+        lengths, vbits = _resolve(seqs, lengths, vbits, vrow_idx, vrows)
+        if use_pallas_keys:
+            from .pallas_kernels import (
+                canonical_key_planes,
+                canonical_key_planes_packed,
+            )
+
+            if packed:
+                khi, klo, _, _ = canonical_key_planes_packed(
+                    seqs, vbits, lengths, k
+                )
+            else:
+                khi, klo, _, _ = canonical_key_planes(
+                    seqs, lengths, k, normalized=normalized
+                )
+            # windows only exist at positions [0, L-k+1); later lanes are
+            # sentinel anyway — slicing them off shrinks the sort
+            w = khi.shape[1] - k + 1
+            hi = None if narrow_keys else khi[:, :w].reshape(-1)
+            return hi, klo[:, :w].reshape(-1)
+        hi, lo = _count.mask_keys(_windows(seqs, lengths, quals, vbits))
+        return (None if narrow_keys else hi), lo
+
+    return accumulate, keys
+
+
+@lru_cache(maxsize=None)
+def _hash_step_fn(k: int, table_bits: int, packed: bool, normalized: bool):
+    """Fused hash-count step for :func:`hash_count_file`."""
+    from .pallas_kernels import (
+        canonical_hash_keys,
+        canonical_hash_keys_packed,
+        mxu_histogram16,
+    )
+    from ..utils.limbs import acc64
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step(table_lo, table_hi, tallies, seqs, lengths, vbits, vrow_idx, vrows):
+        # the wire ships the narrowest length dtype (u8/u16) and, for dirty
+        # batches, ragged validity rows; both widen on device for free
+        lengths = lengths.astype(jnp.int32)
+        if packed:
+            from .ops import resolve_vbits
+
+            vb = resolve_vbits(vbits, vrow_idx, vrows, seqs.shape[0])
+            keys, t, f = canonical_hash_keys_packed(
+                seqs, vb, lengths, k, table_bits=table_bits
+            )
+        else:
+            keys, t, f = canonical_hash_keys(
+                seqs, lengths, k, table_bits=table_bits, normalized=normalized
+            )
+        t_lo, t_hi = acc64(tallies[0], tallies[1], t)
+        f_lo, f_hi = acc64(tallies[2], tallies[3], f)
+        inc = mxu_histogram16(keys, None)[: 1 << table_bits]
+        lo, hi = acc64(table_lo, table_hi, inc)
+        return lo, hi, jnp.stack([t_lo, t_hi, f_lo, f_hi])
+
+    return step
+
+
+@lru_cache(maxsize=None)
+def _multi_k_step_fn(
+    ks: Tuple[int, ...],
+    packed: bool,
+    canonical: bool,
+    normalized: bool,
+    qthresh: Optional[int],
+):
+    """Per-batch multi-k step for :func:`multi_k_count_file`."""
+    from ..utils.limbs import acc64
+
+    mxu_dense_ks = tuple(k for k in ks if k <= _count.MXU_DENSE_K)
+
+    def _windows(seqs, lengths, quals, k):
+        if quals is not None:
+            from .ops import quality_mask
+
+            seqs = quality_mask(seqs, quals, jnp.int32(qthresh))
+        fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
+        return fn(seqs, lengths, k, normalized=normalized, precoded=packed)
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnames=("active",))
+    def step(dense_limbs, seqs, lengths, quals, vbits, vrow_idx, vrows, active):
+        lengths = lengths.astype(jnp.int32)
+        if packed:
+            from .ops import resolve_vbits, unpack_codes
+
+            vbits = resolve_vbits(vbits, vrow_idx, vrows, seqs.shape[0])
+            # one unpack shared by every k (XLA CSEs the common prefix)
+            seqs = unpack_codes(seqs, vbits)
+        new_dense = dict(dense_limbs)
+        sparse_keys = {}
+        for k in active:
+            win = _windows(seqs, lengths, quals, k)
+            if k in mxu_dense_ks:
+                lo, hi = dense_limbs[k]
+                new_dense[k] = acc64(lo, hi, _count.dense_spectrum(win, k))
+            else:
+                khi, klo = _count.mask_keys(win)
+                # k <= 15 keys fit one uint32: single-key flush sort
+                sparse_keys[k] = ((None if k <= 15 else khi), klo)
+        return new_dense, sparse_keys
+
+    return step
+
+
+@lru_cache(maxsize=None)
+def _minimizer_keys_fn(k: int, w: int, packed: bool, normalized: bool):
+    """Window-minimizer key extraction for :func:`minimizer_spectrum_file`."""
+    from . import minimizers as _minimizers
+
+    @jax.jit
+    def keys(seqs, lengths, vbits, vrow_idx, vrows):
+        lengths = lengths.astype(jnp.int32)
+        if packed:
+            from .ops import resolve_vbits, unpack_codes
+
+            seqs = unpack_codes(
+                seqs, resolve_vbits(vbits, vrow_idx, vrows, seqs.shape[0])
+            )
+        win = _minimizers.window_minimizers(
+            seqs, lengths, k, w, normalized=normalized, precoded=packed
+        )
+        hi, lo = _count.mask_keys(win)
+        return (None if k <= 15 else hi), lo
+
+    return keys
+
+
+@lru_cache(maxsize=None)
+def _mean_quality_fn(phred_offset: int):
+    from .quality import mean_quality
+
+    @jax.jit
+    def means(quals, lengths):
+        return mean_quality(quals, lengths, jnp.int32(phred_offset))
+
+    return means
+
+
+@partial(jax.jit, static_argnames=("ks", "canonical", "normalized"))
+def _multi_k_tally_run(seqs, lengths, ks, canonical, normalized):
+    out = {}
+    fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
+    for k in ks:
+        win = fn(seqs, lengths, k, normalized=normalized)
+        out[k] = (
+            _count.valid_count(win),
+            _count.forward_count(win),
+        )
+    return out
 
 
 def count_file(
@@ -192,71 +407,26 @@ def count_file(
     densify_after = dense and k > _count.MXU_DENSE_K
     accumulate_dense = dense and not densify_after
 
-    def _windows(seqs, lengths, quals, vbits):
-        if packed:
-            from .ops import unpack_codes
-
-            seqs = unpack_codes(seqs, vbits)
-        if quals is not None:
-            from .ops import quality_mask
-
-            seqs = quality_mask(
-                seqs, quals, jnp.int32(phred_offset + quality_cutoff)
-            )
-        fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
-        return fn(seqs, lengths, k, normalized=normalized, precoded=packed)
-
-    def _resolve(seqs, lengths, vbits, vrow_idx, vrows):
-        from .ops import resolve_vbits
-
-        return (
-            lengths.astype(jnp.int32),
-            resolve_vbits(vbits, vrow_idx, vrows, seqs.shape[0]),
-        )
-
-    @partial(jax.jit, donate_argnums=(0, 1), static_argnums=())
-    def _accumulate(table_lo, table_hi, seqs, lengths, quals, vbits, vrow_idx, vrows):
-        lengths, vbits = _resolve(seqs, lengths, vbits, vrow_idx, vrows)
-        spec = _count.dense_spectrum(_windows(seqs, lengths, quals, vbits), k)
-        return acc64(table_lo, table_hi, spec)
-
     # EXACT extraction: on TPU the fused Pallas key-plane kernel replaces
     # the XLA encode+ladder composition (~3x; same sentinel-masked keys).
+    # keys for k <= 15 fit one uint32 (2k <= 30 bits, below the sentinel):
+    # the factory drops the hi plane so the flush sort runs single-key
+    # (~3.2 vs ~5.0 ns/lane) and the compaction cascade carries 8 value
+    # planes, not 12.  Steps come from the memoized factory — a fresh
+    # in-driver jit would re-trace on every call (see _count_step_fns).
     use_pallas_keys = (
         canonical
         and quality_cutoff is None
         and jax.default_backend() == "tpu"
     )
-
-    # keys for k <= 15 fit one uint32 (2k <= 30 bits, below the sentinel):
-    # drop the hi plane so the flush sort runs single-key (~3.2 vs ~5.0
-    # ns/lane) and the compaction cascade carries 8 value planes, not 12
-    narrow_keys = k <= 15
-
-    @jax.jit
-    def _keys(seqs, lengths, quals, vbits, vrow_idx, vrows):
-        lengths, vbits = _resolve(seqs, lengths, vbits, vrow_idx, vrows)
-        if use_pallas_keys:
-            from .pallas_kernels import (
-                canonical_key_planes,
-                canonical_key_planes_packed,
-            )
-
-            if packed:
-                khi, klo, _, _ = canonical_key_planes_packed(
-                    seqs, vbits, lengths, k
-                )
-            else:
-                khi, klo, _, _ = canonical_key_planes(
-                    seqs, lengths, k, normalized=normalized
-                )
-            # windows only exist at positions [0, L-k+1); later lanes are
-            # sentinel anyway — slicing them off shrinks the sort
-            w = khi.shape[1] - k + 1
-            hi = None if narrow_keys else khi[:, :w].reshape(-1)
-            return hi, klo[:, :w].reshape(-1)
-        hi, lo = _count.mask_keys(_windows(seqs, lengths, quals, vbits))
-        return (None if narrow_keys else hi), lo
+    _accumulate, _keys = _count_step_fns(
+        k,
+        packed,
+        canonical,
+        normalized,
+        None if quality_cutoff is None else phred_offset + quality_cutoff,
+        use_pallas_keys,
+    )
 
     from ..parallel.checkpoint import (
         checkpoint_source,
@@ -443,19 +613,7 @@ def multi_k_tally(
     Returns {k: (total_valid, forward_count)}.
     """
 
-    @partial(jax.jit, static_argnames=("ks", "canonical", "normalized"))
-    def run(seqs, lengths, ks, canonical, normalized):
-        out = {}
-        fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
-        for k in ks:
-            win = fn(seqs, lengths, k, normalized=normalized)
-            out[k] = (
-                _count.valid_count(win),
-                _count.forward_count(win),
-            )
-        return out
-
-    return run(seqs, lengths, tuple(ks), canonical, normalized)
+    return _multi_k_tally_run(seqs, lengths, tuple(ks), canonical, normalized)
 
 
 def _quantize_max_len(max_len: Optional[int]) -> Optional[int]:
@@ -645,37 +803,13 @@ def multi_k_count_file(
     densify_ks = tuple(k for k in dense_ks if k > _count.MXU_DENSE_K)
     acc_sparse_ks = densify_ks + sparse_ks
 
-    def _windows(seqs, lengths, quals, k):
-        if quals is not None:
-            from .ops import quality_mask
-
-            seqs = quality_mask(
-                seqs, quals, jnp.int32(phred_offset + (quality_cutoff or 0))
-            )
-        fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
-        return fn(seqs, lengths, k, normalized=normalized, precoded=packed)
-
-    @partial(jax.jit, donate_argnums=(0,), static_argnames=("active",))
-    def _step(dense_limbs, seqs, lengths, quals, vbits, vrow_idx, vrows, active):
-        lengths = lengths.astype(jnp.int32)
-        if packed:
-            from .ops import resolve_vbits, unpack_codes
-
-            vbits = resolve_vbits(vbits, vrow_idx, vrows, seqs.shape[0])
-            # one unpack shared by every k (XLA CSEs the common prefix)
-            seqs = unpack_codes(seqs, vbits)
-        new_dense = dict(dense_limbs)
-        sparse_keys = {}
-        for k in active:
-            win = _windows(seqs, lengths, quals, k)
-            if k in mxu_dense_ks:
-                lo, hi = dense_limbs[k]
-                new_dense[k] = acc64(lo, hi, _count.dense_spectrum(win, k))
-            else:
-                khi, klo = _count.mask_keys(win)
-                # k <= 15 keys fit one uint32: single-key flush sort
-                sparse_keys[k] = ((None if k <= 15 else khi), klo)
-        return new_dense, sparse_keys
+    _step = _multi_k_step_fn(
+        ks,
+        packed,
+        canonical,
+        normalized,
+        phred_offset + (quality_cutoff or 0) if quality_cutoff is not None else None,
+    )
 
     dense_limbs = {
         k: (jnp.zeros(4**k, jnp.uint32), jnp.zeros(4**k, jnp.uint32))
@@ -889,16 +1023,10 @@ def hash_count_file(
 
     import jax
 
-    from .pallas_kernels import (
-        canonical_hash_keys,
-        canonical_hash_keys_packed,
-        mxu_histogram16,
-    )
-
     if table_bits > 16:
         raise ValueError("the MXU histogram shard is 2^16 bins; table_bits <= 16")
 
-    from ..utils.limbs import acc64, limbs_to_int
+    from ..utils.limbs import limbs_to_int
 
     from ..parallel.checkpoint import (
         checkpoint_source,
@@ -922,27 +1050,8 @@ def hash_count_file(
         start_offset = resume_state["file_offset"]
         resume_bases = resume_state["n_bases"]
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step(table_lo, table_hi, tallies, seqs, lengths, vbits, vrow_idx, vrows):
-        # the wire ships the narrowest length dtype (u8/u16) and, for dirty
-        # batches, ragged validity rows; both widen on device for free
-        lengths = lengths.astype(jnp.int32)
-        if packed:
-            from .ops import resolve_vbits
-
-            vb = resolve_vbits(vbits, vrow_idx, vrows, seqs.shape[0])
-            keys, t, f = canonical_hash_keys_packed(
-                seqs, vb, lengths, k, table_bits=table_bits
-            )
-        else:
-            keys, t, f = canonical_hash_keys(
-                seqs, lengths, k, table_bits=table_bits, normalized=normalized
-            )
-        t_lo, t_hi = acc64(tallies[0], tallies[1], t)
-        f_lo, f_hi = acc64(tallies[2], tallies[3], f)
-        inc = mxu_histogram16(keys, None)[: 1 << table_bits]
-        lo, hi = acc64(table_lo, table_hi, inc)
-        return lo, hi, jnp.stack([t_lo, t_hi, f_lo, f_hi])
+    # memoized: a fresh in-driver jit re-traces per call (see _hash_step_fn)
+    step = _hash_step_fn(k, table_bits, packed, normalized)
 
     table_lo = jnp.zeros((1 << table_bits,), jnp.uint32)
     table_hi = jnp.zeros((1 << table_bits,), jnp.uint32)
@@ -1297,20 +1406,8 @@ def minimizer_spectrum_file(
             return n_bases, _count.spectrum_arrays_to_dict(keys, counts)
         return n_bases, (keys, counts)
 
-    @jax.jit
-    def _keys(seqs, lengths, vbits, vrow_idx, vrows):
-        lengths = lengths.astype(jnp.int32)
-        if packed:
-            from .ops import resolve_vbits, unpack_codes
-
-            seqs = unpack_codes(
-                seqs, resolve_vbits(vbits, vrow_idx, vrows, seqs.shape[0])
-            )
-        win = _minimizers.window_minimizers(
-            seqs, lengths, k, w, normalized=normalized, precoded=packed
-        )
-        hi, lo = _count.mask_keys(win)
-        return (None if k <= 15 else hi), lo
+    # memoized: a fresh in-driver jit re-traces per call (see _minimizer_keys_fn)
+    _keys = _minimizer_keys_fn(k, w, packed, normalized)
 
     from ..batch import length_wire_dtype, pad_vrow_planes
 
@@ -1387,13 +1484,7 @@ def quality_filter_file(
     records write back out with the reference round-trip writer.  Returns
     ``(n_reads_in, n_reads_kept)``.
     """
-    import jax
-
-    from .quality import mean_quality
-
-    @jax.jit
-    def _means(quals, lengths):
-        return mean_quality(quals, lengths, jnp.int32(phred_offset))
+    _means = _mean_quality_fn(phred_offset)
 
     n_in = n_kept = 0
     with open(out_path, "wb") as out:

@@ -225,7 +225,32 @@ def make_tile_key_fn(
     for narrow (k <= 15) keys.  Feed the outputs to
     ``count.SparseSpectrumAccumulator`` / ``count.finalize_sparse_device``
     exactly as ``genome_spectrum`` does.
+
+    Memoized on the full static config (including the backend): returning
+    a fresh jitted closure per call would re-trace the Pallas extraction
+    on every ``genome_spectrum`` invocation (~1.5 s on v5e).
     """
+    import jax
+
+    return _tile_key_fn_cached(
+        k, tile_len, packed, canonical, normalized, dense,
+        jax.default_backend(),
+    )
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _tile_key_fn_cached(
+    k: int,
+    tile_len: int,
+    packed: bool,
+    canonical: bool,
+    normalized: bool,
+    dense: bool,
+    backend: str,
+):
     import jax
     import jax.numpy as jnp
 
@@ -234,9 +259,7 @@ def make_tile_key_fn(
     # EXACT extraction: the fused Pallas key-plane kernel replaces the XLA
     # encode+ladder composition on TPU (~3x; same sentinel-masked keys) —
     # the same routing count_file uses (device/pipeline.py:220-251)
-    use_pallas_keys = (
-        canonical and not dense and jax.default_backend() == "tpu"
-    )
+    use_pallas_keys = canonical and not dense and backend == "tpu"
     narrow_keys = k <= 15
     fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
 
@@ -276,6 +299,30 @@ def make_tile_key_fn(
         return (None if narrow_keys else hi.reshape(-1)), lo.reshape(-1)
 
     return _keys
+
+
+@_lru_cache(maxsize=None)
+def _dense_tile_spec_fn(k: int, packed: bool, canonical: bool, normalized: bool):
+    """Memoized dense per-tile spectrum step of :func:`genome_spectrum`."""
+    import jax
+    import jax.numpy as jnp  # noqa: F401 — traced body below
+
+    from . import count as _count
+    from . import kmers as _kmers
+
+    fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
+
+    @jax.jit
+    def _dense_spec(tiles, lengths, vbits):
+        seqs = tiles
+        if packed:
+            from .ops import unpack_codes
+
+            seqs = unpack_codes(tiles, vbits)
+        win = fn(seqs, lengths, k, normalized=normalized, precoded=packed)
+        return _count.dense_spectrum(win, k)
+
+    return _dense_spec
 
 
 def genome_spectrum(
@@ -370,17 +417,7 @@ def genome_spectrum(
         k, tile_len, packed=packed, canonical=canonical,
         normalized=normalized, dense=dense,
     )
-    fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
-
-    @jax.jit
-    def _dense_spec(tiles, lengths, vbits):
-        seqs = tiles
-        if packed:
-            from .ops import unpack_codes
-
-            seqs = unpack_codes(tiles, vbits)
-        win = fn(seqs, lengths, k, normalized=normalized, precoded=packed)
-        return _count.dense_spectrum(win, k)
+    _dense_spec = _dense_tile_spec_fn(k, packed, canonical, normalized)
 
     from ..utils.limbs import acc64
 
