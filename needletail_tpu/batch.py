@@ -16,7 +16,7 @@ per batch.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Iterator, List, Optional, Sequence, Union
+from typing import Iterator, List, NamedTuple, Optional, Sequence, Union
 
 import numpy as np
 
@@ -30,6 +30,7 @@ __all__ = [
     "LazyIds",
     "length_wire_dtype",
     "pad_vrow_planes",
+    "WireLayout",
 ]
 
 
@@ -63,6 +64,48 @@ def pad_vrow_planes(vrow_idx: np.ndarray, vrows: np.ndarray):
     rows = np.zeros((cap, vrows.shape[1]), dtype=np.uint8)
     rows[:d] = vrows
     return idx, rows
+
+
+class WireLayout(NamedTuple):
+    """Static section map of a coalesced one-buffer batch transport.
+
+    The packed counting drivers ship each batch as ONE contiguous uint8
+    buffer (one PJRT transfer instead of 4-5 — each separate ``device_put``
+    costs host-side dispatch + a transfer round trip, which dominates the
+    e2e wall on latency-bound links).  Sections, in order:
+
+      codes [B*l4] | validity | lengths [B*len_size] | vrow_idx [vcap*4]
+
+    where validity is dense ``[B*l8]`` (vmode=1), lean rows ``[vcap*l8]``
+    (vmode=2) or empty (vmode=0 — clean batch), lengths ride the narrowest
+    dtype little-endian, and lean row indices ride int32 little-endian.
+    The tuple is hashable: jitted steps take it as a static argument and
+    slice sections in-program (fused by XLA; no extra HBM pass).
+    """
+
+    num_reads: int
+    l4: int  # codes columns (max_len / 4)
+    l8: int  # validity columns (0 when vmode == 0)
+    len_size: int  # bytes per length entry (1 / 2 / 4)
+    vcap: int  # padded lean row count (vmode == 2), else 0
+    vmode: int  # 0 = clean, 1 = dense vbits, 2 = lean rows
+
+    @property
+    def codes_end(self) -> int:
+        return self.num_reads * self.l4
+
+    @property
+    def val_end(self) -> int:
+        rows = self.num_reads if self.vmode == 1 else self.vcap
+        return self.codes_end + (rows * self.l8 if self.vmode else 0)
+
+    @property
+    def len_end(self) -> int:
+        return self.val_end + self.num_reads * self.len_size
+
+    @property
+    def nbytes(self) -> int:
+        return self.len_end + (self.vcap * 4 if self.vmode == 2 else 0)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -363,6 +406,49 @@ class PackedReadBatch:
             )
             out[pad] = 255
         return out
+
+    def wire_frame(self, batch_size: int) -> "tuple[np.ndarray, WireLayout]":
+        """Coalesce this batch into ONE contiguous uint8 wire buffer plus
+        its static :class:`WireLayout` (see that class for the section
+        map).  Read-dimension padding up to ``batch_size`` is folded into
+        the buffer fill (padded rows are all-zero codes with length 0), so
+        the short final batch costs no extra plane copies."""
+        n = self.num_reads
+        if n > batch_size:
+            raise ValueError(f"batch {n} > wire batch_size {batch_size}")
+        l4 = int(self.codes.shape[1])
+        if self.vbits is not None:
+            vmode, l8, vcap = 1, int(self.vbits.shape[1]), 0
+        elif self.vrows is not None:
+            d = int(self.vrow_idx.shape[0])
+            vmode, l8 = 2, int(self.vrows.shape[1])
+            vcap = 8 if d <= 8 else 1 << (d - 1).bit_length()
+        else:
+            vmode, l8, vcap = 0, 0, 0
+        ldt = length_wire_dtype(self.max_len)
+        layout = WireLayout(
+            batch_size, l4, l8, np.dtype(ldt).itemsize, vcap, vmode
+        )
+        buf = np.zeros(layout.nbytes, dtype=np.uint8)
+        buf[: n * l4] = self.codes.reshape(-1)
+        o = layout.codes_end
+        if vmode == 1:
+            buf[o : o + n * l8] = self.vbits.reshape(-1)
+        elif vmode == 2:
+            d = int(self.vrow_idx.shape[0])
+            buf[o : o + d * l8] = self.vrows.reshape(-1)
+        o = layout.val_end
+        # explicit little-endian: the device side recomposes from byte
+        # planes, so the wire bytes must not depend on host endianness
+        lens = np.ascontiguousarray(
+            self.lengths[:n].astype(np.dtype(ldt).newbyteorder("<"), copy=False)
+        )
+        buf[o : o + lens.nbytes] = lens.view(np.uint8)
+        if vmode == 2:
+            idx = np.full(vcap, VROW_PAD_INDEX, dtype="<i4")
+            idx[:d] = self.vrow_idx
+            buf[layout.len_end :] = idx.view(np.uint8)
+        return buf, layout
 
     def pad_reads_to(self, n: int) -> "PackedReadBatch":
         """Zero-pad the read dimension up to ``n`` (for even sharding)."""

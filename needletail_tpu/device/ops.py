@@ -149,6 +149,44 @@ def resolve_vbits(
     return vbits
 
 
+def _compose_le(bytes2d: jax.Array) -> jax.Array:
+    """Little-endian int32 from a [N, size] uint8 byte-plane slice —
+    endian-independent (explicit shifts, no bitcast)."""
+    w = bytes2d.astype(jnp.int32)
+    out = w[:, 0]
+    for i in range(1, bytes2d.shape[1]):
+        out = out | (w[:, i] << (8 * i))
+    return out
+
+
+def unwire(wire: jax.Array, layout) -> tuple:
+    """Split a coalesced one-buffer batch transport back into its planes,
+    in-program (see :class:`needletail_tpu.batch.WireLayout` for the wire
+    contract).  Returns ``(codes, lengths_i32, vbits, vrow_idx, vrows)``
+    with the same None-conventions as the multi-array transport; slices
+    are static so XLA fuses them into the consuming kernels."""
+    b, l4, l8, len_size, vcap, vmode = (
+        layout.num_reads, layout.l4, layout.l8,
+        layout.len_size, layout.vcap, layout.vmode,
+    )
+    codes = wire[: b * l4].reshape(b, l4)
+    o = layout.codes_end
+    vbits = vrow_idx = vrows = None
+    if vmode == 1:
+        vbits = wire[o : o + b * l8].reshape(b, l8)
+    elif vmode == 2:
+        vrows = wire[o : o + vcap * l8].reshape(vcap, l8)
+    o = layout.val_end
+    if len_size == 1:
+        lengths = wire[o : o + b].astype(jnp.int32)
+    else:
+        lengths = _compose_le(wire[o : o + b * len_size].reshape(b, len_size))
+    if vmode == 2:
+        o = layout.len_end
+        vrow_idx = _compose_le(wire[o : o + vcap * 4].reshape(vcap, 4))
+    return codes, lengths, vbits, vrow_idx, vrows
+
+
 @partial(jax.jit, static_argnames=("normalized",))
 def encode_2bit(seqs: jax.Array, normalized: bool = True) -> jax.Array:
     """Map bytes to 2-bit codes (A=0 C=1 G=2 T=3; 255 = invalid).

@@ -254,6 +254,59 @@ class TestLeanTransport:
         assert length_wire_dtype(65535) == np.uint16
         assert length_wire_dtype(65536) == np.int32
 
+    def _roundtrip(self, p, batch_size):
+        """wire_frame -> unwire -> resolve must reproduce codes, lengths
+        and the dense validity plane (in-length bits) of the batch."""
+        import jax.numpy as jnp
+
+        from needletail_tpu.device.ops import resolve_vbits, unwire
+
+        buf, layout = p.wire_frame(batch_size)
+        assert buf.nbytes == layout.nbytes
+        codes, lengths, vbits, vidx, vrows = unwire(jnp.asarray(buf), layout)
+        assert codes.shape == (batch_size, p.codes.shape[1])
+        assert np.array_equal(np.asarray(codes)[: p.num_reads], p.codes)
+        got_len = np.asarray(lengths)
+        assert got_len.dtype == np.int32
+        assert np.array_equal(got_len[: p.num_reads], p.lengths)
+        assert not got_len[p.num_reads :].any()
+        plane = resolve_vbits(vbits, vidx, vrows, batch_size)
+        want = p.dense_vbits()
+        if want is None:
+            assert plane is None
+            return
+        got = np.unpackbits(np.asarray(plane)[: p.num_reads], axis=1,
+                            bitorder="little")
+        want = np.unpackbits(want, axis=1, bitorder="little")
+        in_len = np.arange(got.shape[1])[None, :] < p.lengths[:, None]
+        assert np.array_equal(got & in_len, want & in_len)
+
+    def test_wire_frame_roundtrip_lean(self):
+        (p,) = fast_read_batches(FQ, batch_size=2000, max_len=128, packed=True)
+        assert p.vrows is not None
+        self._roundtrip(p, 2048)  # padded read dim
+        self._roundtrip(p, 2000)  # exact read dim
+
+    def test_wire_frame_roundtrip_dense_and_clean(self, tmp_path):
+        dirty = tmp_path / "dirty.fq"
+        dirty.write_bytes(b"@r\nACGTNNACGT\n+\nIIIIIIIIII\n" * 4)
+        (p,) = fast_read_batches(str(dirty), batch_size=4, packed=True)
+        assert p.vbits is not None  # every read dirty -> dense wins
+        self._roundtrip(p, 8)
+        clean = tmp_path / "clean.fq"
+        clean.write_bytes(b"@r\nACGTACGT\n+\nIIIIIIII\n" * 3)
+        (c,) = fast_read_batches(str(clean), batch_size=3, packed=True)
+        assert c.vbits is None and c.vrows is None
+        self._roundtrip(c, 4)
+
+    def test_wire_frame_u16_lengths(self):
+        """max_len > 255 rides little-endian u16 length entries."""
+        seqs = np.full((3, 304), ord("A"), np.uint8)
+        lengths = np.array([304, 257, 12], np.int32)
+        rb = ReadBatch(seqs=seqs, lengths=lengths, quals=None, ids=[b"a", b"b", b"c"])
+        p = PackedReadBatch.from_read_batch(rb)
+        self._roundtrip(p, 4)
+
 
 class TestDriverParity:
     def test_max_len_quantum_uniform_across_transports(self, tmp_path):
