@@ -383,17 +383,29 @@ def main() -> None:
 
         # --- the documented API, end to end: framing + packing + h2d +
         # extraction + flush in one genome_spectrum call (sparse_format=
-        # "device" keeps the ~5M-entry result on device; the 4-scalar
-        # checksum pull is the sync)
+        # "device" keeps the ~5M-entry result on device).  Timing
+        # methodology matches the device-resident number exactly: two full
+        # API calls with ONE dependent-scalar checksum sync, halved — the
+        # ~40 ms dev-tunnel sync tax amortizes identically in both
+        # numbers, so their ratio isolates what the API adds (host
+        # framing+tiling+h2d) over the shipped device step it calls.
         genome_api_s = float("inf")
+        nb_api, parts_api = genome_spectrum(
+            fa_path, k=31, tile_len=8192, batch_tiles=640,
+            sparse_format="device",
+        )  # warm-up: compiles the one-block shape
         for _ in range(2):
             t_g = time.perf_counter()
+            genome_spectrum(
+                fa_path, k=31, tile_len=8192, batch_tiles=640,
+                sparse_format="device",
+            )
             nb_api, parts_api = genome_spectrum(
-                fa_path, k=31, tile_len=8192, batch_tiles=64,
+                fa_path, k=31, tile_len=8192, batch_tiles=640,
                 sparse_format="device",
             )
             got_api = np.asarray(genome_cks(*parts_api))
-            genome_api_s = min(genome_api_s, time.perf_counter() - t_g)
+            genome_api_s = min(genome_api_s, (time.perf_counter() - t_g) / 2)
         assert nb_api == GEN_BASES
         assert got_api[0] == GOLD_GENOME_DISTINCT, got_api
         assert got_api[2] == GOLD_GENOME_CKS_LO, got_api

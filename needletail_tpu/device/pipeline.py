@@ -129,17 +129,7 @@ def _count_step_fns(
             resolve_vbits(vbits, vrow_idx, vrows, seqs.shape[0]),
         )
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def accumulate(
-        table_lo, table_hi, seqs, lengths, quals, vbits, vrow_idx, vrows
-    ):
-        lengths, vbits = _resolve(seqs, lengths, vbits, vrow_idx, vrows)
-        spec = _count.dense_spectrum(_windows(seqs, lengths, quals, vbits), k)
-        return acc64(table_lo, table_hi, spec)
-
-    @jax.jit
-    def keys(seqs, lengths, quals, vbits, vrow_idx, vrows):
-        lengths, vbits = _resolve(seqs, lengths, vbits, vrow_idx, vrows)
+    def _keys_body(seqs, lengths, quals, vbits):
         if use_pallas_keys:
             from .pallas_kernels import (
                 canonical_key_planes,
@@ -161,6 +151,44 @@ def _count_step_fns(
             return hi, klo[:, :w].reshape(-1)
         hi, lo = _count.mask_keys(_windows(seqs, lengths, quals, vbits))
         return (None if narrow_keys else hi), lo
+
+    if packed:
+        # coalesced one-buffer transport (see _hash_step_fn); quals — only
+        # present under quality_cutoff — ride as their own plane since the
+        # packed wire doesn't carry 1-byte/base payloads
+        @partial(
+            jax.jit, donate_argnums=(0, 1), static_argnames=("layout",)
+        )
+        def accumulate(table_lo, table_hi, wire, quals, *, layout):
+            from .ops import unwire
+
+            seqs, lengths, vbits, vrow_idx, vrows = unwire(wire, layout)
+            lengths, vbits = _resolve(seqs, lengths, vbits, vrow_idx, vrows)
+            spec = _count.dense_spectrum(
+                _windows(seqs, lengths, quals, vbits), k
+            )
+            return acc64(table_lo, table_hi, spec)
+
+        @partial(jax.jit, static_argnames=("layout",))
+        def keys(wire, quals, *, layout):
+            from .ops import unwire
+
+            seqs, lengths, vbits, vrow_idx, vrows = unwire(wire, layout)
+            lengths, vbits = _resolve(seqs, lengths, vbits, vrow_idx, vrows)
+            return _keys_body(seqs, lengths, quals, vbits)
+
+    else:
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def accumulate(table_lo, table_hi, seqs, lengths, quals):
+            spec = _count.dense_spectrum(
+                _windows(seqs, lengths.astype(jnp.int32), quals, None), k
+            )
+            return acc64(table_lo, table_hi, spec)
+
+        @jax.jit
+        def keys(seqs, lengths, quals):
+            return _keys_body(seqs, lengths.astype(jnp.int32), quals, None)
 
     return accumulate, keys
 
@@ -253,15 +281,7 @@ def _multi_k_step_fn(
         fn = _kmers.canonical_kmers if canonical else _kmers.pack_kmers
         return fn(seqs, lengths, k, normalized=normalized, precoded=packed)
 
-    @partial(jax.jit, donate_argnums=(0,), static_argnames=("active",))
-    def step(dense_limbs, seqs, lengths, quals, vbits, vrow_idx, vrows, active):
-        lengths = lengths.astype(jnp.int32)
-        if packed:
-            from .ops import resolve_vbits, unpack_codes
-
-            vbits = resolve_vbits(vbits, vrow_idx, vrows, seqs.shape[0])
-            # one unpack shared by every k (XLA CSEs the common prefix)
-            seqs = unpack_codes(seqs, vbits)
+    def _body(dense_limbs, seqs, lengths, quals, active):
         new_dense = dict(dense_limbs)
         sparse_keys = {}
         for k in active:
@@ -275,6 +295,28 @@ def _multi_k_step_fn(
                 sparse_keys[k] = ((None if k <= 15 else khi), klo)
         return new_dense, sparse_keys
 
+    if packed:
+        # coalesced one-buffer transport (see _hash_step_fn)
+        @partial(
+            jax.jit, donate_argnums=(0,), static_argnames=("active", "layout")
+        )
+        def step(dense_limbs, wire, quals, active, *, layout):
+            from .ops import resolve_vbits, unpack_codes, unwire
+
+            seqs, lengths, vbits, vrow_idx, vrows = unwire(wire, layout)
+            vbits = resolve_vbits(vbits, vrow_idx, vrows, seqs.shape[0])
+            # one unpack shared by every k (XLA CSEs the common prefix)
+            seqs = unpack_codes(seqs, vbits)
+            return _body(dense_limbs, seqs, lengths, quals, active)
+
+    else:
+
+        @partial(jax.jit, donate_argnums=(0,), static_argnames=("active",))
+        def step(dense_limbs, seqs, lengths, quals, active):
+            return _body(
+                dense_limbs, seqs, lengths.astype(jnp.int32), quals, active
+            )
+
     return step
 
 
@@ -283,20 +325,30 @@ def _minimizer_keys_fn(k: int, w: int, packed: bool, normalized: bool):
     """Window-minimizer key extraction for :func:`minimizer_spectrum_file`."""
     from . import minimizers as _minimizers
 
-    @jax.jit
-    def keys(seqs, lengths, vbits, vrow_idx, vrows):
-        lengths = lengths.astype(jnp.int32)
-        if packed:
-            from .ops import resolve_vbits, unpack_codes
-
-            seqs = unpack_codes(
-                seqs, resolve_vbits(vbits, vrow_idx, vrows, seqs.shape[0])
-            )
+    def _body(seqs, lengths):
         win = _minimizers.window_minimizers(
             seqs, lengths, k, w, normalized=normalized, precoded=packed
         )
         hi, lo = _count.mask_keys(win)
         return (None if k <= 15 else hi), lo
+
+    if packed:
+        # coalesced one-buffer transport (see _hash_step_fn)
+        @partial(jax.jit, static_argnames=("layout",))
+        def keys(wire, *, layout):
+            from .ops import resolve_vbits, unpack_codes, unwire
+
+            seqs, lengths, vbits, vrow_idx, vrows = unwire(wire, layout)
+            seqs = unpack_codes(
+                seqs, resolve_vbits(vbits, vrow_idx, vrows, seqs.shape[0])
+            )
+            return _body(seqs, lengths)
+
+    else:
+
+        @jax.jit
+        def keys(seqs, lengths):
+            return _body(seqs, lengths.astype(jnp.int32))
 
     return keys
 
@@ -546,7 +598,7 @@ def count_file(
             meter, "frame", batches,
             nbytes_of=_batch_nbytes, items_of=lambda b: b.num_bases,
         )
-    from ..batch import length_wire_dtype, pad_vrow_planes
+    from ..batch import length_wire_dtype
 
     for batch in batches:
         if batch.max_len < k:
@@ -554,32 +606,28 @@ def count_file(
             n_bases += batch.num_bases
             continue
         t0 = _time.perf_counter() if meter is not None else 0.0
-        vbits = vrow_idx = vrows = None
-        if packed:
-            seqs = jnp.asarray(batch.codes)
-            if batch.vbits is not None:
-                vbits = jnp.asarray(batch.vbits)
-            elif batch.vrows is not None:
-                idx, rows = pad_vrow_planes(batch.vrow_idx, batch.vrows)
-                vrow_idx, vrows = jnp.asarray(idx), jnp.asarray(rows)
-        else:
-            seqs = jnp.asarray(batch.seqs)
-        lengths = jnp.asarray(
-            batch.lengths.astype(length_wire_dtype(batch.max_len), copy=False)
-        )
         quals = None
         if quality_cutoff is not None:
             if batch.quals is None:
                 raise ValueError("quality_cutoff needs FASTQ input with qualities")
             quals = jnp.asarray(batch.quals)
-        if meter is not None:
-            jax.block_until_ready(
-                [
-                    a
-                    for a in (seqs, lengths, quals, vbits, vrow_idx, vrows)
-                    if a is not None
-                ]
+        if packed:
+            # coalesced one-buffer transport (no read-dim padding: the
+            # jitted steps specialize once per short-final-batch shape,
+            # exactly as the multi-plane transport did)
+            buf, layout = batch.wire_frame(batch.num_reads)
+            wire = jnp.asarray(buf)
+            placed = [wire] if quals is None else [wire, quals]
+        else:
+            seqs = jnp.asarray(batch.seqs)
+            lengths = jnp.asarray(
+                batch.lengths.astype(
+                    length_wire_dtype(batch.max_len), copy=False
+                )
             )
+            placed = [a for a in (seqs, lengths, quals) if a is not None]
+        if meter is not None:
+            jax.block_until_ready(placed)
             meter.add(
                 "h2d", _time.perf_counter() - t0, nbytes=_batch_nbytes(batch)
             )
@@ -591,11 +639,16 @@ def count_file(
                     jnp.zeros(4**k, dtype=jnp.uint32),
                     jnp.zeros(4**k, dtype=jnp.uint32),
                 )
-            dense_limbs = _accumulate(
-                *dense_limbs, seqs, lengths, quals, vbits, vrow_idx, vrows
-            )
+            if packed:
+                dense_limbs = _accumulate(
+                    *dense_limbs, wire, quals, layout=layout
+                )
+            else:
+                dense_limbs = _accumulate(*dense_limbs, seqs, lengths, quals)
+        elif packed:
+            sparse.add(*_keys(wire, quals, layout=layout))
         else:
-            sparse.add(*_keys(seqs, lengths, quals, vbits, vrow_idx, vrows))
+            sparse.add(*_keys(seqs, lengths, quals))
         if meter is not None:
             meter.add(
                 "dispatch", _time.perf_counter() - t0, items=batch.num_bases
@@ -945,34 +998,25 @@ def multi_k_count_file(
             if batch.quals is None:
                 raise ValueError("quality_cutoff needs FASTQ input with qualities")
             quals = jnp.asarray(batch.quals)
-        vbits = vrow_idx = vrows = None
         if packed:
-            plane = jnp.asarray(batch.codes)
-            if batch.vbits is not None:
-                vbits = jnp.asarray(batch.vbits)
-            elif batch.vrows is not None:
-                from ..batch import pad_vrow_planes
-
-                idx, rows = pad_vrow_planes(batch.vrow_idx, batch.vrows)
-                vrow_idx, vrows = jnp.asarray(idx), jnp.asarray(rows)
+            buf, layout = batch.wire_frame(batch.num_reads)
+            dense_limbs, sparse_keys = _step(
+                dense_limbs, jnp.asarray(buf), quals, active, layout=layout
+            )
         else:
-            plane = jnp.asarray(batch.seqs)
-        from ..batch import length_wire_dtype
+            from ..batch import length_wire_dtype
 
-        dense_limbs, sparse_keys = _step(
-            dense_limbs,
-            plane,
-            jnp.asarray(
-                batch.lengths.astype(
-                    length_wire_dtype(batch.max_len), copy=False
-                )
-            ),
-            quals,
-            vbits,
-            vrow_idx,
-            vrows,
-            active,
-        )
+            dense_limbs, sparse_keys = _step(
+                dense_limbs,
+                jnp.asarray(batch.seqs),
+                jnp.asarray(
+                    batch.lengths.astype(
+                        length_wire_dtype(batch.max_len), copy=False
+                    )
+                ),
+                quals,
+                active,
+            )
         for k, (hi, lo) in sparse_keys.items():
             sparse_accs[k].add(hi, lo)
 
@@ -1432,7 +1476,7 @@ def minimizer_spectrum_file(
     # memoized: a fresh in-driver jit re-traces per call (see _minimizer_keys_fn)
     _keys = _minimizer_keys_fn(k, w, packed, normalized)
 
-    from ..batch import length_wire_dtype, pad_vrow_planes
+    from ..batch import length_wire_dtype
 
     sparse = _count.SparseSpectrumAccumulator()
     if ck is not None:
@@ -1451,32 +1495,29 @@ def minimizer_spectrum_file(
         if batch.max_len < k + w - 1:
             continue
         t0 = _time.perf_counter() if meter is not None else 0.0
-        vbits = vrow_idx = vrows = None
         if packed:
-            plane = jnp.asarray(batch.codes)
-            if batch.vbits is not None:
-                vbits = jnp.asarray(batch.vbits)
-            elif batch.vrows is not None:
-                idx, rows = pad_vrow_planes(batch.vrow_idx, batch.vrows)
-                vrow_idx, vrows = jnp.asarray(idx), jnp.asarray(rows)
+            # coalesced one-buffer transport (see _hash_step_fn)
+            buf, layout = batch.wire_frame(batch.num_reads)
+            placed = [jnp.asarray(buf)]
         else:
-            plane = jnp.asarray(batch.seqs)
-        lengths = jnp.asarray(
-            batch.lengths.astype(length_wire_dtype(batch.max_len), copy=False)
-        )
+            placed = [
+                jnp.asarray(batch.seqs),
+                jnp.asarray(
+                    batch.lengths.astype(
+                        length_wire_dtype(batch.max_len), copy=False
+                    )
+                ),
+            ]
         if meter is not None:
-            jax.block_until_ready(
-                [
-                    a
-                    for a in (plane, lengths, vbits, vrow_idx, vrows)
-                    if a is not None
-                ]
-            )
+            jax.block_until_ready(placed)
             meter.add(
                 "h2d", _time.perf_counter() - t0, nbytes=_wire_nbytes(batch)
             )
             t0 = _time.perf_counter()
-        sparse.add(*_keys(plane, lengths, vbits, vrow_idx, vrows))
+        if packed:
+            sparse.add(*_keys(placed[0], layout=layout))
+        else:
+            sparse.add(*_keys(*placed))
         if meter is not None:
             meter.add(
                 "dispatch", _time.perf_counter() - t0, items=batch.num_bases

@@ -676,6 +676,66 @@ class _FastaBatcher:
 
             tail_arr = win.remaining()
             if tail_arr.size > 0:
+                # The final record has no following '>' so the C scanner
+                # never frames it — but for a WELL-FORMED tail (a body
+                # line exists: >=2 newlines, or 1 non-terminal newline)
+                # the EOF-handler's only job is "seq = everything past the
+                # header line".  Appending a '\n>' sentinel lets the same
+                # C scan+fill path frame it at native speed — the whole
+                # input front of a single-record genome FASTA is this tail
+                # (the Python reader walks 5 Mbp in ~30 ms; the C fill in
+                # ~2).  Malformed tails (header-only / no newline) keep
+                # the reference-exact Python path and its error taxonomy
+                # (ref fasta.rs:206-213: UnexpectedEnd).
+                n_nl = native.count_newlines(tail_arr)
+                ends_nl = bool(tail_arr[-1] == 0x0A)
+                if n_nl >= 2 or (n_nl == 1 and not ends_nl):
+                    sent = np.empty(tail_arr.size + 2, dtype=np.uint8)
+                    sent[:-2] = tail_arr
+                    sent[-2] = 0x0A
+                    sent[-1] = 0x3E
+                    recs_t, n_t, consumed_t = native.scan_fasta(sent, 4)
+                    if n_t == 1 and consumed_t == sent.size - 1:
+                        chunk_recs = np.ascontiguousarray(recs_t[:1])
+                        longest = native.fasta_max_len(sent, chunk_recs)
+                        if self._max_len is None:
+                            self._max_len = _round128(longest)
+                        elif longest > self._max_len:
+                            if not self._auto:
+                                raise ValueError(
+                                    f"final record exceeds max_len="
+                                    f"{self._max_len}"
+                                )
+                            self._max_len = _round128(longest)
+                            if seqs is not None:
+                                seqs = self._widen_planes(seqs)
+                        if seqs is None:
+                            seqs, lengths = self._alloc()
+                            fill = 0
+                        self._fill(
+                            sent, chunk_recs, seqs[fill : fill + 1],
+                            self._vbits[fill : fill + 1]
+                            if self._packed
+                            else None,
+                            lengths[fill : fill + 1],
+                            self._row_invalid[fill : fill + 1]
+                            if self._packed
+                            else None,
+                        )
+                        if self._with_ids:
+                            ids.add_packed(
+                                *native.extract_ids_packed(
+                                    sent, chunk_recs, fastq=False
+                                )
+                            )
+                        fill += 1
+                        self._emit_offset = win.abs_offset + tail_arr.size
+                        if fill == self._bs:
+                            yield self._emit(seqs, lengths, ids)
+                            seqs = lengths = None
+                            ids = _new_ids(self._with_ids)
+                            fill = 0
+                        break
                 # delegate the final (possibly truncated) record to the
                 # reference-exact streaming reader, offsetting line numbers
                 reader = FastaReader(bytes(tail_arr))
